@@ -1,0 +1,193 @@
+"""Oracle-checked query forms of the reference's pipeline operators
+(SURVEY.md §2a S1-S14), expressed over the driver fixtures.
+
+The library implementations live in plans/, sources/, sinks/,
+functions/; each query here exercises the same semantics in a form the
+DuckDB oracle can verify value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import TABLE_NAMES, load_table
+from ..registry import query
+
+_CATALOG_ALLOWLIST = ["region", "nation", "lineitem", "no_such_table"]
+
+
+@query(
+    "s1_catalog_allowlist",
+    oracle="""
+    SELECT t AS table_name FROM (VALUES
+      ('region'),('nation'),('customer'),('supplier'),('part'),
+      ('orders'),('lineitem'),('events'),('documents'),('embeddings')) v(t)
+    WHERE t IN ('region','nation','lineitem','no_such_table')
+    """,
+)
+def s1_catalog_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: catalog listing ∩ static allowlist (reference
+    mysql_operations.py:45-51). Metadata-only at any scale."""
+    cat = spark.createDataFrame([(n,) for n in TABLE_NAMES], "table_name string")
+    return cat.filter(F.col("table_name").isin(_CATALOG_ALLOWLIST))
+
+
+@query(
+    "s2_full_scan",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS s_acctbal FROM supplier",
+)
+def s2_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: SELECT * full table extract (reference
+    mysql_operations.py:25) — as a distributed parquet scan."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+
+
+@query(
+    "s3_incremental_day_slice",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) - 1 FROM events)
+    """,
+)
+def s3_incremental_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: the daily incremental window (reference
+    mysql_operations.py:21-23) — 'yesterday' relative to the data's max
+    day so the query is deterministic. The cutoff is computed as a
+    1-row aggregate broadcast into the filter (no driver collect);
+    Catalyst turns the date range into a pushed scan predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.date_sub(F.max(F.to_date("ts")), 1).alias("yday"))
+    return (
+        ev.join(F.broadcast(cutoff))
+        .filter(F.to_date("ts") == F.col("yday"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@query(
+    "s4_datetime_format",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM events WHERE event_id < 1000
+    """,
+)
+def s4_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: the reference's datetime→string wire format (reference
+    mysql_operations.py:30-31) — sub-second precision intentionally
+    truncated, reproduced exactly."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str")
+    )
+
+
+@query(
+    "s5_s6_rename_drop",
+    oracle="""
+    SELECT o_orderkey AS OrderKey, o_custkey AS CustKey,
+           o_orderstatus AS Status, ROUND(o_totalprice, 2) AS TotalPrice
+    FROM orders
+    """,
+)
+def s5_s6_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S6: static rename map + column drop (reference
+    transformations.py:10-20) — one narrow projection; Catalyst prunes
+    dropped columns out of the scan (the reference always reads them)."""
+    o = load_table(spark, sf_dir, "orders")
+    renamed = o.withColumnsRenamed(
+        {
+            "o_orderkey": "OrderKey",
+            "o_custkey": "CustKey",
+            "o_orderstatus": "Status",
+            "o_totalprice": "TotalPrice",
+        }
+    ).drop("o_orderdate", "o_orderpriority")
+    return renamed.withColumn("TotalPrice", F.round("TotalPrice", 2))
+
+
+@query(
+    "s7_bool_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_linenumber % 2 AS BOOLEAN) AS is_odd_line
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def s7_bool_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: int→boolean cast semantics (reference transformations.py:
+    33-37): 0→false, nonzero→true, NULL→NULL."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_linenumber") % 2).cast("boolean").alias("is_odd_line"),
+    )
+
+
+@query(
+    "s9_empty_extract",
+    oracle="SELECT event_id, event_type FROM events WHERE event_type = 'no_such_type'",
+)
+def s9_empty_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: the empty-extract path (reference etl_process.py:21) — a
+    filter that matches nothing; downstream must handle 0 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "no_such_type").select("event_id", "event_type")
+
+
+@query(
+    "s10_schema_enforce",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nation_id,
+           CAST(n_name AS VARCHAR)     AS nation_name,
+           CAST(n_regionkey AS BIGINT) AS region_id
+    FROM nation
+    """,
+)
+def s10_schema_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: declared-schema projection+cast (reference
+    bigquery_operations.py:14-27) via apply_declared_schema."""
+    from pyspark.sql import types as T
+
+    from ..functions.reference_transforms import apply_declared_schema
+
+    n = load_table(spark, sf_dir, "nation").withColumnsRenamed(
+        {"n_nationkey": "nation_id", "n_name": "nation_name", "n_regionkey": "region_id"}
+    )
+    declared = T.StructType(
+        [
+            T.StructField("nation_id", T.LongType()),
+            T.StructField("nation_name", T.StringType()),
+            T.StructField("region_id", T.LongType()),
+        ]
+    )
+    return apply_declared_schema(n, declared)
+
+
+@query(
+    "s14_audit_counts",
+    oracle="""
+    SELECT 'lineitem' AS table_name, COUNT(*) AS n_rows FROM lineitem
+    UNION ALL SELECT 'orders'   AS table_name, COUNT(*) AS n_rows FROM orders
+    UNION ALL SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer
+    """,
+)
+def s14_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: the post-load audit (reference mysql_operations.py:33,
+    bigquery_operations.py:46-48) as a union of count aggregates."""
+    parts = []
+    for t in ["lineitem", "orders", "customer"]:
+        parts.append(
+            load_table(spark, sf_dir, t)
+            .agg(F.count("*").alias("n_rows"))
+            .select(F.lit(t).alias("table_name"), "n_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,186 @@
+"""X13: similarity search over the embedding column.
+
+Two tiers:
+  sim_topk_bruteforce  exact top-k cosine neighbors — oracle-checkable
+                       baseline; at scale used only on candidate sets
+  sim_topk_lsh         random-hyperplane LSH bucketing — the scale
+                       path: candidates only form within a bucket, so
+                       the join cost is O(n·bucket_size), not O(n²)
+
+All vector math is F.zip_with/F.aggregate (codegen, double
+accumulation in index order — matches the DuckDB oracle bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+_TOP_K = 5
+
+
+def _dot(x: str | Column, y: str | Column) -> Column:
+    return F.aggregate(F.zip_with(x, y, lambda u, v: u * v), F.lit(0.0), lambda a, z: a + z)
+
+
+def _as_double(col: str) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+@query(
+    "sim_topk_bruteforce",
+    headline=True,
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+             / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))) AS cos
+      FROM e q JOIN e c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_TOP_K}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 10 vectors.
+
+    Scale: the query set broadcasts (it is small by construction);
+    candidates stream by without materialization; per-query top-k is a
+    ranking window on the query partition. For all-pairs at 100 TB,
+    swap the broadcast side for sim_topk_lsh buckets.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    cos = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+# Deterministic random hyperplanes (seed fixed → stable buckets).
+# Multi-table LSH: L tables × b bits. Collision prob for angle θ is
+# (1-θ/π)^b per table; union over L tables lifts recall without
+# widening any single bucket. b tunes bucket size (n/2^b); raise b as
+# the corpus grows, raise L for recall.
+_DIM = 64
+_LSH_BITS = 4
+_LSH_TABLES = 8
+_rng = random.Random(7)
+_PLANES = [
+    [[_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_LSH_BITS)]
+    for _ in range(_LSH_TABLES)
+]
+
+
+@query("sim_topk_lsh")  # approximate → rows-only check
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    Each vector gets one 4-bit signature per table (sign of fixed
+    Gaussian projections); a (table, signature) pair is a bucket key.
+    Candidates = any vector sharing a bucket with the query in ANY
+    table; ranked by exact cosine within candidates.
+
+    Scale: signatures are map-only; the bucket join shuffles on
+    (table, sig) keys with ~n/2^b bucket sizes — cost O(L·n·bucket),
+    never O(n²). Output schema matches sim_topk_bruteforce so recall
+    is directly measurable (tests/test_llm_ops.py).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+
+    def table_sig(t: int):
+        sig = None
+        for i, plane in enumerate(_PLANES[t]):
+            proj = F.aggregate(
+                F.zip_with("v", F.array(*[F.lit(p) for p in plane]), lambda u, w_: u * w_),
+                F.lit(0.0),
+                lambda a, z: a + z,
+            )
+            bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        # encode table id in the key: bucket = t * 2^b + sig
+        return (sig + F.lit(t * (1 << _LSH_BITS))).cast("int")
+
+    buckets = F.array(*[table_sig(t) for t in range(_LSH_TABLES)])
+    e = e.withColumn("bucket", F.explode(buckets))
+
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cand = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
+    cos = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(cand, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@query(
+    "sim_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    u AS (
+      SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e)
+    SELECT label, CAST(COUNT(DISTINCT i) AS INT) AS dim,
+           ROUND(SUM(x) / (COUNT(*) / COUNT(DISTINCT i)), 4) AS centroid_l1_mean
+    FROM u GROUP BY label
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid summary (the reduce step of IVF/k-means
+    partitioning): element-wise mean vector per label, reported as its
+    mean-of-sums summary. Demonstrates vector aggregation via
+    posexplode → groupBy — the distributed centroid computation."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(_as_double("embedding")).alias("i", "x")
+    )
+    return e.groupBy("label").agg(
+        F.countDistinct("i").cast("int").alias("dim"),
+        F.round(
+            F.sum("x") / (F.count("*") / F.countDistinct("i")), 4
+        ).alias("centroid_l1_mean"),
+    )

@@ -1,0 +1,203 @@
+"""X14: text-analysis operators over the `documents` table — the
+text-side of an LLM training-data pipeline: per-document statistics,
+quality scoring, token counting, a language-ID heuristic, and content
+fingerprinting.
+
+Everything is built from JVM-side expressions (split / transform /
+aggregate / regexp_count) — no Python in the row path — so these scale
+to a 100 TB corpus as embarrassingly-parallel narrow plans (zero
+shuffles except final summaries).
+
+Portability notes for the oracle: substring-occurrence counting uses
+the replace-length trick (identical semantics in Spark and DuckDB);
+regexes are limited to class syntax that Java regex and RE2 interpret
+identically; the rolling-hash fold keeps every intermediate < 2^63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+
+def _count_occurrences(col: Column, pat: str) -> Column:
+    """# of non-overlapping occurrences of literal `pat` via the
+    replace-length trick — portable to any SQL engine."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit(""))))
+        / len(pat)
+    ).cast("long")
+
+
+def _sql_count_occurrences(expr: str, pat: str) -> str:
+    return f"CAST((LENGTH({expr}) - LENGTH(REPLACE({expr}, '{pat}', ''))) / {len(pat)} AS BIGINT)"
+
+
+@query(
+    "text_stats",
+    headline=True,
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT)                      AS n_chars_actual,
+           CAST(LENGTH(string_split(text, ' ')) AS BIGINT)   AS n_words,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LENGTH(string_split(text, ' ')), 4)       AS avg_word_len,
+           {_sql_count_occurrences('text', ' the ')}         AS n_the,
+           CAST(LENGTH(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics: chars, whitespace-token words, average
+    word length, stopword occurrences, punctuation count."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_words.alias("n_words"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_words, 4
+        ).alias("avg_word_len"),
+        _count_occurrences(F.col("text"), " the ").alias("n_the"),
+        F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("long").alias("n_punct"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(
+             CASE WHEN LENGTH(text) BETWEEN 100 AND 400 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
+           * CASE WHEN LENGTH(string_split(text, ' ')) >= 20 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.6 AS DOUBLE) END
+           * CASE WHEN CAST(LENGTH(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                       / LENGTH(text) < 0.1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.7 AS DOUBLE) END, 4) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length band × word-count floor ×
+    punctuation-ratio cap) — the standard pre-training filter shape."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(F.split(F.col("text"), " "))
+    punct_ratio = F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")) / n_chars
+    quality = (
+        F.when((n_chars >= 100) & (n_chars <= 400), 1.0).otherwise(0.5)
+        * F.when(n_words >= 20, 1.0).otherwise(0.6)
+        * F.when(punct_ratio < 0.1, 1.0).otherwise(0.7)
+    )
+    return d.select("doc_id", F.round(quality, 4).alias("quality"))
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT source,
+           CAST(SUM(LENGTH(string_split(text, ' '))) AS BIGINT)          AS ws_tokens,
+           CAST(SUM(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_ish_tokens,
+           CAST(SUM(CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 4) AS BIGINT)) AS BIGINT) AS byte_est_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens, a BPE-ish
+    regex segmentation (letter runs | digits | punctuation), and the
+    chars/4 estimate. One tiny shuffle on `source`."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("ws_tokens"),
+        F.sum(F.regexp_count("text", F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]")))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.sum(F.ceil(F.length("text") / 4.0).cast("long")).cast("long").alias("byte_est_tokens"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_sql_count_occurrences("(' ' || text || ' ')", " the ")}
+           + {_sql_count_occurrences("(' ' || text || ' ')", " and ")}
+           + {_sql_count_occurrences("(' ' || text || ' ')", " of ")} AS score_en,
+             CASE WHEN octet_length(encode(text)) > CAST(LENGTH(text) * 1.5 AS BIGINT)
+                  THEN 1 ELSE 0 END AS nonascii_heavy
+      FROM documents)
+    SELECT lang,
+           CASE WHEN nonascii_heavy = 1 THEN 'cjk'
+                WHEN score_en >= 1 THEN 'en' ELSE 'unknown' END AS predicted,
+           COUNT(*) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: byte-ratio test for CJK, stopword hits
+    for English, else unknown — aggregated as a (label × prediction)
+    confusion table. (The fixture text is synthetic pseudo-English for
+    every label, so the heuristic's value here is determinism, not
+    accuracy; the operator shape is the real deliverable.)"""
+    d = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    score_en = (
+        _count_occurrences(padded, " the ")
+        + _count_occurrences(padded, " and ")
+        + _count_occurrences(padded, " of ")
+    )
+    nonascii = F.when(
+        F.octet_length("text") > (F.length("text") * 1.5).cast("long"), 1
+    ).otherwise(0)
+    predicted = (
+        F.when(nonascii == 1, "cjk").when(score_en >= 1, "en").otherwise("unknown")
+    )
+    return (
+        d.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fingerprint,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split(text, ' '), w -> LENGTH(w) > 0),
+                 w -> CAST(LENGTH(w) * 31 + ascii(substr(w, 1, 1)) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS roll_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: (a) order-insensitive bag-of-words MD5;
+    (b) order-sensitive polynomial rolling hash folded over word
+    hashes, mod 1e9+7 (every intermediate < 2^63 — portable exact
+    arithmetic). Both are narrow expressions — fingerprinting 100 TB is
+    a map-only job."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bow = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(words)), " ").cast("binary")
+    )
+    word_hashes = F.transform(
+        F.filter(words, lambda w: F.length(w) > 0),
+        lambda w: (F.length(w) * 31 + F.ascii(F.substring(w, 1, 1))).cast("long"),
+    )
+    roll = F.aggregate(
+        word_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % 1000000007,
+    )
+    return d.select(
+        "doc_id", bow.alias("bow_fingerprint"), roll.alias("roll_hash")
+    )

