@@ -69,6 +69,7 @@ def all_specs() -> dict[str, QuerySpec]:
         relational,
         similarity,
         text_analysis,
+        tpch_extra,
         udfs,
     )
     from .streaming import batch_equiv  # noqa: F401
