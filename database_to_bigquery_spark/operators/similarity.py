@@ -184,3 +184,110 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("x") / (F.count("*") / F.countDistinct("i")), 4
         ).alias("centroid_l1_mean"),
     )
+
+
+_N_PROBE = 3  # clusters searched per query
+
+
+@query(
+    "sim_topk_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    u AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+    dims AS (
+      SELECT label, i, CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+      FROM u GROUP BY label, i),
+    cent AS (SELECT label, list(c ORDER BY i) AS cv FROM dims GROUP BY label),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    probe AS (
+      SELECT query_id, label FROM (
+        SELECT q.query_id, cent.label,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qv, cent.cv)
+                 / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(cent.cv, cent.cv)))
+                 DESC, cent.label) AS pr
+        FROM q CROSS JOIN cent)
+      WHERE pr <= {_N_PROBE}),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qv, e.v)
+             / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(e.v, e.v))) AS cos
+      FROM probe p
+      JOIN q ON q.query_id = p.query_id
+      JOIN e ON e.label = p.label AND e.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_TOP_K}
+    """,
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) top-k: vectors are partitioned into coarse
+    cells (here the `label` column stands in for a k-means assignment;
+    at ingest time labels WOULD be the nearest-centroid ids), each
+    query probes only the _N_PROBE cells whose centroids score highest,
+    then ranks candidates by exact cosine.
+
+    Scale story vs sim_topk_lsh: IVF reads a *predictable* fraction
+    (nprobe/k) of the corpus per query and the cell layout can be a
+    partition/bucket layout on disk — partition pruning turns each
+    query into a scan of nprobe partitions. Recall tracks how well the
+    cells match the vector geometry: the fixture's labels are NOT
+    k-means cells, so measured recall ≈ nprobe/k (~0.36) — the
+    expected floor for geometry-free partitions; with real k-means
+    assignments the same plan reaches high recall. Centroids are a k×d
+    aggregate (posexplode → groupBy(label, dim)) — one narrow shuffle.
+
+    Determinism for the oracle: per-dimension centroid sums run in
+    DECIMAL(20,10) (exact, order-independent) so the probe ranking and
+    therefore the candidate set is identical across engines; all
+    cosines fold in index order (zip_with/aggregate ≡ list_dot_product).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    dims = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count("*")).alias("c")
+        )
+    )
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s.getField("c")
+        ).alias("cv")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cent_cos = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+    pw = W.partitionBy("query_id").orderBy(F.col("cent_cos").desc(), F.col("label"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cent_cos)
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= _N_PROBE)
+        .select("query_id", "qv", "label")
+    )
+    cand_cos = _dot("qv", "v") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(probe)
+        .join(e, "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cand_cos.alias("cos")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -201,3 +201,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", bow.alias("bow_fingerprint"), roll.alias("roll_hash")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE doc_id < 50),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM words WHERE LENGTH(w) > 0 GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term, tf.tf,
+             ROUND(tf.tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+      FROM tf JOIN df USING (w) CROSS JOIN n)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed IDF (ln((N+1)/(df+1)) + 1 — the scikit-
+    learn formulation), top-3 terms per document for a 50-doc slice.
+
+    Scale: TF is one shuffle on (doc, term); DF is one shuffle on term
+    (both partial-aggregated map-side). The document-frequency table is
+    vocabulary-sized → broadcast back; corpus size N is a 1-row
+    broadcast. The doc_id < 50 slice bounds the *output*, not the
+    algorithm — remove the filter and the same plan runs corpus-wide
+    (the per-doc top-k window shuffles on doc_id, which TF already
+    partitioned by).
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ),
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w"))
+    )
+    return (
+        scored.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "tf", "tfidf", "rnk")
+    )

@@ -121,3 +121,25 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of jobs.stateful_user_totals (applyInPandasWithState):
+    the final per-user running totals. In batch this is a plain
+    aggregate; the streaming form maintains it as arbitrary keyed state
+    across micro-batches (tests/test_streaming.py asserts equality).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )

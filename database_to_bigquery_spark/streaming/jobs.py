@@ -110,3 +110,51 @@ def run_foreach_batch_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------ custom stateful op ----
+
+USER_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+USER_TOTALS_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum) maintained across micro-batches, emitting the
+    cumulative snapshot on every update — the arbitrary-state API for
+    semantics F.window can't express (the running value never resets).
+
+    Scale: state is two numbers per user key, partitioned by user_id
+    across executors; each micro-batch touches only the keys present
+    in it. Batch twin: stream_stateful_user_totals (batch_equiv.py);
+    tests assert the final stream snapshot == batch aggregate.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        USER_TOTALS_OUTPUT,
+        USER_TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -88,3 +88,29 @@ def test_foreach_batch_append_partitioned(spark, events_dir, tmp_path):
     src_count = spark.read.parquet(events_dir).count()
     assert back.count() == src_count  # every micro-batch appended exactly once
     assert any(p.name.startswith("day=") for p in out.iterdir() if p.is_dir())  # S13 layout
+
+
+def test_stateful_user_totals_stream_equals_batch(spark, events_dir):
+    stream = jobs.stateful_user_totals(jobs.read_events_stream(spark, events_dir))
+    q = jobs.run_to_memory_sink(stream, "stateful_test", output_mode="update")
+    q.awaitTermination()
+    # update mode emits one cumulative snapshot per (user, micro-batch);
+    # counts increase monotonically, so the final snapshot is the max
+    snap = spark.table("stateful_test")
+    got = {
+        (r.user_id, r.n_events, round(r.total_value, 2))
+        for r in snap.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .collect()
+    }
+    ev = spark.read.parquet(events_dir)
+    want = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .collect()
+    }
+    assert got == want
