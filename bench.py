@@ -17,6 +17,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from database_to_bigquery_spark.registry import all_specs
 from database_to_bigquery_spark.session import get_spark
 
@@ -31,8 +33,17 @@ def main() -> None:
     spark = get_spark("bench")
     specs = {n: s for n, s in all_specs().items() if s.headline}
 
-    # warmup: tiny query to absorb JVM/codegen startup
+    # warmup: tiny query to absorb JVM/codegen startup, plus one no-op
+    # pandas UDF to spawn the Python worker pool (first Arrow crossing
+    # pays worker fork + numpy import; that's session setup, not query
+    # cost — workers are reused afterwards)
     force(spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
+    force(
+        spark.range(64)
+        .withColumn("g", F.col("id") % 32)
+        .groupBy("g")
+        .applyInPandas(lambda pdf: pdf, "id long, g long")
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(specs):

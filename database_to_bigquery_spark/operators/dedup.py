@@ -81,8 +81,17 @@ SHINGLE_LEN = 5
 
 def char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, g): the distinct character 5-grams of each document.
-    Built with sequence/transform/explode — all codegen, no UDF."""
-    d = load_table(spark, sf_dir, "documents")
+    Built with sequence/transform/explode — all codegen, no UDF.
+
+    The repartition is deliberate: the raw documents are KB-to-MB of
+    text but shingling expands them ~60× and is CPU-bound, so we pay a
+    tiny shuffle of the compressed input to spread the expansion over
+    every core — repartition-before-expensive-transform. (A single
+    parquet file otherwise yields ONE input split and the whole
+    explode runs on one thread.)"""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length("text") - (SHINGLE_LEN - 1), F.lit(1))),
@@ -143,7 +152,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd  # noqa: F401 — applyInPandas ships these to workers
 
     t = 0.6
-    n_blocks = 16
+    # B(B+1)/2 = 36 block-pair tasks (enough to saturate 32 cores since
+    # same-block pairs are ~half-size); each doc's gid array ships to
+    # B+1 = 9 groups, so replication — the dominant Arrow-transfer
+    # cost — stays modest. Larger B shrinks per-task matmuls (already
+    # far from the FLOP bound) while inflating transfer linearly.
+    n_blocks = 8
     sh = char_shingles(spark, sf_dir)  # (doc_id, g) distinct
     # dictionary-encode grams: vocabulary-sized distinct (tiny here;
     # at scale this is a shuffle over |vocab|, never over docs²)
@@ -259,7 +273,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, b in zip(_MH_A, _MH_B)
         ]
     )
-    sig = sh.groupBy("doc_id").agg(perms.alias("sig"))
+    # cache: the signature table is tiny (n_docs × 64 longs) but its
+    # lineage re-shingles the whole corpus; it feeds three consumers
+    # (band explode + both sides of the estimate join), so without a
+    # persist Spark recomputes the full shingle scan per consumer. At
+    # cluster scale this is the standard "materialize signatures"
+    # stage of every LSH pipeline (MEMORY_AND_DISK spills if huge).
+    sig = sh.groupBy("doc_id").agg(perms.alias("sig")).persist()
     # 3: bands → buckets. band_hash = md5 of the 4 joined values.
     rows_per_band = _MH_K // _MH_BANDS
     bands = sig.select(
@@ -356,7 +376,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: fingerprints are one narrow agg; the byte-band join buckets
     on (byte_idx, byte_value) — bounded fanout, no doc² shuffle.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
         F.length("word") > 0
     )

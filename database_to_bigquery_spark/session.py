@@ -46,8 +46,19 @@ def get_spark(
         # Dimension tables (region/nation/supplier/part at test SFs)
         # should broadcast; 64MB leaves headroom at larger SFs too.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # ~128MB input splits: sane parallelism on wide scans.
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Input split size. The fixtures are single parquet files of a
+        # few MB-tens of MB; at the JVM default (128MB) every scan
+        # collapses to ONE task and all narrow work (shingling, UDFs,
+        # expression eval) runs single-threaded regardless of
+        # local[32]. 4MB splits restore full parallelism at test scale.
+        # On a 100 TB cluster this knob should be raised back to
+        # 128-256MB (SPARK_GRAFT_MAX_PARTITION_BYTES) — there the file
+        # count itself provides the parallelism and 4MB splits would
+        # mean tens of millions of tasks.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
