@@ -68,3 +68,58 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         zscore, schema="event_id long, event_type string, zscore double"
     )
+
+
+@query(
+    "udtf_word_chunks",
+    oracle="""
+    WITH w0 AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents WHERE doc_id < 20),
+    w AS (
+      SELECT doc_id, word,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS j
+      FROM w0 WHERE LENGTH(word) > 0),
+    g AS (
+      SELECT doc_id, CAST((j - 1) // 20 AS INT) AS chunk_idx,
+             string_agg(word, ' ' ORDER BY j) AS chunk,
+             COUNT(*) AS n_words
+      FROM w
+      GROUP BY doc_id, CAST((j - 1) // 20 AS INT))
+    SELECT doc_id, chunk_idx, chunk, CAST(n_words AS BIGINT) AS n_words
+    FROM g
+    """,
+)
+def udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark 4): one input row → N output
+    rows — the LLM context-window chunker: each document becomes
+    20-word chunks with positions. The lateral-join surface for Python
+    logic that genuinely changes cardinality (parsers, tokenizer-aware
+    chunkers).
+
+    Scale: UDTFs run per-partition like any map-side op — no shuffle;
+    cardinality expansion happens executor-side. (A production chunker
+    would count model tokens, not words; 20 words keeps the oracle
+    expressible in SQL.)
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_words long")
+    class WordChunks:
+        def eval(self, text: str):
+            words = [w for w in text.split(" ") if w]
+            for c in range(0, len(words), 20):
+                chunk = words[c : c + 20]
+                yield c // 20, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("word_chunks", WordChunks)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.chunk, c.n_words
+        FROM docs_udtf, LATERAL word_chunks(text) c
+        """
+    )

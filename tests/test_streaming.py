@@ -114,3 +114,20 @@ def test_stateful_user_totals_stream_equals_batch(spark, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_sliding_equals_batch(spark, events_dir):
+    stream = jobs.sliding_counts(jobs.read_events_stream(spark, events_dir))
+    q = jobs.run_to_memory_sink(stream, "sliding_test", output_mode="complete")
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("sliding_test").collect()}
+    ev = spark.read.parquet(events_dir)
+    want = {
+        tuple(r)
+        for r in (
+            ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        ).collect()
+    }
+    assert got == want
