@@ -482,3 +482,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
     )
+
+
+# ------------------------------------------- duplicate clustering (CC) ----
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(LENGTH(text) - {SHINGLE_LEN - 1}, 1))) AS i
+      FROM documents),
+    sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {SHINGLE_LEN}) AS g FROM idx),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    near AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM near
+      UNION ALL SELECT doc_b, doc_a FROM near),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the near-dup
+    pair graph (Jaccard >= 0.6 from dedup_ngram_jaccard; the same
+    operator consumes MinHash candidate pairs at scale), labeling every
+    doc with the minimum doc_id of its component — the canonical-keeper
+    assignment that turns pairwise dedup output into per-cluster
+    keep/drop decisions.
+
+    Iterative label propagation, the scalable CC algorithm for Spark:
+    each round joins current labels across edges and keeps the min —
+    O(E) shuffle per round, rounds = graph diameter (dup clusters are
+    near-cliques, so 2-3 rounds). The driver loop only checks a
+    0/1-row convergence count, never data; labels localCheckpoint each
+    round to cut the growing lineage (and to stop re-running the
+    upstream pair mining per round). Oracle: the same fixpoint via
+    DuckDB\'s recursive CTE over the identical pair set.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    e = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = e.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(20):  # >= graph diameter; loop exits at fixpoint
+        prop = (
+            e.join(labels, e.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            prop.alias("p")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("p.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count("*").alias("cluster_size")
+    )

@@ -1,0 +1,87 @@
+"""Skew handling: salted joins (and the AQE story).
+
+A shuffled equi-join places every row of a key on one reducer; a hot
+key turns that reducer into the job's critical path. Two remedies this
+engine relies on:
+
+* **AQE skew-join** (`spark.sql.adaptive.skewJoin.enabled`, on in
+  session.py): Spark splits oversized partitions at runtime —
+  zero-code, the default answer.
+* **Explicit salting** (this module): when AQE can't help (aggregating
+  state per key, or joins where one side can be cheaply replicated),
+  append a salt in [0, S) to the big side's key and replicate the
+  small side S×; the hot key's rows spread over S reducers. Join
+  output is identical — salting is a physical rewrite, which is why
+  the query below can be oracle-checked against the unsalted SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+DEFAULT_SALT = 8
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    n_salts: int = DEFAULT_SALT,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Equi-join `big ⋈ small` on `key` with the big side salted and
+    the small side replicated n_salts×. Result is row-identical to the
+    plain join; the hot keys of `big` are spread across n_salts
+    reducers. `salt_source` defaults to a hash of all big-side columns
+    (any per-row expression works — it only needs to spread rows, not
+    be stable)."""
+    salt = (
+        F.pmod(salt_source if salt_source is not None else F.hash(*big.columns), n_salts)
+        if n_salts > 1
+        else F.lit(0)
+    )
+    big_s = big.withColumn("__salt", salt.cast("int"))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, [key, "__salt"], how).drop("__salt")
+
+
+@query(
+    "q_salted_hot_key_join",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type, COUNT(*) AS type_total
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           COUNT(*)                         AS n_events,
+           CAST(MIN(type_total) AS BIGINT)  AS type_total
+    FROM events e JOIN per_type USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a genuinely low-cardinality (hence maximally
+    skewed) key: events ⋈ per-type totals on event_type — 5 distinct
+    keys, so an unsalted shuffle join uses at most 5 reducers
+    regardless of cluster size. Salting spreads each key over
+    DEFAULT_SALT reducers; the oracle checks the rewrite changes
+    nothing semantically.
+
+    (At this fixture size Spark would broadcast the small side anyway;
+    the salted path is exercised explicitly because at 100 TB the
+    "small" side of a hot-key join is often itself too big to
+    broadcast.)
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    per_type = ev.groupBy("event_type").agg(F.count("*").alias("type_total"))
+    joined = salted_join(ev, per_type, "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("type_total").alias("type_total"),
+    )

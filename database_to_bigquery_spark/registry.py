@@ -68,6 +68,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_ops,
         relational,
         similarity,
+        skew,
         text_analysis,
         tpch_extra,
         udfs,

@@ -144,3 +144,40 @@ def test_pipeline_fail_fast_and_isolation(spark, daily_log_df, tmp_path):
     results = run_pipeline(spark, jobs, isolate_errors=True)
     assert results[0].error is not None
     assert results[1].rows_written == 4  # isolation lets table 2 proceed
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.data import load_table
+    from database_to_bigquery_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    # manufacture real skew: collapse most types into one hot key
+    skewed = ev.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 10 < 9, F.lit("hot")).otherwise(F.col("event_type")),
+    )
+    dim = skewed.groupBy("event_type").agg(F.count("*").alias("n"))
+    got = salted_join(skewed, dim, "event_type").orderBy("event_id")
+    want = skewed.join(dim, "event_type").orderBy("event_id")
+    assert [tuple(r) for r in got.select(*want.columns).collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
+def test_partition_pruning_on_day_partitioned_sink(spark, sf_dir, tmp_path):
+    """The S13 day-partitioned layout must actually prune: a day filter
+    on the read side should scan one partition directory, not all."""
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.data import load_table
+
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(out)
+    one_day = spark.read.parquet(out).filter(F.col("day") == "2024-01-02")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    n_days = ev.select(F.to_date("ts").alias("d")).distinct().count()
+    assert 0 < one_day.count() < ev.count() / max(n_days - 1, 1) * 2
