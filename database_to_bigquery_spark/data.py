@@ -53,7 +53,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # Build TIMESTAMP_NTZ arithmetically from the raw nanos.
+            # (timestamp_micros() yields an instant whose wall-clock
+            # rendering depends on spark.sql.session.timeZone — under a
+            # non-UTC caller session every event time would shift
+            # relative to DuckDB's naive read. NTZ epoch + interval is
+            # timezone-independent: days exact, intra-day seconds a
+            # double that make_dt_interval re-rounds to exact micros.)
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_ntz '1970-01-01 00:00:00' + make_dt_interval("
+                    "ts div 86400000000000, 0, 0,"
+                    " ((ts % 86400000000000) div 1000) / 1e6)"
+                ),
+            )
         return df
     return spark.read.parquet(path)
 
