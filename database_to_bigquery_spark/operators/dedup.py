@@ -23,7 +23,6 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -489,6 +488,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters",
+    headline=True,
     oracle=f"""
     WITH RECURSIVE
     idx AS (

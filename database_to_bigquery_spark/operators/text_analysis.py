@@ -205,6 +205,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_tfidf_top_terms",
+    headline=True,
     oracle="""
     WITH words AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w

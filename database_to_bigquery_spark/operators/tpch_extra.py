@@ -823,6 +823,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------- as-of join ----
 @query(
     "q_asof_join",
+    headline=True,
     oracle="""
     WITH ev AS (
       SELECT event_id, user_id, ts, event_type

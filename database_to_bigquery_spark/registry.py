@@ -20,7 +20,7 @@ Conventions that keep the hash comparison stable across engines:
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -170,3 +170,36 @@ def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
+
+
+def stream_click_purchase_join(events: DataFrame) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase joined to
+    the same user's clicks from the preceding hour. Both sides carry
+    watermarks and the join condition carries the time range, so Spark
+    can expire click state older than (watermark - 1h) — bounded state
+    on two unbounded streams.
+
+    Scale: state is partitioned by user_id; the range condition keeps
+    per-key state to one hour of clicks.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")

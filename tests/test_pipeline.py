@@ -21,7 +21,7 @@ from database_to_bigquery_spark.functions import (
 )
 from database_to_bigquery_spark.plans import REFERENCE_SPECS, run_pipeline
 from database_to_bigquery_spark.plans.pipeline import run_table
-from database_to_bigquery_spark.sinks import ParquetSink, WriteMode
+from database_to_bigquery_spark.sinks import ParquetSink
 
 
 @pytest.fixture()

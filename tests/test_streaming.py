@@ -131,3 +131,32 @@ def test_stream_sliding_equals_batch(spark, events_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    stream = jobs.stream_click_purchase_join(jobs.read_events_stream(spark, events_dir))
+    q = jobs.run_to_memory_sink(stream, "ssjoin_test", output_mode="append")
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("ssjoin_test").collect()}
+    ev = spark.read.parquet(events_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+    )
+    want = {
+        tuple(r)
+        for r in purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        )
+        .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+        .collect()
+    }
+    assert got == want and len(got) > 0
