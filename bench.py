@@ -38,11 +38,17 @@ def main() -> None:
     # pays worker fork + numpy import; that's session setup, not query
     # cost — workers are reused afterwards)
     force(spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
+
+    def _warm(pdf):
+        import numpy as np  # noqa — pre-import in every pooled worker
+
+        return pdf
+
     force(
         spark.range(64)
         .withColumn("g", F.col("id") % 32)
         .groupBy("g")
-        .applyInPandas(lambda pdf: pdf, "id long, g long")
+        .applyInPandas(_warm, "id long, g long")
     )
 
     timings: dict[str, float] = {}

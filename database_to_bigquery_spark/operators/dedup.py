@@ -262,7 +262,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg; the band join only shuffles (doc, band) pairs — never doc².
     Output: (doc_a, doc_b, est_jaccard, jaccard) for true pairs ≥ 0.6.
     """
-    sh = char_shingles(spark, sf_dir).withColumn(
+    # One shingle pass, persisted: the (doc, gram) relation feeds the
+    # signature agg AND three verification consumers (sizes + both
+    # sides of the intersection join); without the persist each
+    # consumer re-shingles the full corpus (4 scans of the most
+    # expensive map stage). MEMORY_AND_DISK default spills at scale.
+    shingles = char_shingles(spark, sf_dir).persist()
+    sh = shingles.withColumn(
         "h", (F.hash("g").cast("long").bitwiseAND(F.lit((1 << 32) - 1))) % _MH_PRIME
     )
     # 2: per-doc signature: for each of k permutations, min over grams.
@@ -331,7 +337,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.45)
     )
 
-    sh_a = char_shingles(spark, sf_dir)
+    sh_a = shingles
     sizes = sh_a.groupBy("doc_id").agg(F.count("*").alias("n"))
     # intersection count as an equi-join on BOTH (doc, gram) keys —
     # joining on doc alone and post-filtering grams would fan out to
@@ -537,9 +543,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB\'s recursive CTE over the identical pair set.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir)
+    # Symmetrize in ONE pass over the pair-mining result: a unionByName
+    # of two selects would splice the (expensive) mining DAG into the
+    # plan twice and run it twice — explode(array(fwd, rev)) reads it
+    # once. The checkpoint then pins the edge list for the loop.
     e = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint(eager=True)
     )
     labels = e.select(F.col("src").alias("node")).distinct().withColumn(
