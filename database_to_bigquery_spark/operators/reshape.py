@@ -1,0 +1,204 @@
+"""Reshaping / sampling / distribution operators.
+
+The reference's only "reshape" is the per-table column rename map
+(reference ``transformations.py:10-71``); everything here is extension
+surface (SURVEY.md §2b X1/X5/X9) that a training-data pipeline needs:
+
+  q_pivot               wide pivot (groupBy().pivot() with explicit
+                        value list — never let Spark scan for values
+                        at 100 TB)
+  q_unpivot             melt wide → long (df.unpivot; map-only, no
+                        shuffle)
+  q_histogram           fixed-width bucket histogram (arithmetic
+                        bucketing — one shuffle on the bucket id)
+  q_median_quantiles    exact interpolated median / quartiles per group
+  q_hash_sample         deterministic hash sampling (md5-prefix
+                        predicate — reproducible across engines/runs,
+                        unlike TABLESAMPLE; pushes down to the scan)
+  q_stratified_sample   deterministic per-stratum top-N sample
+                        (md5-ordered row_number — balanced output even
+                        from skewed strata)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+# ------------------------------------------------------------- pivot ----
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot lineitem quantity to one column per linestatus.
+
+    Scale: the pivot value list is explicit — with it, pivot is a
+    single hash aggregate (no extra job to discover distinct values,
+    which at 100 TB would be a full shuffle before planning even
+    starts). Output cardinality = |groups| × |values|, known upfront.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag", F.col("F").alias("qty_f"), F.col("O").alias("qty_o")
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) three lineitem measures into long form — the
+    inverse of q_pivot. Map-only (each row expands to 3 in place): no
+    shuffle, fully pipelined into whatever consumes the long form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+
+
+# --------------------------------------------------------- histogram ----
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           COUNT(*)                                      AS n_orders,
+           ROUND(SUM(o_totalprice), 2)                   AS bucket_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (25k buckets).
+
+    Arithmetic bucketing keeps this a plain hash aggregate — partial
+    (map-side) combine reduces each partition to |buckets| rows before
+    the shuffle, so network cost is O(buckets × partitions) regardless
+    of input size."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("bucket_total"),
+        )
+    )
+
+
+@query(
+    "q_median_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 4)             AS med_qty,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+           COUNT(*)                                  AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median and quartiles per group (F.median /
+    F.percentile — the exact forms; q_percentiles covers the
+    approximate GK-sketch path that replaces these at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------- sampling ----
+
+
+@query(
+    "q_hash_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% sample: keep rows whose key md5 starts with
+    0 or 1 (2 of 16 hex values).
+
+    Why not TABLESAMPLE / df.sample: those are seeded per-partition —
+    the selected rows change with partitioning and engine, so results
+    aren't reproducible across runs or comparable across systems.
+    Hash-of-key sampling is a pure row-local predicate: stable under
+    repartitioning, consistent across engines (same md5), and — being
+    a filter — it pipelines into the scan with no extra pass. The same
+    predicate on a join key samples *coherently* across tables (all
+    rows of a sampled entity survive in every table)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR))
+             ) AS rn
+      FROM customer
+    )
+    WHERE rn <= 50
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly min(50, |stratum|) rows
+    per market segment, chosen by md5 order of the key — a reproducible
+    'random' order with no seed state.
+
+    Scale: one shuffle on the stratum key; rank + filter short-circuits
+    per group. For heavily skewed strata the md5-order top-N can also
+    run as a per-partition partial top-N before the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string"))
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )

@@ -267,3 +267,77 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", F.col("w").alias("term"), "tf", "tfidf", "rnk")
     )
+
+
+# ------------------------------------------------------ normalization ----
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS normalized,
+           LENGTH(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                      ' +', ' ', 'g'))) AS n_chars_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization for dedup/tokenization: lowercase,
+    strip non-alphanumerics, collapse runs of whitespace, trim. Pure
+    row-local regexp — map-only, pipelined into the scan, no shuffle.
+    The normalized form is what the fingerprint/minhash operators
+    would consume in a production corpus (raw text dedup is defeated
+    by punctuation/casing jitter)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id", norm.alias("normalized"), F.length(norm).alias("n_chars_norm")
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-000-' || CAST(doc_id AS VARCHAR) AS raw
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM injected
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: mask email addresses and phone-shaped digit runs.
+    The fixture corpus carries no PII, so the query injects a
+    deterministic email+phone suffix per document and then scrubs it —
+    the oracle applies the identical injection, so the check verifies
+    the scrubbing regexes end-to-end (regex subset chosen to behave
+    identically under Java regex and RE2).
+
+    Scale: row-local regexp_replace chain — map-only, no shuffle; this
+    is the shape of every compliance pass in a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-000-"),
+        F.col("doc_id").cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        r"\+?[0-9][0-9-]{7,}[0-9]",
+        "<PHONE>",
+    )
+    return d.select("doc_id", scrubbed.alias("scrubbed"))

@@ -1,0 +1,175 @@
+"""Time-series operators over `events`: gap-fill, forward-fill, OHLC
+resample — the hypertable-rollup surface (SURVEY.md §2b X8/X16-adjacent;
+the reference's only time logic is the daily extract window, reference
+``mysql_operations.py:21-23``).
+
+All spines are built with sequence()+explode from a 1-row global
+min/max aggregate — never a driver-side loop or collect; the grid is a
+DataFrame like everything else and joins distribute normally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+
+def _hourly_spine(ev: DataFrame) -> DataFrame:
+    """One row per hour over the global event span. The min/max agg is
+    a 1-row result; sequence/explode expands it distributedly after a
+    broadcast — no data ever reaches the driver."""
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    return span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+
+
+@query(
+    "ts_gapfill_hourly",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM span),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+             COUNT(*) AS n, ROUND(SUM(value), 2) AS tv
+      FROM events GROUP BY 1, 2)
+    SELECT s.hour, t.event_type,
+           COALESCE(h.n, 0)    AS n_events,
+           COALESCE(h.tv, 0.0) AS total_value
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+    """,
+)
+def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup per event type with silent hours materialized as
+    zero rows (the dense grid downstream models need).
+
+    Plan shape: hourly agg (one shuffle) + dense grid (spine × types,
+    both tiny) left-joined back — the grid side broadcasts, so
+    gap-filling adds no extra shuffle over the bare rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+    grid = _hourly_spine(ev).crossJoin(ev.select("event_type").distinct())
+    return grid.join(hourly, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@query(
+    "ts_forward_fill",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events),
+    spine AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, user_id, ROUND(SUM(value), 2) AS day_value
+      FROM events GROUP BY 1, 2)
+    SELECT s.day, u.user_id,
+           COALESCE(
+             last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY u.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             0.0) AS filled_value
+    FROM spine s
+    CROSS JOIN users u
+    LEFT JOIN daily d ON d.day = s.day AND d.user_id = u.user_id
+    """,
+)
+def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily totals on a dense calendar, gaps forward-filled
+    with the most recent observed value (leading gaps → 0.0) — the
+    last-observation-carried-forward resample.
+
+    F.last(ignorenulls=True) over an unbounded-preceding frame is the
+    idiomatic Spark ffill: one shuffle on user_id, then a streaming
+    frame scan per partition — no self-join, no driver loop."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "user_id").agg(
+        F.round(F.sum("value"), 2).alias("day_value")
+    )
+    span = ev.agg(F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi"))
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    grid = spine.crossJoin(ev.select("user_id").distinct())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["day", "user_id"], "left")
+        .withColumn("ff", F.last("day_value", ignorenulls=True).over(w))
+        .select("day", "user_id", F.coalesce("ff", F.lit(0.0)).alias("filled_value"))
+    )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT event_type, hour,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           ROUND(MAX(value), 4)                             AS high,
+           ROUND(MIN(value), 4)                             AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           COUNT(*)                                         AS n_events
+    FROM r
+    GROUP BY event_type, hour
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to hourly OHLC bars per event type
+    (open/close = first/last value in the hour, ties broken by
+    event_id so the result is deterministic on both engines).
+
+    One shuffle on (event_type, hour) serves both row_number windows
+    and the final aggregate — Catalyst reuses the partitioning."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    wa = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )

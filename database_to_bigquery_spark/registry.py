@@ -67,9 +67,11 @@ def all_specs() -> dict[str, QuerySpec]:
         multimodal,
         pipeline_ops,
         relational,
+        reshape,
         similarity,
         skew,
         text_analysis,
+        timeseries,
         tpch_extra,
         udfs,
     )

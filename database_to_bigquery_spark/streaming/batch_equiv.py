@@ -179,3 +179,23 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
         "inner",
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+@query(
+    "stream_dedup_ids",
+    oracle="""
+    SELECT DISTINCT event_id, user_id, event_type, ts, value
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    """,
+)
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of jobs.stream_dedup_events: the input is doubled
+    (simulating at-least-once redelivery) and deduped on event_id.
+    Duplicate rows are bit-identical, so dropDuplicates' keeper is
+    deterministic here; tests/test_streaming.py asserts the streaming
+    dropDuplicatesWithinWatermark form yields the same set."""
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+    return doubled.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )

@@ -203,3 +203,17 @@ def stream_click_purchase_join(events: DataFrame) -> DataFrame:
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
         "inner",
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+def stream_dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming ingestion dedup: drop re-deliveries of the same
+    event_id (the at-least-once → exactly-once repair every streaming
+    ETL needs). dropDuplicatesWithinWatermark keeps per-key state only
+    until the watermark passes the event's time — bounded state on an
+    unbounded stream, where plain dropDuplicates would grow forever.
+
+    Re-deliveries carry the original event time, so they always land
+    within the watermark of the first copy."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -160,3 +160,42 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_equals_batch(spark, events_dir, tmp_path):
+    # simulate at-least-once redelivery: the same event files land twice
+    import shutil
+    from pathlib import Path
+
+    dup_dir = tmp_path / "events_dup"
+    dup_dir.mkdir()
+    parts = sorted(Path(events_dir).glob("part-*.parquet"))
+    # pin mtimes so each file is followed by its redelivery and files
+    # still arrive in event-time order (same rationale as events_dir:
+    # FileStreamSource orders micro-batches by mtime, and rows behind
+    # the watermark are legitimately dropped — correct semantics, but
+    # then stream ≠ batch by design, which isn't what we're testing)
+    import os
+    import time
+
+    base = time.time() - 1000
+    for i, p in enumerate(parts):
+        for j, name in enumerate([f"a{i:05d}.parquet", f"b{i:05d}.parquet"]):
+            dst = dup_dir / name
+            shutil.copy(p, dst)
+            os.utime(dst, (base + i * 10 + j, base + i * 10 + j))
+    stream = jobs.stream_dedup_events(
+        spark.readStream.schema(jobs.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(dup_dir))
+    ).select("event_id", "user_id", "event_type", "ts", "value")
+    q = jobs.run_to_memory_sink(stream, "dedup_test", output_mode="append")
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("dedup_test").collect()}
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(events_dir)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .collect()
+    }
+    assert got == want and len(got) > 0
