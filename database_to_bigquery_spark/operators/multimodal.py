@@ -130,3 +130,80 @@ def mm_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism) without real codecs."""
     d = load_table(spark, sf_dir, "documents")
     return decoded_features(d, use_fake_codec=True)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame_bytes binary"
+
+
+def frame_sample_batch(
+    frame_size: int = 32, stride: int = 4
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """mapInPandas operator for video-style frame sampling: treat the
+    payload as a sequence of fixed-size frames and emit every
+    `stride`-th one. A real implementation would seek keyframes via
+    pyav/ffmpeg per batch; the byte-slicing fake keeps the exact
+    Spark-side contract (expanding output — rows out > rows in — with
+    binary columns over Arrow) testable without codecs."""
+
+    def _sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max(len(raw) // frame_size, 0)
+                for k, f in enumerate(range(0, n_frames, stride)):
+                    off = f * frame_size
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["frame_offset"].append(off)
+                    out["frame_bytes"].append(raw[off : off + frame_size])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_offset": pd.Series(out["frame_offset"], dtype="int64"),
+                    "frame_bytes": pd.Series(out["frame_bytes"], dtype=object),
+                }
+            )
+
+    return _sample
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH frames AS (
+      -- corpus is pure ASCII (verified), so VARCHAR substr == byte
+      -- slice and md5(varchar) == md5(utf8 bytes) == Spark's
+      -- md5(binary slice)
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+               CAST(octet_length(encode(text)) // 32 AS BIGINT) - 1)) AS f
+      FROM documents
+      WHERE octet_length(encode(text)) >= 32)
+    SELECT doc_id,
+           CAST(f // 4 AS INT)  AS frame_idx,
+           CAST(f * 32 AS BIGINT) AS frame_offset,
+           md5(substr(text, CAST(f * 32 + 1 AS BIGINT), 32)) AS frame_md5
+    FROM frames
+    WHERE f % 4 = 0
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the mapInPandas plumbing, every 4th
+    32-byte frame of each payload, with frames checksummed so the
+    oracle can verify the exact bytes that crossed the Arrow boundary
+    (DuckDB slices the same payload arithmetic on its side).
+
+    Scale: expanding map-only op — no shuffle; each Arrow batch yields
+    ~len/128 output rows, and partition parallelism carries over from
+    the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    frames = (
+        with_payload(d)
+        .select("doc_id", "payload")
+        .mapInPandas(frame_sample_batch(), schema=FRAME_SCHEMA)
+    )
+    return frames.select(
+        "doc_id", "frame_idx", "frame_offset", F.md5("frame_bytes").alias("frame_md5")
+    )

@@ -202,3 +202,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("c_mktsegment", "c_custkey", "c_acctbal")
     )
+
+
+@query(
+    "q_dataset_mixture",
+    oracle="""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE (source = 'src0' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             IN ('0','1','2','3','4','5','6','7'))
+       OR (source = 'src1' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             IN ('0','1','2','3'))
+       OR (source NOT IN ('src0', 'src1')
+             AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1'))
+    """,
+)
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: down-sample each corpus source at
+    its own rate (src0 50%, src1 25%, everything else 12.5%) with the
+    deterministic md5 predicate from q_hash_sample.
+
+    This is how a 100 TB pre-training mix is actually cut: a row-local
+    predicate (no shuffle, no per-source pass — one scan evaluates
+    every rate) whose sample is stable across reruns and engines, so
+    the mixture is reproducible and auditable. Changing weights is a
+    predicate edit, not a data rewrite."""
+    d = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = (
+        ((F.col("source") == "src0") & nib.isin(*"01234567"))
+        | ((F.col("source") == "src1") & nib.isin(*"0123"))
+        | (~F.col("source").isin("src0", "src1") & nib.isin("0", "1"))
+    )
+    return d.filter(keep).select("doc_id", "source", "lang")

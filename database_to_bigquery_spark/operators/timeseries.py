@@ -173,3 +173,39 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@query(
+    "ts_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           ts   AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           event_id,
+           ROUND(value, 4) AS value,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+)
+def ts_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension build: turn a change-event log into
+    validity intervals [valid_from, valid_to) per key, open-ended for
+    the current version — the standard warehouse history table the
+    reference's truncate-reload sink (reference
+    ``bigquery_operations.py:36``) cannot express.
+
+    One shuffle on the key; LEAD over (ts, event_id) gives
+    deterministic interval edges even under same-timestamp changes."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
