@@ -836,3 +836,138 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vec_sum, 4).alias("vec_sum"),
         F.round(F.sqrt(vec_sq), 4).alias("vec_norm"),
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+             AS rolling_1h_value,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling_1h_events
+    FROM events
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: RANGE frame over event time — per-user rolling 1-hour sum
+    and count (the "rate over trailing window" primitive behind every
+    rate limiter / anomaly detector).
+
+    RANGE frames bound by *value* distance need a numeric order key in
+    Spark: order by epoch seconds and bound with rangeBetween(-3600, 0)
+    — identical semantics to the oracle's INTERVAL frame, including
+    same-timestamp rows all sharing one frame (where a ROWS frame
+    would depend on tie order). One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h_value"),
+        F.count("*").over(w).alias("rolling_1h_events"),
+    )
+
+
+@query(
+    "q_ntile_stats",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey), 6)    AS cume
+    FROM orders
+    """,
+)
+def q_ntile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: distribution-ranking windows — decile assignment,
+    percent_rank, cume_dist over order totals (tie-broken by key so
+    both engines agree).
+
+    Scale note: a global ORDER BY window is one range-partitioned sort
+    (Spark samples boundaries, so it parallelizes) but is still the
+    most expensive window shape; at 100 TB prefer percentile_approx
+    cutpoints joined back (q_percentiles) when exact ranks aren't
+    required."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_array_agg_ordered",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           CAST(COUNT(*) AS BIGINT)                AS n_suppliers
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def q_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: ordered array aggregation — collect supplier names per
+    nation into a deterministic sorted list, serialized for comparison.
+    collect_list order is partition-arrival order (nondeterministic),
+    so the canonical Spark idiom is collect_list → array_sort —
+    sorting per group after the shuffle, never a global sort."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "q_set_ops_all",
+    oracle="""
+    SELECT 'intersect_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS k FROM supplier) GROUP BY k
+    UNION ALL
+    SELECT 'except_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT c_nationkey AS k FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS k FROM supplier) GROUP BY k
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: the multiset (bag) set operations — INTERSECT ALL keeps
+    min(multiplicity), EXCEPT ALL subtracts multiplicities; both are
+    one hash aggregate per side plus a join in Spark's physical plan
+    (no sort), complementing q_set_ops' distinct forms."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    ia = (
+        c.intersectAll(s)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    ea = (
+        c.exceptAll(s)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return ia.unionByName(ea)

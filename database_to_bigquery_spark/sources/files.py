@@ -1,0 +1,94 @@
+"""File-format sources: parquet / ORC / CSV / JSON behind one spec.
+
+The reference's only source is MySQL (reference
+``mysql_operations.py:25-27``); a general engine also ingests files.
+Design rules for 100 TB:
+
+  * a declared schema is mandatory for text formats (CSV/JSON) —
+    schema inference reads the data twice and silently drifts between
+    runs; with an explicit StructType the read is one pass and the
+    frame's types are stable (the same dual inferred-vs-declared
+    tension the reference resolves with its JSON schema registry,
+    reference ``config.py:27-29``),
+  * malformed rows go to a quarantine column (PERMISSIVE +
+    columnNameOfCorruptRecord) instead of failing the job or being
+    dropped silently — at pipeline scale you audit bad rows, you don't
+    crash on them,
+  * binary columnar formats (parquet/ORC) carry their own schema and
+    support predicate pushdown + column pruning; they're the scale
+    path, text formats are the ingestion edge.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+_TEXT_FORMATS = {"csv", "json"}
+_BINARY_FORMATS = {"parquet", "orc"}
+
+
+@dataclass
+class FileSourceSpec:
+    path: str
+    format: str  # parquet | orc | csv | json
+    schema: T.StructType | None = None  # required for csv/json
+    options: dict[str, str] = field(default_factory=dict)
+    quarantine_corrupt: bool = True  # text formats: keep bad rows in CORRUPT_COL
+
+    def __post_init__(self) -> None:
+        fmt = self.format.lower()
+        if fmt not in _TEXT_FORMATS | _BINARY_FORMATS:
+            raise ValueError(f"unsupported file format: {self.format}")
+        self.format = fmt
+        if fmt in _TEXT_FORMATS and self.schema is None:
+            raise ValueError(
+                f"{fmt} source requires an explicit schema "
+                "(inference double-scans and drifts between runs)"
+            )
+
+
+def read_file_source(spark: SparkSession, spec: FileSourceSpec) -> DataFrame:
+    """One-pass, schema-stable read of a file source."""
+    reader = spark.read.format(spec.format)
+    schema = spec.schema
+    if spec.format in _TEXT_FORMATS and spec.quarantine_corrupt:
+        schema = T.StructType(
+            [*schema.fields, T.StructField(CORRUPT_COL, T.StringType())]
+        )
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", CORRUPT_COL
+        )
+    if schema is not None:
+        reader = reader.schema(schema)
+    if spec.format == "csv":
+        reader = reader.option("header", spec.options.get("header", "true"))
+    for k, v in spec.options.items():
+        reader = reader.option(k, v)
+    return reader.load(spec.path)
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good_rows, corrupt_rows) — corrupt rows keep the full row
+    (parsed-null columns + raw record) for audit. Callers route the
+    second frame to a dead-letter sink; the first continues through
+    the pipeline.
+
+    The parsed frame is persisted first: Spark refuses any query
+    against a raw text source whose referenced columns prune down to
+    only the internal corrupt-record column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the documented idiom is to
+    materialize the parse once and split from that. The persist also
+    means the file is parsed once, not once per output frame
+    (MEMORY_AND_DISK, so it spills rather than OOMs at scale; callers
+    unpersist after both sinks are written)."""
+    if CORRUPT_COL not in df.columns:
+        return df, df.sparkSession.createDataFrame([], f"{CORRUPT_COL} string")
+    parsed = df.persist()
+    good = parsed.filter(parsed[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+    bad = parsed.filter(parsed[CORRUPT_COL].isNotNull())
+    return good, bad

@@ -51,3 +51,69 @@ def test_incremental_predicate_is_sargable():
     pred = incremental_predicate("backup_date", dt.date(2024, 1, 10))
     assert pred == "backup_date >= '2024-01-10' AND backup_date < '2024-01-11'"
     assert "DATE(" not in pred  # unlike mysql_operations.py:23 — index-friendly
+
+
+class TestFileSources:
+    def test_csv_roundtrip_with_schema(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from database_to_bigquery_spark.sources import (
+            FileSourceSpec,
+            read_file_source,
+            split_quarantine,
+        )
+
+        src = spark.createDataFrame(
+            [(1, "alpha", 1.5), (2, "beta", -2.0)], "id long, name string, score double"
+        )
+        path = str(tmp_path / "roundtrip_csv")
+        src.write.option("header", "true").csv(path)
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        got = read_file_source(spark, FileSourceSpec(path=path, format="csv", schema=schema))
+        good, bad = split_quarantine(got)
+        assert bad.isEmpty()
+        assert {tuple(r) for r in good.collect()} == {(1, "alpha", 1.5), (2, "beta", -2.0)}
+        assert [f.dataType for f in good.schema.fields] == [
+            T.LongType(), T.StringType(), T.DoubleType()]
+
+    def test_json_corrupt_rows_quarantined(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from database_to_bigquery_spark.sources import (
+            FileSourceSpec,
+            read_file_source,
+            split_quarantine,
+        )
+
+        path = tmp_path / "j"
+        path.mkdir()
+        (path / "part-0.json").write_text(
+            '{"id": 1, "name": "ok"}\n'
+            'this is not json\n'
+            '{"id": 2, "name": "also ok"}\n'
+        )
+        schema = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+        )
+        got = read_file_source(
+            spark, FileSourceSpec(path=str(path), format="json", schema=schema)
+        )
+        good, bad = split_quarantine(got)
+        assert {tuple(r) for r in good.collect()} == {(1, "ok"), (2, "also ok")}
+        assert bad.count() == 1
+
+    def test_text_format_requires_schema(self):
+        import pytest as _pytest
+
+        from database_to_bigquery_spark.sources import FileSourceSpec
+
+        with _pytest.raises(ValueError, match="explicit schema"):
+            FileSourceSpec(path="/x", format="csv")
+        with _pytest.raises(ValueError, match="unsupported"):
+            FileSourceSpec(path="/x", format="avro")
