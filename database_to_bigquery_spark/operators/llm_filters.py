@@ -1,0 +1,175 @@
+"""LLM training-data quality filters over `documents` — the two
+classic corpus-hygiene passes beyond plain dedup (SURVEY.md §2b X14):
+
+* repetition filtering (Gopher-style: duplicate-word fraction, top
+  bigram fraction, duplicate-bigram mass) — catches boilerplate and
+  degenerate generations;
+* benchmark-contamination detection (shared 5-gram shingles against a
+  held-out eval set) — the decontamination join every pre-training
+  pipeline runs before training.
+
+Scale notes: repetition signals shuffle once on (doc_id, gram) with
+map-side partial aggregation; contamination is an explode → join where
+the benchmark side is tiny by construction → broadcast hash join, so
+the corpus side streams through without a shuffle. Both hold at 100 TB
+because per-doc gram counts, not raw text, cross the wire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+
+def _bigrams(ws):
+    """Array of word bigrams from an array-of-words column (1-based
+    element_at; sequence upper bound inclusive)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    base AS (
+      SELECT doc_id, len(ws) AS n_words,
+             ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS dup_word_frac,
+             list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS grams
+      FROM w),
+    gc AS (SELECT doc_id, unnest(grams) AS gram FROM base),
+    cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM gc GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+             ROUND(CAST(MAX(c) AS DOUBLE) * 2 / (SUM(c) + 1), 4)             AS top_bigram_frac,
+             ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                   / SUM(c), 4)                                              AS dup_bigram_frac
+      FROM cnt GROUP BY 1)
+    SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words, b.dup_word_frac,
+           r.top_bigram_frac, r.dup_bigram_frac,
+           (b.dup_word_frac > 0.9 OR r.top_bigram_frac > 0.18) AS flagged
+    FROM base b JOIN rep r USING (doc_id)
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction, most-frequent-bigram mass (×2 words / n_words),
+    duplicate-bigram mass, and a flag at the published thresholds.
+
+    dup_word_frac is row-local (array_distinct — no shuffle); the
+    bigram counts take one shuffle on (doc_id, gram) with map-side
+    combine, then one on doc_id. The join back is doc_id-to-doc_id on
+    already co-partitioned aggregates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.round(1.0 - F.size(F.array_distinct(ws)) / F.size(ws), 4).alias(
+            "dup_word_frac"
+        ),
+        _bigrams(ws).alias("grams"),
+    )
+    cnt = (
+        base.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    rep = cnt.groupBy("doc_id").agg(
+        F.round(F.max("c") * 2.0 / (F.sum("c") + 1), 4).alias("top_bigram_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 4
+        ).alias("dup_bigram_frac"),
+    )
+    return (
+        base.drop("grams")
+        .join(rep, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "dup_word_frac",
+            "top_bigram_frac",
+            "dup_bigram_frac",
+            (
+                (F.col("dup_word_frac") > 0.9) | (F.col("top_bigram_frac") > 0.18)
+            ).alias("flagged"),
+        )
+    )
+
+
+@query(
+    "text_contamination_ngram",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(ws) - 3), i ->
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                   ws[i+3] || ' ' || ws[i+4])) AS shingles
+          FROM w WHERE len(ws) >= 5),
+    ex AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+    bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id % 37 = 0),
+    corpus AS (SELECT * FROM ex WHERE doc_id % 37 <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY 1),
+    hits AS (SELECT c.doc_id, COUNT(*) AS n_shared
+             FROM corpus c JOIN bench b USING (sh) GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(t.n_shingles AS BIGINT)           AS n_shingles,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           ROUND(COALESCE(h.n_shared, 0) * 1.0 / t.n_shingles, 4) AS overlap_frac,
+           COALESCE(h.n_shared, 0) * 1.0 / t.n_shingles > 0.05    AS contaminated
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs whose doc_id % 37 == 0 stand in
+    for a held-out eval set; every other doc is scored by the fraction
+    of its distinct 5-word shingles that appear anywhere in the eval
+    set, and flagged above 5% overlap.
+
+    Scale: the eval side is ~1/37 of the corpus and reduced to DISTINCT
+    shingles → `broadcast()` it; the corpus side then needs no shuffle
+    for the probe (stream through a broadcast hash join), and the two
+    per-doc aggregations co-partition on doc_id. At 100 TB the eval set
+    is a real benchmark suite (MBs) — the same plan, an even easier
+    broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 4),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(ws, i + k) for k in range(5)],
+            ),
+        )
+    )
+    ex = (
+        d.filter(F.size(ws) >= 5)
+        .select("doc_id", F.explode(shingles).alias("sh"))
+    )
+    bench = ex.filter(F.col("doc_id") % 37 == 0).select("sh").distinct()
+    corpus = ex.filter(F.col("doc_id") % 37 != 0)
+    tot = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            shared.cast("long").alias("n_shared"),
+            F.round(shared * 1.0 / F.col("n_shingles"), 4).alias("overlap_frac"),
+            (shared * 1.0 / F.col("n_shingles") > 0.05).alias("contaminated"),
+        )
+    )

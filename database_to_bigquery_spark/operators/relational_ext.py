@@ -1,0 +1,128 @@
+"""Relational surface extensions (SURVEY.md §2b X8/X11): lateral
+array expansion with ordinality, value-picking window functions with
+explicit frames, and three-valued-logic scalar semantics. All stock
+DataFrame API — narrow or single-shuffle plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+
+@query(
+    "q_posexplode_words",
+    oracle="""
+    WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS lst FROM part
+               WHERE p_partkey < 300)
+    SELECT p_partkey, CAST(u.i AS BIGINT) - 1 AS pos, lst[u.i] AS word
+    FROM w CROSS JOIN LATERAL (SELECT unnest(range(1, len(lst) + 1)) AS i) u
+    """,
+)
+def q_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral expansion with ordinality: split part names into words
+    and emit (row, position, word) via posexplode — Spark's LATERAL
+    VIEW. Map-only: explode is a narrow transformation, the generator
+    runs inside the scan stage, no shuffle at any scale."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+    ).select("p_partkey", F.col("pos").cast("long").alias("pos"), "word")
+
+
+@query(
+    "q_window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w_grow  AS first_price,
+           last_value(o_totalprice)  OVER w_full  AS last_price,
+           nth_value(o_totalprice, 2) OVER w_full AS second_price
+    FROM orders
+    WHERE o_custkey < 500
+    WINDOW w_grow AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-picking window functions (first_value / last_value /
+    nth_value) under two explicit ROWS frames — the growing frame and
+    the whole-partition frame (last_value under the default frame is
+    the classic SQL trap; the frame here is explicit on both engines).
+    One shuffle on o_custkey serves all three functions (same window
+    spec → single Window physical node)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    ordering = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_grow = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w_grow).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT)        AS n_orders,
+           CAST(NULLIF(COALESCE(o.n_orders, 0), 0) AS BIGINT) AS n_orders_or_null,
+           ROUND(COALESCE(o.max_price, 0.0), 2)           AS max_price,
+           (o.max_price IS NOT DISTINCT FROM o.min_price) AS null_safe_eq,
+           ROUND(LEAST(c.c_acctbal, COALESCE(o.max_price, c.c_acctbal)), 2)    AS least_val,
+           ROUND(GREATEST(c.c_acctbal, COALESCE(o.min_price, c.c_acctbal)), 2) AS greatest_val
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
+                      MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+               FROM orders GROUP BY 1) o ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey < 800
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic scalar surface: COALESCE, NULLIF, null-safe
+    equality (Spark `<=>` ≡ SQL IS NOT DISTINCT FROM), and LEAST /
+    GREATEST across a nullable outer-join boundary (customers with no
+    orders produce the NULL side). Aggregate-then-join keeps the
+    shuffle on the pre-reduced orders side; the customer probe is
+    co-partitioned on the join key."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 800)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_totalprice").alias("min_price"),
+        )
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    n_orders = F.coalesce("n_orders", F.lit(0))
+    return j.select(
+        "c_custkey",
+        n_orders.cast("long").alias("n_orders"),
+        F.nullif(n_orders, F.lit(0)).cast("long").alias("n_orders_or_null"),
+        F.round(F.coalesce("max_price", F.lit(0.0)), 2).alias("max_price"),
+        F.col("max_price").eqNullSafe(F.col("min_price")).alias("null_safe_eq"),
+        F.round(
+            F.least("c_acctbal", F.coalesce("max_price", "c_acctbal")), 2
+        ).alias("least_val"),
+        F.round(
+            F.greatest("c_acctbal", F.coalesce("min_price", "c_acctbal")), 2
+        ).alias("greatest_val"),
+    )

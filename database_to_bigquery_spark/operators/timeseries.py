@@ -209,3 +209,60 @@ def ts_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
     )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
+      FROM events WHERE user_id < 200)
+    SELECT user_id, ts, event_id,
+           ROUND(list_sum(list_transform(vals, (v, i) -> v * POWER(0.8, len(vals) - i)))
+                 / list_sum(list_transform(vals, (v, i) -> POWER(0.8, len(vals) - i))),
+                 4) AS ewma
+    FROM x
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α-decay 0.8) over the
+    last 10 events per user — the smoothing pass of a metrics/feature
+    pipeline. EWMA is sequential in its textbook recurrence; here it is
+    re-expressed as a weighted sum over a bounded ROWS frame
+    (collect_list over the window, then a row-local higher-order
+    `transform` with positional weights), which Spark executes in one
+    shuffle on user_id with no Python and no iteration.
+
+    DuckDB's lambda index is 1-based and Spark's 0-based; both sides
+    use weights that depend only on distance-from-frame-end, so the
+    arithmetic is identical.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id", "ts", "event_id", F.collect_list("value").over(w).alias("vals")
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(
+                F.expr(
+                    "aggregate(transform(vals, (v, i) -> v * pow(0.8, size(vals) - 1 - i)),"
+                    " 0D, (a, x) -> a + x)"
+                )
+                / F.expr(
+                    "aggregate(transform(vals, (v, i) -> pow(0.8, size(vals) - 1 - i)),"
+                    " 0D, (a, x) -> a + x)"
+                ),
+                4,
+            ).alias("ewma"),
+        )
+    )

@@ -64,9 +64,11 @@ def all_specs() -> dict[str, QuerySpec]:
     # Imports deferred so `import database_to_bigquery_spark` stays cheap.
     from .operators import (  # noqa: F401
         dedup,
+        llm_filters,
         multimodal,
         pipeline_ops,
         relational,
+        relational_ext,
         reshape,
         similarity,
         skew,
