@@ -126,3 +126,85 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_acctbal", F.coalesce("min_price", "c_acctbal")), 2
         ).alias("greatest_val"),
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS spend
+      FROM orders GROUP BY 1),
+    base AS (SELECT c_custkey AS custkey, c_name AS name,
+                    ROUND(c_acctbal, 2) AS balance
+             FROM customer)
+    SELECT COALESCE(b.custkey, u.custkey) AS custkey,
+           COALESCE(b.name, 'NEW-' || CAST(u.custkey AS VARCHAR)) AS name,
+           CASE WHEN u.custkey IS NOT NULL THEN u.spend ELSE b.balance END AS balance,
+           CASE WHEN b.custkey IS NULL THEN 'insert'
+                WHEN u.custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN updates u ON b.custkey = u.custkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a change set
+    (per-customer order spend) to a base dimension — WHEN MATCHED
+    UPDATE, WHEN NOT MATCHED INSERT, untouched rows kept — expressed as
+    one full-outer join + row-level CASE. This is the engine's upsert
+    primitive; the reference can only truncate-reload or blind-append
+    (reference ``bigquery_operations.py:36``), so daily re-loads
+    accumulate duplicates (SURVEY.md §7.2) — merge is the fix.
+
+    Scale: one shuffle on the merge key for each side (orders side is
+    pre-aggregated first, so the join carries one row per key); at
+    warehouse scale the same plan is what Delta/Iceberg MERGE lowers
+    to, minus their file-level pruning."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("balance"),
+    )
+    u = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("u_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    j = c.join(u, c.custkey == u.u_custkey, "full_outer")
+    return j.select(
+        F.coalesce("custkey", "u_custkey").alias("custkey"),
+        F.coalesce("name", F.concat(F.lit("NEW-"), F.col("u_custkey").cast("string"))).alias("name"),
+        F.when(F.col("u_custkey").isNotNull(), F.col("spend"))
+        .otherwise(F.col("balance"))
+        .alias("balance"),
+        F.when(F.col("custkey").isNull(), "insert")
+        .when(F.col("u_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+@query("q_hll_sketch_union")  # sketch estimates are engine-specific → rows-only
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketches — the scale path for COUNT
+    DISTINCT: build one Apache DataSketches HLL per nation of customer
+    keys (hll_sketch_agg), then merge sketches up to region level
+    (hll_union_agg) and estimate. At 100 TB the sketch (≲1.5 KB) is
+    what crosses the shuffle, never the key set, and pre-aggregated
+    sketches can be stored per partition/day and re-merged for any
+    rollup without rescanning.
+
+    Estimates are engine-specific (no DuckDB twin) → rows-only check;
+    the exact q_hash_agg_functions / q_approx_count_distinct cover the
+    same semantics with oracle-checkable outputs."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        c.groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sketch"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_customers"))
+        .select(F.col("n_regionkey").alias("regionkey"), "approx_customers")
+    )

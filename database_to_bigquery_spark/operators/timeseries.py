@@ -266,3 +266,58 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma"),
         )
     )
+
+
+@query(
+    "ts_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id < 300
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions at >30-minute silence gaps (LAG to mark session starts,
+    running SUM to number them, then per-session aggregation) — the
+    batch twin of the streaming session_window job in streaming/jobs.py
+    and the standard clickstream prep step.
+
+    One shuffle on user_id serves the LAG, the running sum, AND the
+    final groupBy (all partition on the same key — Catalyst reuses the
+    exchange); nothing is ever ordered globally."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # exact microsecond arithmetic (a plain timestamp→long cast truncates
+    # to seconds and would disagree with the oracle's INTERVAL compare on
+    # sub-second gap edges); the NTZ→TZ cast offset cancels in the diff
+    def micros(col):
+        return F.unix_micros(col.cast("timestamp"))
+
+    is_new = F.when(
+        prev_ts.isNull() | (micros(F.col("ts")) - micros(prev_ts) > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    marked = ev.select("user_id", "ts", "event_id", "value", is_new.alias("is_new"))
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
