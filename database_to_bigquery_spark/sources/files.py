@@ -92,3 +92,47 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     good = parsed.filter(parsed[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
     bad = parsed.filter(parsed[CORRUPT_COL].isNotNull())
     return good, bad
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Multimodal ingest: read a directory tree of opaque files
+    (images / audio / video / model shards) as one row per file via
+    Spark's `binaryFile` source — columns (path, modificationTime,
+    length, content:binary). The decode stage downstream is
+    operators/multimodal.py's mapInPandas plumbing.
+
+    Scale notes: listing parallelizes across the driver's listing
+    threads and rows are split across tasks by file, so a 100 TB
+    bucket of media fans out to the cluster without any manifest
+    step; `pathGlobFilter` prunes at listing time (never reads
+    non-matching bytes) and `max_bytes` guards executors against a
+    single pathological file (filter on the `length` metadata column
+    — evaluated BEFORE content is read, same listing-time pruning)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(df["length"] <= max_bytes)
+    return df
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw-text corpus ingest via the `text` source: one row per line
+    (default) or one row per file (`whole_file` — document-per-file
+    corpora). Returns a single `value: string` column plus the input
+    file name for provenance (input_file_name is evaluated at scan
+    time, before any shuffle loses file lineage)."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("text")
+    if whole_file:
+        reader = reader.option("wholetext", "true")
+    return reader.load(path).withColumn("source_file", F.input_file_name())

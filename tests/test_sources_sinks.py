@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+from database_to_bigquery_spark.sources import files
 from database_to_bigquery_spark.sources.catalog import (
     REFERENCE_ALLOWLIST,
     discover_tables,
@@ -117,3 +118,29 @@ class TestFileSources:
             FileSourceSpec(path="/x", format="csv")
         with _pytest.raises(ValueError, match="unsupported"):
             FileSourceSpec(path="/x", format="avro")
+
+
+class TestBinaryAndTextSources:
+    def test_binary_file_roundtrip(self, spark, tmp_path):
+        blobs = {"a.bin": b"\x00\x01payload-a", "b.bin": b"b" * 64, "skip.txt": b"nope"}
+        for name, data in blobs.items():
+            (tmp_path / name).write_bytes(data)
+        df = files.read_binary_files(spark, str(tmp_path), glob="*.bin")
+        rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+        assert rows == {k: v for k, v in blobs.items() if k.endswith(".bin")}
+        assert set(df.columns) >= {"path", "length", "content"}
+
+    def test_binary_file_max_bytes_prunes_large(self, spark, tmp_path):
+        (tmp_path / "small.bin").write_bytes(b"x" * 10)
+        (tmp_path / "large.bin").write_bytes(b"x" * 1000)
+        df = files.read_binary_files(spark, str(tmp_path), glob="*.bin", max_bytes=100)
+        assert [r["length"] for r in df.collect()] == [10]
+
+    def test_text_corpus_lines_and_wholefile(self, spark, tmp_path):
+        (tmp_path / "d1.txt").write_text("line1\nline2\n")
+        (tmp_path / "d2.txt").write_text("solo\n")
+        lines = files.read_text_corpus(spark, str(tmp_path))
+        assert sorted(r["value"] for r in lines.collect()) == ["line1", "line2", "solo"]
+        assert all(r["source_file"].startswith("file:") for r in lines.collect())
+        docs = files.read_text_corpus(spark, str(tmp_path), whole_file=True)
+        assert sorted(r["value"] for r in docs.collect()) == ["line1\nline2\n", "solo\n"]
