@@ -208,3 +208,71 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_customers"))
         .select(F.col("n_regionkey").alias("regionkey"), "approx_customers")
     )
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           json_valid(props)                          AS is_valid
+    FROM events
+    WHERE event_id < 2000
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data via the VARIANT type (Spark 4): parse the
+    JSON props column once into a binary Variant and extract typed
+    fields with variant_get — the modern replacement for repeated
+    get_json_object string re-parsing (one parse, then O(1) typed
+    reads; at 100 TB the parse happens once per row inside the scan
+    stage instead of once per extracted field)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.is_variant_null(F.try_parse_json("props")).isNotNull().alias("is_valid"),
+    )
+
+
+@query(
+    "q_fuzzy_levenshtein",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey < 400)
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching: edit-distance ≤ 4 pairs of part
+    names, restricted to same-brand blocks so the quadratic
+    levenshtein only runs within blocks — the entity-resolution shape
+    (block on a cheap exact key, verify with the expensive metric).
+    The equi-join on brand is an ordinary shuffle join; nothing ever
+    compares across blocks, so cost is Σ|block|², not n²."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 400)
+        .select("p_partkey", "p_brand", "p_name")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 4)
+        .select("key_a", "key_b", dist.cast("int").alias("edit_dist"))
+    )

@@ -123,3 +123,41 @@ def udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf, LATERAL word_chunks(text) c
         """
     )
+
+
+@query(
+    "udf_grouped_agg_weighted",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(value * (user_id % 7 + 1)) / SUM(user_id % 7 + 1), 4) AS weighted_avg
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udf_grouped_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf (a user-defined aggregate): weighted
+    average with a deterministic per-row weight. Arrow ships each
+    group's columns as one pandas Series pair; the UDAF body is pure
+    numpy. This is the UDAF extension seam — Spark has no Python UDAF
+    other than this form.
+
+    Scale note: GROUPED_AGG does NOT do partial aggregation (every raw
+    row crosses the shuffle) — fine for moderate group counts, but the
+    docstring-of-record is: if the aggregate is algebraic, write it
+    with built-ins (the oracle's SUM/SUM form) and keep map-side
+    combine. The UDAF form exists for genuinely non-algebraic
+    aggregates (trimmed means, quantile sketches with custom merge)."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.dot(v, w) / w.sum())
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "w", (F.col("user_id") % 7 + 1).cast("double")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(weighted_avg("value", "w"), 4).alias("weighted_avg")
+    )
