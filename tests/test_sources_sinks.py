@@ -144,3 +144,33 @@ class TestBinaryAndTextSources:
         assert all(r["source_file"].startswith("file:") for r in lines.collect())
         docs = files.read_text_corpus(spark, str(tmp_path), whole_file=True)
         assert sorted(r["value"] for r in docs.collect()) == ["line1\nline2\n", "solo\n"]
+
+
+class TestPythonDataSource:
+    def test_synthlog_reads_all_shards(self, spark):
+        from database_to_bigquery_spark.sources import python_datasource
+
+        python_datasource.register(spark)
+        df = (
+            spark.read.format("synthlog")
+            .option("shards", 3)
+            .option("rows_per_shard", 50)
+            .load()
+        )
+        assert df.count() == 150
+        assert df.rdd.getNumPartitions() == 3
+        # deterministic content, reproducible across reads
+        row = df.filter("shard = 1 AND seq = 7").collect()[0]
+        assert row["payload"] == python_datasource._payload(1, 7)
+        assert row["event_ts_offset_s"] == 70
+
+    def test_synthlog_bad_options_fail_fast(self, spark):
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
+        from database_to_bigquery_spark.sources import python_datasource
+
+        python_datasource.register(spark)
+        with _pytest.raises((PySparkException, Py4JJavaError, Exception)):
+            spark.read.format("synthlog").option("shards", "-1").load().count()
