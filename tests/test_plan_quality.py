@@ -1,0 +1,86 @@
+"""Plan-quality gates: the physical plans Catalyst actually produces
+for representative queries must have the scale-critical properties —
+filters reaching the parquet scan, small dimensions broadcast, no
+accidental cartesian products, codegen in the hot path. These are the
+`.explain("formatted")` iterations (build instructions) frozen into
+assertions so a regression in plan shape fails CI, not just the bench.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from database_to_bigquery_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = SPECS[name].fn(spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    # q6: date-window + discount-band filters must appear as
+    # PushedFilters on the lineitem scan, not a post-scan Filter only.
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln or "l_discount" in ln for ln in pushed), pushed
+
+
+def test_column_pruning_projects_scan_schema(spark, sf_dir):
+    # q1 needs 7 of lineitem's 16 columns; ReadSchema must not contain
+    # untouched wide columns like l_comment.
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("l_comment" not in ln for ln in read), read
+
+
+def test_small_dimensions_are_broadcast(spark, sf_dir):
+    # q5 joins region(5) and nation(25) — these must go broadcast, not
+    # shuffle both sides of every join.
+    plan = plan_of(spark, sf_dir, "q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_cartesian_in_equi_join_queries(spark, sf_dir):
+    for name in ["q_merge_upsert", "q_fuzzy_levenshtein", "text_contamination_ngram"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_sessionize_reuses_single_exchange(spark, sf_dir):
+    # LAG, the running SUM and the final groupBy all partition on
+    # user_id — the plan must contain exactly one shuffle of the
+    # events relation (plus AQE reads), not three.
+    import re
+
+    plan = plan_of(spark, sf_dir, "ts_sessionize")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}"
+
+
+def test_contamination_benchmark_side_broadcast(spark, sf_dir):
+    # the eval-set probe must be a broadcast join: the corpus side
+    # streams through without shuffling for the candidate probe.
+    plan = plan_of(spark, sf_dir, "text_contamination_ngram")
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "q_window_rank"])
+def test_hot_path_stays_in_codegen(spark, sf_dir, name):
+    # simple mode marks whole-stage-codegen spans with '*(n)'; AQE
+    # wraps the plan and defers codegen marks to runtime, so turn it
+    # off for this static inspection only (queries run with AQE on).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = SPECS[name].fn(spark, sf_dir)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "*(" in plan, plan
