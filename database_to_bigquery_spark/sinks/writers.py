@@ -18,7 +18,7 @@ from __future__ import annotations
 import enum
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -109,3 +109,46 @@ class BigQuerySink(Sink):
                 "Use ParquetSink for local runs."
             ) from exc
         return out_count
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-file compaction — the table-maintenance job every
+    streaming/incremental sink eventually needs (each micro-batch
+    append leaves file fragments; 10⁶ tiny files turn every scan into
+    a listing storm and every task into open/close overhead).
+
+    Rewrites the directory to ceil(bytes / target_file_bytes) files
+    via coalesce (narrow — no shuffle: compaction is IO-bound, a
+    repartition would pay a full shuffle for nothing) and swaps the
+    result in atomically. Returns (files_before, files_after).
+
+    At cluster scale the same logic runs per partition directory —
+    day partitions compact independently and in parallel, and a table
+    format (Delta OPTIMIZE / Iceberg rewrite_data_files) replaces the
+    directory swap with a transactional commit.
+    """
+    import math
+    import os
+    import shutil
+
+    def _parquet_files(p: str) -> list[str]:
+        return [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = _parquet_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compacting"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return len(before), len(_parquet_files(path))

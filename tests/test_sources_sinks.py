@@ -174,3 +174,18 @@ class TestPythonDataSource:
         python_datasource.register(spark)
         with _pytest.raises((PySparkException, Py4JJavaError, Exception)):
             spark.read.format("synthlog").option("shards", "-1").load().count()
+
+
+class TestMaintenanceAndCdc:
+    def test_compact_parquet_dir(self, spark, tmp_path):
+        from database_to_bigquery_spark.sinks.writers import compact_parquet_dir
+
+        path = str(tmp_path / "frag")
+        # 40 fragment files, as a micro-batch append sink would leave
+        spark.range(4000).repartition(40).write.parquet(path)
+        before, after = compact_parquet_dir(spark, path, target_file_bytes=10**9)
+        assert before == 40 and after == 1
+        assert spark.read.parquet(path).count() == 4000
+
+    # (streaming CDC merge is tested in tests/test_streaming.py, which
+    # stages a clean multi-file events directory)

@@ -199,3 +199,28 @@ def test_stream_dedup_equals_batch(spark, events_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_cdc_merge_latest_wins(spark, events_dir, tmp_path):
+    target = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    q = jobs.run_foreach_batch_merge(
+        jobs.read_events_stream(spark, events_dir), target, ckpt
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(target)
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(events_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expect = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).isEmpty() and expect.exceptAll(got).isEmpty()
