@@ -1,0 +1,167 @@
+"""SQL-surface operators (SURVEY.md §2b X1/X5/X11 extensions) that
+exercise Spark's SQL front end where the DataFrame API has no direct
+equivalent: recursive CTEs (Spark 4) and LATERAL correlated
+subqueries — plus map-type functions and distribution statistics.
+
+Each `spark.sql` entry registers its inputs as temp views first; the
+SQL text goes through the same Catalyst pipeline as the DataFrame
+queries (one logical plan, same physical strategies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+
+@query(
+    "q_recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE months(m, hi) AS (
+      SELECT date_trunc('month', MIN(o_orderdate)),
+         date_trunc('month', MAX(o_orderdate))
+      FROM orders
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+    )
+    SELECT CAST(m AS DATE) AS month, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+    FROM months LEFT JOIN (
+      SELECT date_trunc('month', o_orderdate) AS m2, COUNT(*) AS n
+      FROM orders GROUP BY 1) o
+    ON o.m2 = months.m
+    """,
+)
+def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4): generate the complete
+    month spine between the first and last order date by recursion,
+    then left-join per-month order counts — the gap-revealing calendar
+    join written the way a SQL user would (ts_gapfill_hourly is the
+    sequence()/explode DataFrame twin of the same idea).
+
+    Scale: the recursion produces one row per month (dozens) on the
+    driver-side recursion anchor — trivially small; the month counts
+    are one shuffle over the pre-aggregated orders."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m, hi) AS (
+          SELECT date_trunc('month', MIN(o_orderdate)),
+                 date_trunc('month', MAX(o_orderdate))
+          FROM orders
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+        )
+        SELECT CAST(m AS DATE) AS month, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS m2, COUNT(*) AS n
+          FROM orders GROUP BY 1) o
+        ON o.m2 = months.m
+        """
+    )
+
+
+@query(
+    "q_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS price
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey < 200
+    """,
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: per customer, the two most
+    expensive orders — the SQL-standard spelling of top-N-per-group
+    (q_topk_per_group is the window-function twin; Catalyst decorrelates
+    this into the same join+window shape rather than executing the
+    subquery per row)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS price
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 200
+        """
+    )
+
+
+@query(
+    "q_map_functions",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events WHERE user_id < 50 GROUP BY 1, 2)
+    SELECT user_id,
+           list(event_type ORDER BY event_type)       AS type_keys,
+           list(CAST(n AS BIGINT) ORDER BY event_type) AS type_counts,
+           CAST(MAX(CASE WHEN event_type = 'click' THEN n END) AS BIGINT) AS n_click
+    FROM cnt GROUP BY user_id
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: build a per-user event_type→count map with
+    map_from_entries, read it back with map_keys / element_at. The
+    map is assembled from a deterministically sorted entry array so
+    key order (and therefore the exported arrays) is stable across
+    partitionings — the rule for ANY map aggregated from distributed
+    rows (map iteration order is otherwise physical-order-dependent)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    entries = F.array_sort(F.collect_list(F.struct("event_type", "n")))
+    g = cnt.groupBy("user_id").agg(entries.alias("entries"))
+    m = F.map_from_entries("entries")
+    return g.select(
+        "user_id",
+        F.map_keys(m).alias("type_keys"),
+        F.transform(F.map_keys(m), lambda k: F.element_at(m, k)).alias("type_counts"),
+        F.element_at(m, "click").alias("n_click"),
+    )
+
+
+@query(
+    "q_stats_moments",
+    oracle="""
+    WITH mu AS (SELECT event_type, AVG(value) AS m FROM events GROUP BY 1)
+    SELECT e.event_type,
+           ROUND(STDDEV_SAMP(value), 4)  AS sd,
+           ROUND(VAR_SAMP(value), 4)     AS variance,
+           ROUND(CORR(value, CAST(user_id % 10 AS DOUBLE)), 4)       AS corr_decile,
+           ROUND(COVAR_SAMP(value, CAST(user_id % 10 AS DOUBLE)), 4) AS covar_decile,
+           ROUND(AVG(POWER(value - mu.m, 3))
+                 / POWER(AVG(POWER(value - mu.m, 2)), 1.5), 4)       AS skew_m3
+    FROM events e JOIN mu ON e.event_type = mu.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution statistics per event type: sample stddev/variance,
+    correlation and covariance against a derived decile, and skewness
+    computed from explicit central moments. (Spark's built-in
+    `skewness`/`kurtosis` use population formulas while other engines
+    apply sample bias corrections — so the cross-engine-checkable form
+    is the explicit m3/m2^1.5, with the group mean broadcast back.)"""
+    ev = load_table(spark, sf_dir, "events")
+    mu = ev.groupBy(F.col("event_type").alias("mu_type")).agg(
+        F.avg("value").alias("m")
+    )
+    e = ev.join(F.broadcast(mu), ev.event_type == mu.mu_type)
+    decile = (F.col("user_id") % 10).cast("double")
+    dev = F.col("value") - F.col("m")
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("variance"),
+        F.round(F.corr(F.col("value"), decile), 4).alias("corr_decile"),
+        F.round(F.covar_samp(F.col("value"), decile), 4).alias("covar_decile"),
+        F.round(
+            F.avg(F.pow(dev, 3)) / F.pow(F.avg(F.pow(dev, 2)), 1.5), 4
+        ).alias("skew_m3"),
+    )

@@ -72,6 +72,7 @@ def all_specs() -> dict[str, QuerySpec]:
         reshape,
         similarity,
         skew,
+        sql_surface,
         text_analysis,
         timeseries,
         tpch_extra,
