@@ -173,3 +173,74 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (shared * 1.0 / F.col("n_shingles") > 0.05).alias("contaminated"),
         )
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)), i ->
+               ws[i] || ' ' || ws[i+1])) AS bigram,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1
+      FROM w WHERE len(ws) >= 2),
+    c2 AS (SELECT bigram, COUNT(*) AS n2 FROM bg GROUP BY 1),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM bg)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN((c2.n2 + 1.0) / (c1.n1 + v.vocab))), 4) AS avg_logp,
+           AVG(LN((c2.n2 + 1.0) / (c1.n1 + v.vocab))) < -7.0    AS low_quality
+    FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filtering with a corpus-trained bigram
+    LM (the CCNet/Wikipedia-LM filter shape, self-contained): train
+    add-one-smoothed bigram probabilities on the corpus itself, score
+    every document by its mean log-probability, flag the implausible
+    tail.
+
+    Scale: the bigram relation shuffles once to count c2 (map-side
+    combined); c1 and the vocab size are word-vocabulary-sized →
+    broadcast back onto the bigram stream; the per-doc average
+    re-partitions on doc_id. No Python anywhere; at 100 TB this is
+    exactly the e5-style "train the filter on the data you filter"
+    pass, with a real external LM slotting in as a Pandas-UDF scorer
+    if desired."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bg = (
+        d.filter(F.size(ws) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                        ).alias("bigram"),
+                        F.element_at(ws, i).alias("w1"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "e.bigram", "e.w1")
+    )
+    c2 = bg.groupBy("bigram").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    v = bg.agg(F.count_distinct("w1").alias("vocab"))
+    logp = F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("vocab")))
+    return (
+        bg.join(c2, "bigram")
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logp"),
+            (F.avg(logp) < -7.0).alias("low_quality"),
+        )
+    )

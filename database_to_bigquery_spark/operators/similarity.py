@@ -291,3 +291,90 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@query(
+    "sim_topk_sq8",
+    oracle=f"""
+    WITH m AS (
+      SELECT MAX(list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))))) AS ma
+      FROM embeddings),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 / m.ma + 0.5) AS BIGINT)) AS v
+      FROM embeddings CROSS JOIN m),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.v, c.v) AS DOUBLE)
+             / (SQRT(CAST(list_dot_product(q.v, q.v) AS DOUBLE))
+                * SQRT(CAST(list_dot_product(c.v, c.v) AS DOUBLE))) AS cos8
+      FROM q8 q JOIN q8 c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, ROUND(cos8, 4) AS cosine_sq8, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos8 DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_TOP_K}
+    """,
+)
+def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized similarity search (SQ8): embeddings are scalar-
+    quantized to 8-bit integers with one global scale (127/max|x|),
+    and top-k runs entirely on integer dot products — the memory-bound
+    ANN trick (4× smaller vectors, SIMD-friendly int math) in its
+    deterministic form, so unlike k-means-codebook PQ it is exactly
+    reproducible and oracle-checkable.
+
+    The quantizer is floor(x·s + 0.5) — written explicitly instead of
+    round() because engines disagree on banker's vs half-up rounding,
+    and a single off-by-one code could flip a tie.
+
+    Scale: the scale factor is a 1-row broadcast; quantization is
+    map-only; the query side broadcasts and candidates stream, same
+    plan as sim_topk_bruteforce at one quarter the bytes. Integer
+    dots are exact (|v|≤127, 64 dims ⇒ |dot| ≤ 127²·64 < 2³¹), so the
+    Spark and DuckDB scores are bit-identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ma = e.agg(
+        F.max(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        ).alias("ma")
+    )
+    q8 = e.join(F.broadcast(ma)).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 127 / F.col("ma") + 0.5).cast("long"),
+        ).alias("v"),
+    )
+    q = q8.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("vq")
+    )
+    c = q8.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vc"))
+
+    def idot(x: str, y: str) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, w: u * w),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
+        )
+
+    cos8 = idot("vq", "vc").cast("double") / (
+        F.sqrt(idot("vq", "vq").cast("double")) * F.sqrt(idot("vc", "vc").cast("double"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos8", cos8)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos8").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos8", 4).alias("cosine_sq8"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
