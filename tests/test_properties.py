@@ -1,0 +1,95 @@
+"""Property-based round-trip invariants (SURVEY.md §5.4, hypothesis):
+the algebraic laws the pipeline primitives must satisfy on arbitrary
+inputs, not just fixtures. Example counts are kept small — each
+example pays a Spark job — but the generators cover the nasty corners
+(empty strings, unicode, negative/huge numbers, duplicate rows).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from database_to_bigquery_spark.functions.reference_transforms import (
+    apply_declared_schema,
+)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**31), max_value=2**31),
+        st.text(max_size=30),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+    ),
+    max_size=20,
+)
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_schema_enforcement_idempotent(spark, data):
+    # applying the declared schema twice must equal applying it once
+    df = spark.createDataFrame(data, "id long, name string, score double")
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.FloatType()),
+        ]
+    )
+    once = apply_declared_schema(df, schema)
+    twice = apply_declared_schema(once, schema)
+    assert once.schema == twice.schema
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_exact_dedup_is_fixpoint_and_union_invariant(spark, data):
+    # dedup(x ∪ x) == dedup(x), and dedup is a fixpoint
+    df = spark.createDataFrame(data, "id long, name string, score double")
+    doubled = df.unionAll(df)
+    d1 = sorted(map(tuple, df.dropDuplicates().collect()))
+    d2 = sorted(map(tuple, doubled.dropDuplicates().collect()))
+    d3 = sorted(map(tuple, df.dropDuplicates().dropDuplicates().collect()))
+    assert d1 == d2 == d3
+
+
+@given(texts=st.lists(st.text(max_size=60), min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_normalization_idempotent(spark, texts):
+    # the text_normalize transform is a projection onto its own image:
+    # normalizing an already-normalized string changes nothing
+    def norm(col):
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "
+            )
+        )
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(
+        norm(F.col("t")).alias("n1"), norm(norm(F.col("t"))).alias("n2")
+    ).collect()
+    for r in out:
+        assert r["n1"] == r["n2"]
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_overwrite_then_append_equals_double(spark, data, tmp_path_factory):
+    # S11/S12 law: overwrite(x) then append(x) reads back as x ∪ x
+    if not data:
+        return
+    out = str(tmp_path_factory.mktemp("prop_sink"))
+    df = spark.createDataFrame(data, "id long, name string, score double")
+    df.write.mode("overwrite").parquet(out)
+    df.write.mode("append").parquet(out)
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.unionAll(df).collect()))
