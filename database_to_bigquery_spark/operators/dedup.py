@@ -583,3 +583,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count("*").alias("cluster_size")
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+    batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0)
+    SELECT b.doc_id,
+           (c.h IS NOT NULL) AS already_in_corpus
+    FROM batch b LEFT JOIN corpus c ON b.h = c.h
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape every running ingestion pipeline
+    needs: an arriving batch (docs with doc_id % 10 == 0 stand in for
+    it) is checked against the existing corpus by content hash; rows
+    already present are flagged for drop, everything else is admitted.
+
+    Scale: the corpus side reduces to DISTINCT 128-bit hashes — at
+    100 TB that hash set is ~2% of corpus bytes and partitions/joins
+    on the hash, so the batch probe is one shuffle of the (small)
+    batch against a pre-bucketed hash index; in production the corpus
+    hash set is maintained as a bucketed table so re-ingestion never
+    rescans the corpus (the join is exchange-free on the bucketed
+    side, tests/test_bucketing.py shows the layout)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select(h.alias("h")).distinct()
+    batch = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", h.alias("h"))
+    return (
+        batch.join(corpus.withColumn("hit", F.lit(1)), "h", "left")
+        .select("doc_id", F.col("hit").isNotNull().alias("already_in_corpus"))
+    )

@@ -85,3 +85,43 @@ def q_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("type_total").alias("type_total"),
     )
+
+
+@query(
+    "q_salted_two_phase_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)       AS n,
+           ROUND(SUM(l_quantity), 2)      AS sum_qty,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation: the rewrite for aggregating on a
+    key with pathological skew (here l_returnflag — 3 values over the
+    whole fact table). Phase 1 groups on (key, salt) with a random-ish
+    but deterministic 16-way salt so the hot key spreads over 16
+    reducers; phase 2 re-aggregates the 16 partials per key. All
+    aggregates used are algebraic (count→sum, sum→sum, max→max) so the
+    two-phase result is EXACTLY the direct groupBy — which is what the
+    oracle computes.
+
+    (Spark's partial aggregation already handles most of this
+    map-side; the explicit salt matters when per-key state is too big
+    for one reducer — giant count-distinct sets, collect_lists — or
+    under AQE-less engines. The operator documents and tests the
+    rewrite; the plan costs one extra tiny shuffle of 3×16 rows.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", (F.col("l_orderkey") % 16).cast("int"))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum("l_quantity").alias("pq"),
+        F.max("l_extendedprice").alias("pm"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").cast("long").alias("n"),
+        F.round(F.sum("pq"), 2).alias("sum_qty"),
+        F.round(F.max("pm"), 2).alias("max_price"),
+    )
