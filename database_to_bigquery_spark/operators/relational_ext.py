@@ -276,3 +276,74 @@ def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 4)
         .select("key_a", "key_b", dist.cast("int").alias("edit_dist"))
     )
+
+
+@query(
+    "q_boolean_aggregates",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS n_big,
+           BOOL_AND(value >= 0)  AS all_nonneg,
+           BOOL_OR(value > 990)  AS any_huge
+    FROM events GROUP BY event_type
+    """,
+)
+def q_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate surface: count_if, every/bool_and,
+    some/bool_or — one map-side-combined shuffle, the FILTER-clause
+    family in its Spark spelling."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.every(F.col("value") >= 0).alias("all_nonneg"),
+        F.some(F.col("value") > 990).alias("any_huge"),
+    )
+
+
+@query(
+    "q_string_agg_ordered",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation (LISTAGG/STRING_AGG):
+    collect, sort row-locally, then join — the only stable spelling of
+    string aggregation over distributed rows (an unordered listagg is
+    partition-order-dependent and can never hash-match anything)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv")
+    )
+
+
+@query(
+    "q_offset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15 OFFSET 30
+    """,
+)
+def q_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination over a total order (page 3 of the
+    price-ranked orders). The ORDER BY carries a unique tiebreak so
+    every page is deterministic; Spark executes this as a TakeOrdered
+    of OFFSET+LIMIT rows — no global sort materializes.
+
+    (Pagination-by-offset is an anti-pattern for deep pages at scale —
+    offset N still computes N rows; keyset pagination via WHERE
+    (price, key) < last_seen is the 100 TB answer — but the surface
+    itself must exist and be correct.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+        )
+        .offset(30)
+        .limit(15)
+    )
