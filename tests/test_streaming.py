@@ -224,3 +224,58 @@ def test_foreach_batch_cdc_merge_latest_wins(spark, events_dir, tmp_path):
     )
     assert got.count() == expect.count()
     assert got.exceptAll(expect).isEmpty() and expect.exceptAll(got).isEmpty()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Semantic contract of withWatermark: a row arriving after the
+    watermark has passed its window is dropped from the aggregation —
+    verified with two hand-built micro-batch files where file 2's
+    fresh rows advance the watermark and its stale row is late."""
+    import datetime as dt
+    import os
+    import time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+        )
+        p = str(src / name)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for dp, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(dp, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    hr = dt.timedelta(hours=1)
+    now = time.time()
+    # batch 1: two rows in hour 0
+    write_file("b1", [(1, t0, 1, "click", 1.0, "{}"), (2, t0 + hr * 0.5, 1, "click", 1.0, "{}")], now - 60)
+    # batch 2: a row far in the future — advances the watermark past
+    # hour 0 + the 2h delay. Watermarks only take effect with a
+    # micro-batch lag (the filter watermark of batch N derives from
+    # batch N-2's observed max event time), so a spacer batch sits
+    # between the advancing row and the late arrival.
+    write_file("b2", [(3, t0 + hr * 10, 1, "click", 1.0, "{}")], now - 45)
+    write_file("b3", [(5, t0 + hr * 10 + hr * 0.5, 1, "click", 1.0, "{}")], now - 30)
+    # batch 4: a LATE row back in hour 0 — beyond the watermark, dropped
+    write_file("b4", [(4, t0 + hr * 0.6, 1, "click", 1.0, "{}")], now - 15)
+
+    stream = (
+        spark.readStream.schema(jobs.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    agg = jobs.tumbling_counts(stream, watermark="2 hours")
+    q = jobs.run_to_memory_sink(agg, "late_drop_check", output_mode="append")
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["n_events"])
+        for r in spark.table("late_drop_check").collect()
+    }
+    # hour-0 window must count ONLY the two on-time rows; event 4 was late
+    hour0 = [n for (ws, n) in got if ws == t0]
+    assert hour0 == [2], f"late row leaked into closed window: {got}"
