@@ -244,3 +244,62 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.avg(logp) < -7.0).alias("low_quality"),
         )
     )
+
+
+@query(
+    "text_span_dedup_c4",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sp AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 8), i ->
+               array_to_string(ws[i:i+9], ' '))) AS span
+      FROM w WHERE len(ws) >= 10),
+    freq AS (SELECT span, COUNT(DISTINCT doc_id) AS ndocs FROM sp GROUP BY 1)
+    SELECT sp.doc_id,
+           CAST(COUNT(*) AS BIGINT)                               AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE freq.ndocs > 1) AS BIGINT) AS n_dup_spans,
+           ROUND(COUNT(*) FILTER (WHERE freq.ndocs > 1) * 1.0 / COUNT(*), 4)
+                                                                  AS dup_span_frac,
+           COUNT(*) FILTER (WHERE freq.ndocs > 1) * 1.0 / COUNT(*) > 0.5
+                                                                  AS mostly_boilerplate
+    FROM sp JOIN freq USING (span)
+    GROUP BY sp.doc_id
+    """,
+)
+def text_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document span dedup: every 10-word span is checked
+    for occurrence in OTHER documents; documents are scored by the
+    fraction of their spans that are corpus-duplicated (boilerplate,
+    licence headers, templated pages — duplication that document-level
+    dedup can't see because the documents differ overall).
+
+    Scale: spans shuffle once to count document frequency (map-side
+    combined; the span key is bounded by the corpus, skew capped at
+    n_docs), then the span stream re-joins its own frequency table —
+    at 100 TB the frequency table is the big side, so THIS join is the
+    shuffle join, while the final per-doc aggregation co-partitions on
+    doc_id. The C4 paper's remove-the-span variant is this same plan
+    with a filter instead of a score."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 9),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(10)]),
+    )
+    sp = (
+        d.filter(F.size(ws) >= 10)
+        .select("doc_id", F.explode(F.array_distinct(spans)).alias("span"))
+    )
+    freq = sp.groupBy("span").agg(F.count_distinct("doc_id").alias("ndocs"))
+    dup = F.count_if(F.col("ndocs") > 1)
+    return (
+        sp.join(freq, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            dup.alias("n_dup_spans"),
+            F.round(dup * 1.0 / F.count("*"), 4).alias("dup_span_frac"),
+            (dup * 1.0 / F.count("*") > 0.5).alias("mostly_boilerplate"),
+        )
+    )
