@@ -150,9 +150,13 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # persist: the exploded shingle relation feeds three consumers
+    # (eval-set distinct, per-doc totals, probe join) — without it the
+    # shingling map stage re-runs per consumer (3× the dominant cost)
     ex = (
         d.filter(F.size(ws) >= 5)
         .select("doc_id", F.explode(shingles).alias("sh"))
+        .persist()
     )
     bench = ex.filter(F.col("doc_id") % 37 == 0).select("sh").distinct()
     corpus = ex.filter(F.col("doc_id") % 37 != 0)
@@ -228,6 +232,8 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         )
         .select("doc_id", "e.bigram", "e.w1")
+        .persist()  # feeds c2, c1, vocab AND the scoring join — one
+        # materialization instead of four explode re-runs
     )
     c2 = bg.groupBy("bigram").agg(F.count("*").alias("n2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
@@ -287,9 +293,16 @@ def text_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(ws) - 9),
         lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(10)]),
     )
+    # spans are ~60-byte strings; the frequency shuffle and the join
+    # back only need equality, so ship 8-byte xxhash64 keys instead
+    # (collision odds ~(n_spans)^2 / 2^64 — immaterial to the scores)
+    # and persist: the span relation feeds both the frequency count
+    # and the score join.
     sp = (
         d.filter(F.size(ws) >= 10)
-        .select("doc_id", F.explode(F.array_distinct(spans)).alias("span"))
+        .select("doc_id", F.explode(F.array_distinct(spans)).alias("span_str"))
+        .select("doc_id", F.xxhash64("span_str").alias("span"))
+        .persist()
     )
     freq = sp.groupBy("span").agg(F.count_distinct("doc_id").alias("ndocs"))
     dup = F.count_if(F.col("ndocs") > 1)

@@ -130,6 +130,7 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_merge_upsert",
+    headline=True,
     oracle="""
     WITH updates AS (
       SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS spend

@@ -295,6 +295,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_topk_sq8",
+    headline=True,
     oracle=f"""
     WITH m AS (
       SELECT MAX(list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))))) AS ma

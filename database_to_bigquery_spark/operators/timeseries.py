@@ -270,6 +270,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_sessionize",
+    headline=True,
     oracle="""
     WITH marked AS (
       SELECT user_id, ts, event_id, value,
