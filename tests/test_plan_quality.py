@@ -84,3 +84,27 @@ def test_hot_path_stays_in_codegen(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "*(" in plan, plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    # the hint API is the manual override when AQE/statistics pick a
+    # suboptimal strategy at scale; verify each hint reaches the
+    # physical plan
+    from database_to_bigquery_spark.data import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+
+    def physical(df):
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+
+    merge = physical(li.hint("merge").join(o, li.l_orderkey == o.o_orderkey))
+    assert "SortMergeJoin" in merge
+
+    shj = physical(li.hint("shuffle_hash").join(o, li.l_orderkey == o.o_orderkey))
+    assert "ShuffledHashJoin" in shj
+
+    bc = physical(li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey))
+    assert "BroadcastHashJoin" in bc
