@@ -348,3 +348,74 @@ def q_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(30)
         .limit(15)
     )
+
+
+@query(
+    "q_bitmap_distinct_rollup",
+    oracle="""
+    WITH per_nation AS (
+      SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS nation_customers
+      FROM customer GROUP BY 1),
+    j AS (SELECT n_regionkey, n_nationkey FROM nation)
+    SELECT j.n_regionkey AS regionkey,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS region_customers
+    FROM customer c JOIN j ON c.c_nationkey = j.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmap aggregates (Spark
+    3.5+): per (nation, bucket) bitmaps of customer keys
+    (bitmap_construct_agg), OR-merged up to region (bitmap_or_agg),
+    counted with bitmap_count — the exact counterpart of the HLL
+    rollup (q_hll_sketch_union): re-aggregatable to any level without
+    rescanning, but with no approximation error.
+
+    Scale: each bitmap covers a 32768-key bucket, so the shuffle
+    carries (group, bucket) → 4 KB bitmaps instead of raw key sets;
+    COUNT(DISTINCT) over 10⁹ keys becomes a sum of popcounts. The
+    oracle computes the same number the exact classical way."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_bucket = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", F.bitmap_bucket_number("c_custkey").alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("c_custkey")).alias("bm"))
+    )
+    return (
+        per_bucket.groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("region_customers"))
+    )
+
+
+@query(
+    "q_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           FLOOR(o_totalprice / NULLIF(o_custkey % 5, 0) * 100 + 0.5) / 100 AS price_per_prio,
+           CAST(CASE WHEN o_custkey <= 9223372036854775807 / 2
+                     THEN o_custkey * 2 END AS BIGINT)               AS doubled_key,
+           TRY_CAST(o_orderpriority AS DOUBLE)                        AS prio_as_num
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: try_divide (NULL on ÷0 instead
+    of ANSI error), try_multiply (NULL on overflow), try_cast (NULL on
+    malformed input — o_orderpriority is '1-URGENT'-style text, so
+    every cast fails soft). Under ANSI mode these are the expressions
+    a pipeline uses where bad rows must quarantine rather than kill
+    the job (same policy as the CSV corrupt-record channel,
+    sources/files.py)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        # floor(x*100+0.5)/100 instead of round(): Spark rounds via
+        # BigDecimal HALF_UP, DuckDB via double math — they disagree on
+        # exact .005 boundaries; the floor form is bit-identical on both
+        (F.floor(F.try_divide("o_totalprice", F.col("o_custkey") % 5) * 100 + 0.5) / 100).alias(
+            "price_per_prio"
+        ),
+        F.try_multiply(F.col("o_custkey"), F.lit(2)).cast("long").alias("doubled_key"),
+        F.try_to_number("o_orderpriority", F.lit("999D99")).cast("double").alias("prio_as_num"),
+    )
