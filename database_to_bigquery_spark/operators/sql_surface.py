@@ -165,3 +165,32 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.pow(dev, 3)) / F.pow(F.avg(F.pow(dev, 2)), 1.5), 4
         ).alias("skew_m3"),
     )
+
+
+@query(
+    "q_from_xml",
+    oracle="""
+    SELECT event_id, event_type AS parsed_type, ROUND(value, 4) AS parsed_value
+    FROM events WHERE event_id < 1500
+    """,
+)
+def q_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (from_xml, Spark 4): serialize each event
+    to an XML fragment and parse it back with a declared schema — the
+    round trip proves the parser; the oracle checks the recovered
+    values against the originals (shortest-repr double → string → 
+    double is exact, so the comparison is bit-identical).
+
+    Scale: from_xml is a row-local JVM expression (no UDF, no Python);
+    parsing a 100 TB XML feed is a map-only scan stage."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    xml = F.concat(
+        F.lit("<e><t>"), F.col("event_type"),
+        F.lit("</t><v>"), F.col("value").cast("string"), F.lit("</v></e>"),
+    )
+    parsed = F.from_xml(xml, "t string, v double")
+    return ev.select(
+        "event_id",
+        parsed.getField("t").alias("parsed_type"),
+        F.round(parsed.getField("v"), 4).alias("parsed_value"),
+    )

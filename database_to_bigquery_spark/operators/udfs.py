@@ -161,3 +161,50 @@ def udf_grouped_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(weighted_avg("value", "w"), 4).alias("weighted_avg")
     )
+
+
+@query(
+    "udf_arrow_vector_norm",
+    oracle="""
+    SELECT vec_id,
+           ROUND(SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+    FROM embeddings WHERE vec_id < 500
+    """,
+)
+def udf_arrow_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-overhead Python boundary: batches cross
+    as raw Arrow RecordBatches (no pandas materialization, zero-copy
+    into numpy), the norm is one vectorized einsum over the
+    flattened FixedSize/VariableList values, and the result goes back
+    as an Arrow batch. This is the seam for Python libraries that
+    speak Arrow natively (polars, faiss wrappers, tokenizers) — a
+    step below the pandas_udf forms in per-batch overhead.
+
+    (The same math runs pure-JVM in q_array_functions; this entry
+    exists to pin the mapInArrow plumbing with an oracle.)"""
+    import pyarrow as pa
+
+    def batch_norms(it):
+        import numpy as np
+
+        for batch in it:
+            vec_ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            # ListArray → (n, dim) without per-row Python: values are
+            # contiguous when offsets are regular (fixture dim is fixed)
+            lens = np.diff(emb.offsets.to_numpy())
+            vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = vals.reshape(len(lens), lens[0])
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(np.round(norms, 4), pa.float64())],
+                ["vec_id", "l2_norm"],
+            )
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", "embedding")
+    )
+    return e.mapInArrow(batch_norms, "vec_id long, l2_norm double")
