@@ -618,3 +618,54 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.join(corpus.withColumn("hit", F.lit(1)), "h", "left")
         .select("doc_id", F.col("hit").isNotNull().alias("already_in_corpus"))
     )
+
+
+@query(
+    "dedup_triangle_count",
+    oracle=f"""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(LENGTH(text) - {SHINGLE_LEN - 1}, 1))) AS i
+      FROM documents),
+    sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {SHINGLE_LEN}) AS g FROM idx),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+    FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the near-dup pair graph: triangle counting
+    (every a<b<c with all three edges present) — the clustering-
+    coefficient primitive that distinguishes genuine duplicate cliques
+    from chains of borderline pairs before committing to a keeper
+    policy.
+
+    Implementation is the standard two-join oriented-edge plan: edges
+    are kept a<b only, so each triangle is counted exactly once and
+    the join fan-out is bounded by the out-degree of the lower
+    endpoint. At scale the classic refinement (orient edges by degree
+    so hubs get low out-degree) drops in front of the same two joins.
+    The edge list is checkpointed once — the expensive pair mining
+    must not re-run per join input."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).localCheckpoint(
+        eager=True
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return tri.crossJoin(edges)
