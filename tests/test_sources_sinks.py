@@ -189,3 +189,69 @@ class TestMaintenanceAndCdc:
 
     # (streaming CDC merge is tested in tests/test_streaming.py, which
     # stages a clean multi-file events directory)
+
+
+class TestZOrderLayout:
+    def test_zorder_bit_interleave_known_values(self, spark):
+        from database_to_bigquery_spark.sinks.layout import zorder_value
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(0b101, 0b011), (0, 0), (1, 0), (0, 1), (65535, 65535)], "a long, b long"
+        )
+        got = [r[0] for r in df.select(zorder_value(F.col("a"), F.col("b"))).collect()]
+        # (101, 011) interleaves to b1 a1 b0 a0 ... = 0b011011+... compute:
+        # a bits at even positions: 1,0,1 -> 0b010001 ; b bits at odd: 1,1,0 -> 0b001010
+        assert got[0] == (0b10001 | 0b01010)
+        assert got[1] == 0
+        assert got[2] == 1  # a bit0 -> position 0
+        assert got[3] == 2  # b bit0 -> position 1
+        assert got[4] == (1 << 32) - 1  # full 16+16 bits interleaved
+
+    def test_zorder_write_improves_two_column_skipping(self, spark, sf_dir, tmp_path):
+        """Z-ordered files must cover far narrower (key1 × key2)
+        rectangles than an unordered write — measured from actual
+        parquet row-group statistics, which is exactly what a reader's
+        pruning uses."""
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from database_to_bigquery_spark.sinks.layout import write_zordered
+
+        li = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select(
+                (F.col("l_orderkey") % 1024).alias("k1"),
+                (F.col("l_partkey") % 1024).alias("k2"),
+                "l_quantity",
+            )
+        )
+        plain, zpath = str(tmp_path / "plain"), str(tmp_path / "zord")
+        li.repartition(8).write.mode("overwrite").parquet(plain)
+        write_zordered(li, zpath, "k1", "k2", n_files=8)
+
+        def avg_rect_area(path):
+            import os
+
+            areas = []
+            for dp, _, fs in os.walk(path):
+                for f in fs:
+                    if not f.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(dp, f)).metadata
+                    for rg in range(md.num_row_groups):
+                        row = md.row_group(rg)
+                        stats = {
+                            row.column(i).path_in_schema: row.column(i).statistics
+                            for i in range(row.num_columns)
+                        }
+                        s1, s2 = stats["k1"], stats["k2"]
+                        areas.append(
+                            (s1.max - s1.min + 1) * (s2.max - s2.min + 1)
+                        )
+            return sum(areas) / len(areas)
+
+        a_plain, a_z = avg_rect_area(plain), avg_rect_area(zpath)
+        # hash-partitioned files span the whole space; z-ordered files
+        # must be at least 3x tighter on the joint rectangle
+        assert a_z * 3 < a_plain, (a_plain, a_z)
