@@ -322,3 +322,50 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "ts_session_window_builtin",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id < 150
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS seq
+          FROM marked)
+    SELECT user_id,
+           MIN(ts)                       AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE  AS session_end,
+           COUNT(*)                      AS n_events
+    FROM s GROUP BY user_id, seq
+    """,
+)
+def ts_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via Spark's built-in session_window
+    (30-minute gap): the engine-native spelling of ts_sessionize,
+    cross-checked against the classic LAG/cumsum SQL formulation as
+    the oracle — the two definitions provably agree (session end =
+    last event + gap; a gap of exactly 30:00 starts a new session on
+    both sides).
+
+    session_window in batch mode is a plain aggregation: one shuffle
+    on (user_id), then Spark merges overlapping per-row candidate
+    windows per group — no window function pass at all, which makes it
+    the cheaper plan when only per-session aggregates (not per-event
+    session ids) are needed."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 150)
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw, "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
