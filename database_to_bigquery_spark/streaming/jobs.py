@@ -296,3 +296,59 @@ def run_foreach_batch_merge(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def tws_user_totals(events: DataFrame) -> DataFrame:
+    """Running per-user totals via transformWithStateInPandas (Spark
+    4's arbitrary-state API, successor to applyInPandasWithState):
+    a StatefulProcessor with an explicit ValueState cell, emitting the
+    updated running total for each key on every micro-batch.
+
+    Compared to applyInPandasWithState (stateful_user_totals), the
+    processor object gets lifecycle hooks (init/close), named state
+    cells with schemas, and timer support — the shape long-running
+    keyed aggregations (user profiles, feature stores) need. State
+    lives in the state store per (key, cell): partitioned by key
+    across executors, checkpointed, never on the driver."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

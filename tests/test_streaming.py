@@ -279,3 +279,52 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # hour-0 window must count ONLY the two on-time rows; event 4 was late
     hour0 = [n for (ws, n) in got if ws == t0]
     assert hour0 == [2], f"late row leaked into closed window: {got}"
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf for its state "
+    "protocol; not installed in this container (no pip allowed) — the "
+    "operator is implemented and gated, applyInPandasWithState covers the "
+    "arbitrary-state contract in CI",
+)
+def test_transform_with_state_totals_equal_batch(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    # transformWithState requires the RocksDB state store provider
+    # (the default HDFS-backed store does not implement its column
+    # families); scoped to this query, restored after
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.tws_user_totals(jobs.read_events_stream(spark, events_dir))
+        q = jobs.run_to_memory_sink(stream, "tws_totals", output_mode="update")
+        q.awaitTermination(180)
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    # update mode emits a row per (key, batch); the running totals are
+    # monotone, so the final state is the max emission per key
+    got = (
+        spark.table("tws_totals")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    expect = (
+        spark.read.parquet(events_dir).groupBy("user_id").agg(F.count("*").alias("n_events"))
+    )
+    assert got.exceptAll(expect).isEmpty() and expect.exceptAll(got).isEmpty()
