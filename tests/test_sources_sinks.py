@@ -255,3 +255,23 @@ class TestZOrderLayout:
         # hash-partitioned files span the whole space; z-ordered files
         # must be at least 3x tighter on the joint rectangle
         assert a_z * 3 < a_plain, (a_plain, a_z)
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_across_file_generations(self, spark, tmp_path):
+        """Schema evolution on an append-only parquet sink: files
+        written before a column existed must read back as NULL for
+        that column under mergeSchema (the additive-evolution contract
+        every long-lived pipeline sink relies on)."""
+        path = str(tmp_path / "evolving")
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string").write.mode(
+            "append"
+        ).parquet(path)
+        spark.createDataFrame(
+            [(3, "c", 9.5)], "id long, name string, score double"
+        ).write.mode("append").parquet(path)
+
+        merged = spark.read.option("mergeSchema", "true").parquet(path)
+        assert set(merged.columns) == {"id", "name", "score"}
+        rows = {r["id"]: r["score"] for r in merged.collect()}
+        assert rows[1] is None and rows[2] is None and rows[3] == 9.5
