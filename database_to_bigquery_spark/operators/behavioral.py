@@ -1,0 +1,166 @@
+"""Behavioral / product-analytics operators over the ``events`` table.
+
+The reference has no event analytics at all (its only time logic is the
+daily incremental predicate, reference ``mysql_operations.py:21-23``);
+these are extension surface (SURVEY.md §2b X5/X8) — the standard
+event-log questions every warehouse answers: funnels, cohort retention,
+and Markov-style transition counts.
+
+  q_funnel_conversion   strictly-ordered 3-step funnel
+                        (view → click → purchase) counted per user
+  q_cohort_retention    weekly cohort × week-offset retention matrix
+  q_event_transitions   adjacent event-type transition counts (LAG)
+
+Scale notes: all three shuffle exactly once on ``user_id`` (the funnel
+reuses one exchange across its stages — each stage is an aggregate or
+join keyed the same way), so at 100 TB they behave like any per-user
+sessionization: hash-partition the users, no driver state, no global
+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+# ------------------------------------------------------------ funnel ----
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS view_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS buy_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS users_view,
+           (SELECT COUNT(*) FROM c) AS users_click,
+           (SELECT COUNT(*) FROM p) AS users_purchase
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel: users whose first view precedes a click
+    that precedes a purchase. Stage N is an aggregate keyed on user_id
+    joined back to stage N-1's timestamps — every stage shares the
+    user_id partitioning, so Catalyst reuses the exchange instead of
+    reshuffling, and stage cardinality only shrinks down the funnel."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("buy_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("users_view"))
+        .crossJoin(c.agg(F.count("*").alias("users_click")))
+        .crossJoin(p.agg(F.count("*").alias("users_purchase")))
+    )
+
+
+# --------------------------------------------------------- retention ----
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted in each later week they return. Both inputs are keyed and
+    aggregated on user_id before the join, so the join's left side is
+    already user-distinct per week — the classic retention matrix with
+    one user_id shuffle plus one small (cohort_week, offset) rollup."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+# ------------------------------------------------------- transitions ----
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between adjacent events of
+    each user (LAG over user timeline, event_id tie-break). One shuffle
+    on user_id for the window, then a tiny |types|² aggregate that
+    combines map-side."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )

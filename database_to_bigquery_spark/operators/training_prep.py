@@ -1,0 +1,138 @@
+"""Training-run preparation operators over the ``documents`` corpus.
+
+Nothing like this exists in the reference (its transform surface is
+rename/drop/cast, reference ``transformations.py:10-71``); these are
+§2b extension ops for the last mile of an LLM data pipeline — after
+filtering and dedup, the corpus must be *packed* into token-budget
+groups and *shuffled* reproducibly before it is written out as
+training shards.
+
+  text_pack_sequences      greedy contiguous packing of documents into
+                           fixed token-budget bins, per shard
+  q_deterministic_shuffle  reproducible global shuffle as (shard, pos)
+                           — md5 order, no seed state, no global sort
+
+Scale design (both): the corpus is first split into shards by a pure
+hash of doc_id, and ALL ordering work (cumulative sums, row_number)
+happens inside a shard — windows are partitioned, never global, so a
+100 TB corpus packs/shuffles as thousands of independent shard tasks
+writing independent output files. A single global ORDER BY row_number
+would serialize into one partition; (shard, pos) gives the same
+reproducible total order ((shard, pos) lexicographic) with none of the
+bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+_N_SHARDS = 8  # fixture-sized; at 100 TB this is thousands
+_BIN_TOKENS = 2048  # target tokens per packed training sequence
+
+
+def _shard_col() -> F.Column:
+    """Deterministic shard id from the first md5 nibble of doc_id —
+    engine-portable (same bytes in Spark and DuckDB), unlike
+    hash()/random()."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % _N_SHARDS
+    ).alias("shard")
+
+
+_SHARD_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)"
+    f" % {_N_SHARDS}"
+)
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST({_SHARD_SQL} AS BIGINT) AS shard,
+             CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(FLOOR(
+               (SUM(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+               / {_BIN_TOKENS}.0) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT shard, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY shard, bin_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~2048-token training bins: within each shard,
+    docs are laid out in doc_id order and a document starts the bin its
+    running token offset falls into (floor(prefix_sum/budget) — greedy
+    contiguous packing; a doc may straddle its bin boundary, which is
+    exactly what sequence packing with cross-document attention masking
+    accepts). Returned per-bin so the oracle checks bin occupancy.
+
+    Scale: token counting is row-local; the only wide ops are the
+    per-shard cumulative-sum window and the (shard, bin) rollup — both
+    partitioned by shard, so bins materialize in parallel across the
+    cluster and each shard's output is one independent shard file."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        _shard_col(),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(_BIN_TOKENS)),
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+@query(
+    "q_deterministic_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_SHARD_SQL} AS BIGINT) AS shard,
+           ROW_NUMBER() OVER (
+             PARTITION BY {_SHARD_SQL}
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS pos
+    FROM documents
+    """,
+)
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle: total training order = (shard, pos)
+    lexicographic, where shard and within-shard rank both derive from
+    md5(doc_id) — no RNG seed, no engine-specific sample state, same
+    order every run on every engine (auditable epochs).
+
+    Scale: this is the shuffle pattern that works at 100 TB — row_number
+    is PARTITIONed by shard, so each shard sorts independently (ordinary
+    distributed sort of shard-sized data) instead of a global ORDER BY
+    funneling the corpus through one partition. Writers then emit one
+    file per shard, already in epoch order."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _shard_col())
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return d.withColumn("pos", F.row_number().over(w))

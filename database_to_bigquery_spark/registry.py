@@ -63,6 +63,7 @@ def all_specs() -> dict[str, QuerySpec]:
     return the full registry."""
     # Imports deferred so `import database_to_bigquery_spark` stays cheap.
     from .operators import (  # noqa: F401
+        behavioral,
         dedup,
         llm_filters,
         multimodal,
@@ -76,6 +77,7 @@ def all_specs() -> dict[str, QuerySpec]:
         text_analysis,
         timeseries,
         tpch_extra,
+        training_prep,
         udfs,
     )
     from .streaming import batch_equiv  # noqa: F401
