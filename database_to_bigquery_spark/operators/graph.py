@@ -1,0 +1,117 @@
+"""Graph operators beyond the near-dup clustering family.
+
+The dedup module already covers connected components (iterative label
+propagation, ``dedup.py``) and triangle counting; this adds the other
+canonical iterative graph computation — PageRank — expressed as pure
+DataFrame algebra with a FIXED, unrolled iteration count so the whole
+computation stays one declarative plan that a DuckDB oracle can mirror
+as chained CTEs. (The open-ended converge-until-ε variant is the same
+loop body driven from Python, as in dedup's label propagation; fixing
+k makes it oracle-checkable.)
+
+  graph_pagerank_2iter  2 damped PageRank iterations over the
+                        supplier↔part co-supply graph
+
+Scale: each iteration is one join (ranks ⨝ edges on src) plus one
+aggregate on dst — the standard distributed PageRank step. Edges are
+hash-partitioned on src; ranks stay partitioned on the node key across
+iterations, so iteration N+1 reuses iteration N's partitioning. No
+driver-side state: N (node count) enters the plan as a broadcast
+single-row aggregate, never a collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+_DAMP = 0.85
+_QTY = 48  # edge threshold: supplier shipped a part with quantity >= 48
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (undirected) supplier↔part edge list from high-volume
+    lineitems. String node ids prefixed 's'/'p' keep the two key spaces
+    disjoint. distinct() makes multiplicity 1 per direction."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= _QTY)
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+
+
+_EDGES_SQL = f"""
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem WHERE l_quantity >= {_QTY}
+      UNION
+      SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
+                      's' || CAST(l_suppkey AS VARCHAR)
+      FROM lineitem WHERE l_quantity >= {_QTY}
+"""
+
+
+@query(
+    "graph_pagerank_2iter",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT deg.src AS node, 1.0 / n.n AS pr FROM deg CROSS JOIN n),
+    r1 AS (
+      SELECT e.dst AS node,
+             (1 - {_DAMP}) / MIN(n.n) + {_DAMP} * SUM(r0.pr / deg.outdeg) AS pr
+      FROM edges e
+      JOIN r0 ON e.src = r0.node
+      JOIN deg ON e.src = deg.src
+      CROSS JOIN n
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             (1 - {_DAMP}) / MIN(n.n) + {_DAMP} * SUM(r1.pr / deg.outdeg) AS pr
+      FROM edges e
+      JOIN r1 ON e.src = r1.node
+      JOIN deg ON e.src = deg.src
+      CROSS JOIN n
+      GROUP BY e.dst
+    )
+    SELECT node, ROUND(pr, 7) AS pr FROM r2
+    """,
+)
+def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two damped (0.85) PageRank iterations over the undirected
+    supplier↔part graph, initialized uniform 1/N.
+
+    Because edges are symmetric, every node has outdeg ≥ 1 and indeg
+    ≥ 1 — no dangling-mass correction needed, and every node appears
+    in each iteration's output (row count = N is part of the check).
+    ROUND(,7) absorbs float summation-order ulps on both engines."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n = deg.agg(F.count("*").alias("n"))  # 1-row DF, broadcast — no collect
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("outdeg")).alias("w"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("w").alias("mass"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(1 - _DAMP) / F.col("n") + F.lit(_DAMP) * F.col("mass")).alias(
+                    "pr"
+                ),
+            )
+        )
+    return ranks.select("node", F.round("pr", 7).alias("pr"))

@@ -65,9 +65,11 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         behavioral,
         dedup,
+        graph,
         llm_filters,
         multimodal,
         pipeline_ops,
+        profiling,
         relational,
         relational_ext,
         reshape,
