@@ -86,6 +86,31 @@ def test_hot_path_stays_in_codegen(spark, sf_dir, name):
     assert "*(" in plan, plan
 
 
+def test_profiler_is_single_scan(spark, sf_dir):
+    # the whole point of the inline()-based profiler/quality report is
+    # ONE pass over the table (the oracle's UNION ALL form scans k
+    # times); a regression to per-column scans multiplies 100 TB I/O.
+    import re
+
+    for name in ["q_profile_columns", "q_data_quality_checks"]:
+        plan = plan_of(spark, sf_dir, name)
+        # formatted explain prints each node in the tree AND in the
+        # numbered details section; count the numbered node entries.
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert n_scans == 1, f"{name}: expected 1 scan, plan has {n_scans}"
+
+
+def test_shuffle_shard_windows_are_partitioned(spark, sf_dir):
+    # training-prep ordering must never fall into a global (single
+    # partition) window — the plan's Window/Sort nodes must be keyed by
+    # the shard hash, which shows up as hashpartitioning on the sort
+    # ordering's Exchange rather than SinglePartition.
+    for name in ["text_pack_sequences", "q_deterministic_shuffle"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "SinglePartition" not in plan, name
+        assert "hashpartitioning(shard" in plan, name
+
+
 def test_join_strategy_hints_are_honored(spark, sf_dir):
     # the hint API is the manual override when AQE/statistics pick a
     # suboptimal strategy at scale; verify each hint reaches the
