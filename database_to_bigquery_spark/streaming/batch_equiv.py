@@ -199,3 +199,42 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doubled.dropDuplicates(["event_id"]).select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           c.c_mktsegment,
+           COUNT(*)                 AS n_events,
+           ROUND(SUM(e.value), 2)   AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (batch twin of
+    jobs.enrich_with_user_dim): events joined to the customer dimension
+    on user_id, revenue rolled up per (hour, market segment).
+
+    Under readStream the identical plan is a stateless per-micro-batch
+    broadcast join — the standard way a 100 TB/day event firehose picks
+    up slowly-changing dimension attributes without any join state."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )

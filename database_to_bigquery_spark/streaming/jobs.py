@@ -352,3 +352,36 @@ def tws_user_totals(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def enrich_with_user_dim(
+    events: DataFrame, users: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a static
+    dimension (user → market segment) and aggregate revenue per
+    (hour, segment).
+
+    The static side is re-planned per micro-batch but carries no
+    streaming state — a stream-static inner join is stateless, so this
+    scales as an ordinary broadcast join applied to each micro-batch:
+    the dimension is broadcast once per batch and events never shuffle
+    before the join. Only the windowed aggregate keeps (bounded,
+    watermarked) state."""
+    dim = users.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -133,6 +133,25 @@ def test_stream_sliding_equals_batch(spark, events_dir):
     assert got == want
 
 
+def test_stream_static_enrich_equals_batch(spark, sf_dir, events_dir):
+    users = load_table(spark, sf_dir, "customer")
+    stream = jobs.enrich_with_user_dim(
+        jobs.read_events_stream(spark, events_dir), users
+    )
+    q = jobs.run_to_memory_sink(stream, "enrich_test", output_mode="complete")
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("enrich_test").collect()}
+    # same plan over the same input as a batch DataFrame (withWatermark
+    # is a no-op in batch) — the unified-model equivalence under test
+    want = {
+        tuple(r)
+        for r in jobs.enrich_with_user_dim(
+            spark.read.parquet(events_dir), users
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stream_stream_join_equals_batch(spark, events_dir):
     stream = jobs.stream_click_purchase_join(jobs.read_events_stream(spark, events_dir))
     q = jobs.run_to_memory_sink(stream, "ssjoin_test", output_mode="append")
