@@ -111,6 +111,43 @@ def test_shuffle_shard_windows_are_partitioned(spark, sf_dir):
         assert "hashpartitioning(shard" in plan, name
 
 
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    # At 100 TB a fact⨝filtered-dim join can't broadcast; Spark's
+    # runtime bloom filter (on by default) builds a bloom of the
+    # filtered dim keys and semi-reduces the fact scan BEFORE the
+    # shuffle — the cheap substitute for a true semi-join reduction.
+    # The injection preconditions are size-based (app side > 10GB by
+    # default), so emulate cluster scale by zeroing the scan-size
+    # threshold and disabling broadcast, then assert the filter is
+    # actually planted on the fact side.
+    from database_to_bigquery_spark.data import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 90000)
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_join_strategy_hints_are_honored(spark, sf_dir):
     # the hint API is the manual override when AQE/statistics pick a
     # suboptimal strategy at scale; verify each hint reaches the
