@@ -55,34 +55,52 @@ from ..registry import query
 )
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered funnel: users whose first view precedes a click
-    that precedes a purchase. Stage N is an aggregate keyed on user_id
-    joined back to stage N-1's timestamps — every stage shares the
-    user_id partitioning, so Catalyst reuses the exchange instead of
-    reshuffling, and stage cardinality only shrinks down the funnel."""
+    that precedes a purchase.
+
+    Single-scan formulation: three whole-partition window minimums over
+    the SAME user_id partitioning compute the stage timestamps in
+    sequence (each conditioned on the previous stage's), so the plan is
+    one events scan + one user_id exchange + one single-row rollup —
+    versus the textbook per-stage aggregate-and-join-back chain, which
+    scans the fact 6× and shuffles 8× for identical results (that chain
+    is what the DuckDB oracle runs)."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("view_ts"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "view_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "buy_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("click_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("view_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("buy_ts"))
-    )
-    return (
-        v.agg(F.count("*").alias("users_view"))
-        .crossJoin(c.agg(F.count("*").alias("users_click")))
-        .crossJoin(p.agg(F.count("*").alias("users_purchase")))
+    return staged.agg(
+        F.count_distinct(
+            F.when(F.col("view_ts").isNotNull(), F.col("user_id"))
+        ).alias("users_view"),
+        F.count_distinct(
+            F.when(F.col("click_ts").isNotNull(), F.col("user_id"))
+        ).alias("users_click"),
+        F.count_distinct(
+            F.when(F.col("buy_ts").isNotNull(), F.col("user_id"))
+        ).alias("users_purchase"),
     )
 
 
@@ -110,19 +128,21 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-seen week,
-    counted in each later week they return. Both inputs are keyed and
-    aggregated on user_id before the join, so the join's left side is
-    already user-distinct per week — the classic retention matrix with
-    one user_id shuffle plus one small (cohort_week, offset) rollup."""
-    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    firsts = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    )
-    active = e.select(
+    counted in each later week they return.
+
+    Single-scan formulation: distinct (user, week) pairs first (the
+    big shrink — one shuffle), then the cohort week is just the
+    whole-partition window MIN over the user's weeks (cohort_week =
+    week of first event = min of per-event weeks), avoiding the second
+    events scan + aggregate-and-join-back the textbook query (and the
+    oracle) performs. Ends in a tiny (cohort, offset) rollup."""
+    e = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
-    ).distinct()
+    )
+    active = e.distinct()
+    cohort = F.min("active_week").over(Window.partitionBy("user_id"))
     return (
-        active.join(firsts, "user_id")
+        active.withColumn("cohort_week", cohort)
         .groupBy(
             "cohort_week",
             (F.datediff("active_week", "cohort_week") / 7)

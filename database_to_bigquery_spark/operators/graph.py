@@ -91,8 +91,12 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 1 — no dangling-mass correction needed, and every node appears
     in each iteration's output (row count = N is part of the check).
     ROUND(,7) absorbs float summation-order ulps on both engines."""
-    edges = _edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # edges/deg are iteration-invariant: persist once instead of
+    # re-deriving the distinct-edge shuffle in every iteration's plan
+    # (at real scale this is a checkpoint; k iterations would otherwise
+    # recompute the edge subtree k+1 times and grow the lineage).
+    edges = _edges(spark, sf_dir).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     n = deg.agg(F.count("*").alias("n"))  # 1-row DF, broadcast — no collect
     ranks = deg.crossJoin(F.broadcast(n)).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("pr")

@@ -111,6 +111,19 @@ def test_shuffle_shard_windows_are_partitioned(spark, sf_dir):
         assert "hashpartitioning(shard" in plan, name
 
 
+def test_behavioral_funnels_are_single_scan(spark, sf_dir):
+    # funnel & retention use whole-partition window formulations so the
+    # fact is scanned once; the naive stage-by-stage aggregate-and-join
+    # chain (the oracle's shape) scans it 6×/2× — frozen here so a
+    # refactor back to the textbook shape fails loudly.
+    import re
+
+    for name in ["q_funnel_conversion", "q_cohort_retention"]:
+        plan = plan_of(spark, sf_dir, name)
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert n_scans == 1, f"{name}: expected 1 scan, plan has {n_scans}"
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     # At 100 TB a fact⨝filtered-dim join can't broadcast; Spark's
     # runtime bloom filter (on by default) builds a bloom of the
