@@ -419,3 +419,35 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_multiply(F.col("o_custkey"), F.lit(2)).cast("long").alias("doubled_key"),
         F.try_to_number("o_orderpriority", F.lit("999D99")).cast("double").alias("prio_as_num"),
     )
+
+
+@query(
+    "q_union_by_name_drift",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM (
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL BY NAME
+      SELECT event_id, user_id, event_type
+      FROM events WHERE event_type = 'signup'
+    )
+    """,
+)
+def q_union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: a newer extract carries `value`, an older
+    one doesn't — unionByName(allowMissingColumns=True) aligns by NAME
+    and NULL-fills the gap (positional union would silently misalign or
+    fail). This is the additive-schema-evolution read path, the query
+    twin of the mergeSchema sink test in test_sources_sinks.py.
+
+    Scale: pure streaming concat of the two scans — no shuffle; each
+    branch keeps its own pushed filter."""
+    ev = load_table(spark, sf_dir, "events")
+    new_extract = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    old_extract = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "event_type"
+    )
+    return new_extract.unionByName(old_extract, allowMissingColumns=True)
