@@ -90,6 +90,50 @@ def test_foreach_batch_append_partitioned(spark, events_dir, tmp_path):
     assert any(p.name.startswith("day=") for p in out.iterdir() if p.is_dir())  # S13 layout
 
 
+def test_foreach_batch_restart_resumes_from_checkpoint(spark, events_dir, tmp_path):
+    # exactly-once across restarts: finish a run, drop a NEW source
+    # file, restart with the SAME checkpoint — only the new file's rows
+    # are appended, nothing already-processed is replayed.
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    import pathlib
+
+    parts = sorted(pathlib.Path(events_dir).glob("part-*.parquet"))
+    for p in parts:
+        shutil.copy(p, src / p.name)
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    q = jobs.run_foreach_batch_append(
+        jobs.read_events_stream(spark, str(src)), str(out), str(ckpt)
+    )
+    q.awaitTermination()
+    first_count = spark.read.parquet(str(out)).count()
+    assert first_count == spark.read.parquet(str(src)).count()
+
+    late = (
+        spark.read.parquet(events_dir)
+        .orderBy("event_id")
+        .limit(50)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "late"))
+    for i, p in enumerate((tmp_path / "late").glob("part-*.parquet")):
+        shutil.copy(p, src / f"zzz-late-{i}.parquet")
+
+    q2 = jobs.run_foreach_batch_append(
+        jobs.read_events_stream(spark, str(src)), str(out), str(ckpt)
+    )
+    q2.awaitTermination()
+    back = spark.read.parquet(str(out))
+    assert back.count() == first_count + 50
+    # the replay-protection is the checkpoint, not luck: old ids appear once
+    assert (
+        back.groupBy("event_id").count().filter(F.col("count") > 1).isEmpty()
+    )
+
+
 def test_stateful_user_totals_stream_equals_batch(spark, events_dir):
     stream = jobs.stateful_user_totals(jobs.read_events_stream(spark, events_dir))
     q = jobs.run_to_memory_sink(stream, "stateful_test", output_mode="update")
