@@ -125,3 +125,73 @@ def q_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("pq"), 2).alias("sum_qty"),
         F.round(F.max("pm"), 2).alias("max_price"),
     )
+
+
+@query(
+    "q_global_ranks_scalable",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+             AS decile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6)
+             AS pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey), 6)
+             AS cume
+    FROM orders
+    """,
+)
+def q_global_ranks_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global ranks WITHOUT a single-partition window — the
+    scale rewrite of q_ntile_stats (whose stock `Window.orderBy()`
+    funnels the whole table through one task).
+
+    Two-phase: (1) repartitionByRange on the sort key (sampled
+    boundaries — a parallel distributed sort), rank locally inside each
+    range partition; (2) offset every partition's local ranks by the
+    cumulative row count of the partitions before it. The offsets come
+    from a per-partition count — O(#partitions) rows, so its own
+    cumulative window is microscopic (that tiny 32-row stage is the
+    only SinglePartition in the plan, by design) — broadcast-joined
+    back. With a unique sort key, rank == row_number, so
+    percent_rank = (r-1)/(n-1), cume_dist = r/n, and NTILE's
+    uneven-bucket rule is pure arithmetic on r and n."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranged = o.repartitionByRange(32, "o_totalprice", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+        ),
+    )
+    counts = local.groupBy("pid").agg(F.count("*").alias("c"))
+    offsets = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("c").over(
+                W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn("n", F.sum("c").over(W.partitionBy()))
+    r = F.col("off") + F.col("rn")  # global 1-based rank
+    n = F.col("n")
+    k = F.lit(10)
+    big = F.ceil(n / k)  # size of the first (n % k) buckets
+    small = F.floor(n / k)
+    cut = (n % k) * big  # ranks <= cut fall in the big buckets
+    decile = F.when(r <= cut, F.floor((r - 1) / big) + 1).otherwise(
+        (n % k) + F.floor((r - cut - 1) / small) + 1
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            decile.cast("long").alias("decile"),
+            F.round((r - F.lit(1)) / (n - F.lit(1)), 6).alias("pct_rank"),
+            F.round(r / n, 6).alias("cume"),
+        )
+    )
