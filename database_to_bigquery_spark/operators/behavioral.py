@@ -6,16 +6,17 @@ these are extension surface (SURVEY.md §2b X5/X8) — the standard
 event-log questions every warehouse answers: funnels, cohort retention,
 and Markov-style transition counts.
 
-  q_funnel_conversion   strictly-ordered 3-step funnel
-                        (view → click → purchase) counted per user
-  q_cohort_retention    weekly cohort × week-offset retention matrix
-  q_event_transitions   adjacent event-type transition counts (LAG)
+  q_funnel_conversion     strictly-ordered 3-step funnel
+                          (view → click → purchase) counted per user
+  q_cohort_retention      weekly cohort × week-offset retention matrix
+  q_event_transitions     adjacent event-type transition counts (LAG)
+  q_rolling_active_users  rolling 7-day actives via explode-to-cover-days
 
-Scale notes: all three shuffle exactly once on ``user_id`` (the funnel
-reuses one exchange across its stages — each stage is an aggregate or
-join keyed the same way), so at 100 TB they behave like any per-user
-sessionization: hash-partition the users, no driver state, no global
-sort.
+Scale notes: funnel/retention/transitions scan the fact ONCE and hash-
+partition on ``user_id`` (whole-partition window formulations — plan-
+asserted in test_plan_quality.py); rolling actives replaces the global
+ordered window with a map-side day expansion + hash aggregate. No
+driver state, no global sort anywhere.
 """
 
 from __future__ import annotations
@@ -183,4 +184,46 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+@query(
+    "q_rolling_active_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM daily)
+    SELECT d.day, COUNT(DISTINCT a.user_id) AS active_7d
+    FROM days d JOIN daily a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (the WAU curve), one row per
+    observed day.
+
+    Scale formulation: instead of a windowed COUNT(DISTINCT) over a
+    globally ordered frame (SinglePartition at 100 TB) or a day-range
+    theta-join fanning every activity row against the day spine, each
+    distinct (day, user) pair is EXPLODED to the ≤7 future days it
+    covers (map-side sequence+explode, no join), then one hash
+    aggregate counts distinct users per covered day. The tiny observed-
+    day spine is broadcast-semi-joined at the end only to drop cover
+    days that run past the data's edge. At extreme cardinality swap
+    count_distinct for the bitmap/HLL rollup (q_bitmap_distinct_rollup
+    / q_hll_sketch_union) — the expansion shape is unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    expanded = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
+        "user_id",
+    )
+    return (
+        expanded.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
     )
