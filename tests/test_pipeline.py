@@ -181,3 +181,27 @@ def test_partition_pruning_on_day_partitioned_sink(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(day" in plan, plan
     n_days = ev.select(F.to_date("ts").alias("d")).distinct().count()
     assert 0 < one_day.count() < ev.count() / max(n_days - 1, 1) * 2
+
+
+def test_etl_cli_full_and_daily(spark, sf_dir, tmp_path, capsys):
+    """S16: the CLI twin of the reference's etl_process.py — full run
+    overwrites, daily run appends exactly one day's slice (S3+S12) and
+    skips tables with an empty slice (S9)."""
+    from database_to_bigquery_spark.etl import main
+
+    target = str(tmp_path / "warehouse")
+    assert main(["--source", sf_dir, "--target", target]) == 0
+    full_count = spark.read.parquet(f"{target}/events").count()
+    assert full_count == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    assert main([
+        "--daily", "--day", "2024-01-15", "--source", sf_dir, "--target", target,
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "orders: skipped (empty)" in out  # no orders dated 2024-01-15
+    back = spark.read.parquet(f"{target}/events")
+    from pyspark.sql import functions as F
+
+    day_rows = back.filter(F.col("ts_day") == "2024-01-15").count()
+    appended = back.count() - full_count
+    assert appended > 0 and day_rows == 2 * appended  # slice present twice: full + daily append
