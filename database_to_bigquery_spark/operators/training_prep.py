@@ -11,6 +11,8 @@ training shards.
                            fixed token-budget bins, per shard
   q_deterministic_shuffle  reproducible global shuffle as (shard, pos)
                            — md5 order, no seed state, no global sort
+  text_chunk_fixed         overlapping fixed-size chunking (RAG /
+                           embedding prep), map-only expansion
 
 Scale design (both): the corpus is first split into shards by a pure
 hash of doc_id, and ALL ordering work (cumulative sums, row_number)
@@ -136,3 +138,55 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
     return d.withColumn("pos", F.row_number().over(w))
+
+
+_CHUNK = 200  # chars per chunk
+_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+@query(
+    "text_chunk_fixed",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(s / {_STRIDE} AS BIGINT)               AS chunk_idx,
+           CAST(s AS BIGINT)                           AS chunk_start,
+           md5(substr(text, CAST(s + 1 AS BIGINT), {_CHUNK})) AS chunk_md5,
+           CAST(LENGTH(substr(text, CAST(s + 1 AS BIGINT), {_CHUNK})) AS BIGINT)
+             AS chunk_len
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0, LENGTH(text) - 1, {_STRIDE})) AS s
+      FROM documents
+    )
+    """,
+)
+def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking (200-char windows, 50-char
+    overlap) — the retrieval/embedding prep step that turns documents
+    into chunk rows; chunks are checksummed so the oracle verifies the
+    exact substrings.
+
+    Scale: pure map-side expansion (sequence + explode + substring,
+    all codegen'd JVM expressions — no Python, no shuffle); output
+    partitioning inherits the scan, and downstream embedding of the
+    ~L/stride chunk rows parallelizes trivially. The corpus is ASCII
+    (verified), so char offsets are byte offsets on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    s = F.col("s")
+    chunk = F.substring(F.col("text"), (s + 1).cast("int"), _CHUNK)
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0), F.length("text") - 1, F.lit(_STRIDE))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (s / _STRIDE).cast("long").alias("chunk_idx"),
+            s.cast("long").alias("chunk_start"),
+            F.md5(chunk).alias("chunk_md5"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+        )
+    )
