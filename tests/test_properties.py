@@ -93,3 +93,44 @@ def test_overwrite_then_append_equals_double(spark, data, tmp_path_factory):
     df.write.mode("append").parquet(out)
     back = spark.read.parquet(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.unionAll(df).collect()))
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    # packing is a partition of the corpus: bin token counts must sum
+    # to the corpus total, and every doc lands in exactly one bin.
+    from database_to_bigquery_spark.data import load_table
+    from database_to_bigquery_spark.operators.training_prep import (
+        text_pack_sequences,
+    )
+
+    bins = text_pack_sequences(spark, sf_dir)
+    got = bins.agg(
+        F.sum("bin_tokens").alias("toks"), F.sum("n_docs").alias("docs")
+    ).first()
+    d = load_table(spark, sf_dir, "documents")
+    want_toks = d.agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long")
+    ).first()[0]
+    assert got["toks"] == want_toks
+    assert got["docs"] == d.count()
+
+
+def test_deterministic_shuffle_is_permutation(spark, sf_dir):
+    # (shard, pos) must be a bijection over doc_ids: every doc appears
+    # once, and each shard's positions are exactly 1..|shard|.
+    from database_to_bigquery_spark.operators.training_prep import (
+        q_deterministic_shuffle,
+    )
+
+    s = q_deterministic_shuffle(spark, sf_dir)
+    n = s.count()
+    assert s.select("doc_id").distinct().count() == n
+    bad = (
+        s.groupBy("shard")
+        .agg(F.count("*").alias("c"), F.max("pos").alias("mx"), F.min("pos").alias("mn"))
+        .filter((F.col("mx") != F.col("c")) | (F.col("mn") != 1))
+    )
+    assert bad.isEmpty()
+    # and it is actually deterministic: a second evaluation is identical
+    s2 = q_deterministic_shuffle(spark, sf_dir)
+    assert s.exceptAll(s2).isEmpty() and s2.exceptAll(s).isEmpty()
