@@ -385,3 +385,38 @@ def enrich_with_user_dim(
             "total_value",
         )
     )
+
+
+def stream_click_purchase_left_outer(events: DataFrame) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every purchase, with
+    its preceding-hour click when one exists, NULL-extended otherwise.
+
+    The outer semantics are what make this stateful in a way the inner
+    join isn't: an unmatched purchase can only be emitted once the
+    click-side watermark proves no matching click can still arrive, so
+    null rows materialize on watermark advance (with availableNow the
+    final batch commits the terminal watermark and flushes them —
+    which is why the batch-equivalence test can compare against a
+    plain batch left join). State stays bounded exactly as in the
+    inner case: both sides watermarked, range-bounded join condition."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")

@@ -225,6 +225,77 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
     assert got == want and len(got) > 0
 
 
+def test_stream_stream_left_outer_equals_batch(spark, events_dir, tmp_path):
+    # Outer rows (purchases with no prior-hour click) are emitted only
+    # when the watermark proves no match can still arrive — on a finite
+    # stream the watermark stalls at max_event_time - delay, stranding
+    # the tail's null rows in state. Close the watermark explicitly the
+    # way a production pipeline's heartbeat would: a far-future sentinel
+    # click for an unused user as the LAST file. Then stream == batch
+    # left join exactly (the sentinel is right-side only and joins
+    # nothing, so it doesn't perturb the batch result).
+    import datetime as dt
+    import pathlib
+    import shutil
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    parts = sorted(pathlib.Path(events_dir).glob("part-*.parquet"))
+    for p in parts:
+        shutil.copy2(p, src / p.name)  # copy2: KEEP the pinned mtimes —
+        # the file source orders micro-batches by mtime, and event-time
+        # order is what makes the watermark behave deterministically
+    # TWO sentinel micro-batches, each carrying a click AND a purchase:
+    # the query's global watermark is the MIN over both sides' event-
+    # time watermarks, so advancing only one side would leave the other
+    # (and with it outer-state eviction) stuck at the real data's tail.
+    # Two batches because the watermark advances at the END of the batch
+    # that carries the late rows and eviction runs at the START of the
+    # next — the first sentinel moves the clock, the second flushes.
+    import os
+
+    max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).first()[0]
+    for k in (1, 2):
+        far = max_ts + dt.timedelta(days=2 * k)
+        sentinel = spark.createDataFrame(
+            [
+                (99_999_980 + k, far, 99_999, "click", 0.0, "{}"),
+                (99_999_990 + k, far, 99_998, "purchase", 0.0, "{}"),
+            ],
+            schema=jobs.EVENTS_SCHEMA,
+        )
+        sent_dir = tmp_path / f"sent{k}"
+        sentinel.coalesce(1).write.mode("overwrite").parquet(str(sent_dir))
+        for p in sent_dir.glob("part-*.parquet"):
+            dst = src / f"zzz-sentinel-{k}.parquet"
+            shutil.copy(p, dst)
+            later = time.time() + 100 * k
+            os.utime(dst, (later, later))
+
+    stream = jobs.stream_click_purchase_left_outer(
+        jobs.read_events_stream(spark, str(src))
+    )
+    q = jobs.run_to_memory_sink(stream, "ssouter_test", output_mode="append")
+    q.awaitTermination()
+    # compare real users only: the sentinel purchase's own outer row is
+    # legitimately still in state when the finite stream drains
+    got = {
+        tuple(r)
+        for r in spark.table("ssouter_test").collect()
+        if r["user_id"] < 99_000
+    }
+    want = {
+        tuple(r)
+        for r in jobs.stream_click_purchase_left_outer(
+            spark.read.parquet(str(src))
+        ).collect()
+        if r["user_id"] < 99_000
+    }
+    assert got == want
+    assert any(r[3] is None for r in got)  # some purchases really are unattributed
+
+
 def test_stream_dedup_equals_batch(spark, events_dir, tmp_path):
     # simulate at-least-once redelivery: the same event files land twice
     import shutil
