@@ -11,6 +11,8 @@ and Markov-style transition counts.
   q_cohort_retention      weekly cohort × week-offset retention matrix
   q_event_transitions     adjacent event-type transition counts (LAG)
   q_rolling_active_users  rolling 7-day actives via explode-to-cover-days
+  q_week_over_week        period-over-period growth (LAG on the
+                          aggregated weekly series)
 
 Scale notes: funnel/retention/transitions scan the fact ONCE and hash-
 partition on ``user_id`` (whole-partition window formulations — plan-
@@ -226,4 +228,44 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         expanded.join(F.broadcast(days), "day", "left_semi")
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("active_7d"))
+    )
+
+
+@query(
+    "q_week_over_week",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             ROUND(SUM(value), 2)                 AS revenue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT week, revenue,
+           LAG(revenue) OVER (ORDER BY week) AS prev_revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY week))
+                 / LAG(revenue) OVER (ORDER BY week) * 100, 4) AS wow_pct
+    FROM weekly
+    """,
+)
+def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: weekly rollup, then LAG against
+    the previous week.
+
+    The LAG window is globally ordered, but it runs on the AGGREGATED
+    series — one row per week (~5K rows even for a century of data), so
+    the single-partition stage is on provably tiny input; the heavy
+    lifting is the map-side-combining weekly aggregate before it."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    weekly = e.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).agg(F.round(F.sum("value"), 2).alias("revenue"))
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("wow_pct"),
     )
