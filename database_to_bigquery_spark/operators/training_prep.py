@@ -13,6 +13,8 @@ training shards.
                            — md5 order, no seed state, no global sort
   text_chunk_fixed         overlapping fixed-size chunking (RAG /
                            embedding prep), map-only expansion
+  q_leakage_safe_split     group-hashed train/val/test split (no
+                           source straddles splits), shuffle-free
 
 Scale design (both): the corpus is first split into shards by a pure
 hash of doc_id, and ALL ordering work (cumulative sums, row_number)
@@ -189,4 +191,39 @@ def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_md5"),
             F.length(chunk).cast("long").alias("chunk_len"),
         )
+    )
+
+
+@query(
+    "q_leakage_safe_split",
+    oracle="""
+    SELECT doc_id, source,
+           CASE
+             WHEN CAST('0x' || substr(md5(source), 1, 4) AS BIGINT) % 10 < 8
+               THEN 'train'
+             WHEN CAST('0x' || substr(md5(source), 1, 4) AS BIGINT) % 10 = 8
+               THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split (80/10/10) hashed on the GROUP key
+    (source), not the row key: every document from one source lands in
+    the same split, so near-duplicates and shared boilerplate within a
+    source can never leak from train into eval. Same md5 trick as
+    q_hash_sample — a pure row-local predicate, reproducible across
+    engines and reruns, zero shuffles; changing the ratio is an edit to
+    the bucket thresholds, not a data move. (The property test asserts
+    the no-straddle invariant.)"""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 4), 16, 10).cast("long") % 10
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+        .alias("split"),
     )

@@ -134,3 +134,22 @@ def test_deterministic_shuffle_is_permutation(spark, sf_dir):
     # and it is actually deterministic: a second evaluation is identical
     s2 = q_deterministic_shuffle(spark, sf_dir)
     assert s.exceptAll(s2).isEmpty() and s2.exceptAll(s).isEmpty()
+
+
+def test_leakage_safe_split_never_straddles_groups(spark, sf_dir):
+    # the whole point of group-hashing: a source maps to exactly one
+    # split, and the split ratios are roughly 80/10/10 by group count.
+    from database_to_bigquery_spark.operators.training_prep import (
+        q_leakage_safe_split,
+    )
+
+    s = q_leakage_safe_split(spark, sf_dir)
+    straddlers = (
+        s.groupBy("source")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+    )
+    assert straddlers.isEmpty()
+    assert {r["split"] for r in s.select("split").distinct().collect()} <= {
+        "train", "val", "test",
+    }
