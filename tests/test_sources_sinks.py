@@ -164,6 +164,46 @@ class TestPythonDataSource:
         assert row["payload"] == python_datasource._payload(1, 7)
         assert row["event_ts_offset_s"] == 70
 
+    def test_synthlog_streams_with_offset_tracking(self, spark, tmp_path):
+        # the SimpleDataSourceStreamReader seam: the source advances a
+        # checkpointed seq offset per micro-batch; the drained stream
+        # must equal the deterministic prefix [0, max_rows) exactly
+        # once — offset bookkeeping, not luck.
+        from database_to_bigquery_spark.sources import python_datasource
+
+        python_datasource.register(spark)
+        stream = (
+            spark.readStream.format("synthlog")
+            .option("shards", 2)
+            .option("batch_rows", 40)
+            .option("max_rows", 100)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("synthlog_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        # the source caps itself at max_rows; drain with the default
+        # micro-batch trigger (availableNow snapshots only one simple-
+        # reader batch), then stop
+        import time
+
+        deadline = time.time() + 60
+        while (
+            spark.table("synthlog_stream_test").count() < 200
+            and time.time() < deadline
+        ):
+            time.sleep(0.5)
+        q.stop()
+        got = spark.table("synthlog_stream_test")
+        assert got.count() == 2 * 100  # every (shard, seq) exactly once
+        assert got.select("shard", "seq").distinct().count() == 200
+        row = got.filter("shard = 1 AND seq = 77").collect()[0]
+        assert row["payload"] == python_datasource._payload(1, 77)
+
     def test_synthlog_bad_options_fail_fast(self, spark):
         import pytest as _pytest
         from py4j.protocol import Py4JJavaError
