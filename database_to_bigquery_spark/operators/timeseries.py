@@ -369,3 +369,58 @@ def ts_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "ts_rolling_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             ROUND(SUM(value), 2)               AS hourly_value
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, hour, hourly_value,
+             AVG(hourly_value) OVER w         AS mu,
+             STDDEV_SAMP(hourly_value) OVER w AS sigma
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 23 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, hourly_value,
+           ROUND((hourly_value - mu) / sigma, 4) AS zscore,
+           COALESCE(ABS((hourly_value - mu) / sigma) > 3, FALSE) AS is_anomaly
+    FROM scored
+    """,
+)
+def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each hour's revenue per event
+    type scored against the mean/stddev of the PRECEDING 24 hours
+    (frame excludes the current row — the observation never contaminates
+    its own baseline). NULL z for the warm-up rows with an undefined
+    baseline; |z| > 3 flags the anomaly.
+
+    Scale: aggregate first (map-side-combining hourly rollup collapses
+    the fact table to |types| × |hours| rows), THEN window the small
+    series — partitioned by event_type, so no global ordering. This
+    agg-then-window ordering is the difference between windowing 100 TB
+    and windowing kilobytes."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.round(F.sum("value"), 2).alias("hourly_value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-23, -1)
+    )
+    z = (F.col("hourly_value") - F.avg("hourly_value").over(w)) / F.stddev_samp(
+        "hourly_value"
+    ).over(w)
+    return hourly.select(
+        "event_type",
+        "hour",
+        "hourly_value",
+        F.round(z, 4).alias("zscore"),
+        F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
+    )
