@@ -420,3 +420,18 @@ def stream_click_purchase_left_outer(events: DataFrame) -> DataFrame:
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
         "leftOuter",
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+def with_audit_metrics(events: DataFrame, name: str = "audit") -> DataFrame:
+    """S14 generalized: the reference audits row counts with separate
+    post-load queries (reference ``bigquery_operations.py:46-48``, an
+    extra round-trip); ``observe`` rides the metrics on the SAME pass —
+    per micro-batch in streaming (read from progress.observedMetrics),
+    per action in batch — at zero extra scans. The metric expressions
+    are ordinary aggregates evaluated alongside the query."""
+    return events.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("total_value"),
+        F.max("ts").alias("max_event_ts"),
+    )

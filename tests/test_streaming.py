@@ -462,3 +462,21 @@ def test_transform_with_state_totals_equal_batch(spark, events_dir):
         spark.read.parquet(events_dir).groupBy("user_id").agg(F.count("*").alias("n_events"))
     )
     assert got.exceptAll(expect).isEmpty() and expect.exceptAll(got).isEmpty()
+
+
+def test_observed_audit_metrics_per_microbatch(spark, events_dir):
+    # in-flight audit: observe() metrics arrive with each micro-batch's
+    # progress — no separate count query, no second scan (S14 without
+    # the reference's read-back round-trip).
+    audited = jobs.with_audit_metrics(jobs.read_events_stream(spark, events_dir))
+    agg = jobs.tumbling_counts(audited)
+    q = jobs.run_to_memory_sink(agg, "audit_metrics_test", output_mode="complete")
+    q.awaitTermination()
+    observed = [
+        p["observedMetrics"]["audit"]
+        for p in (q.recentProgress or [])
+        if "audit" in (p.get("observedMetrics") or {})
+    ]
+    assert observed, "no observed metrics surfaced in progress"
+    total_rows = sum(m["n_rows"] for m in observed)
+    assert total_rows == spark.read.parquet(events_dir).count()
