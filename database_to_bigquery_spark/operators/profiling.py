@@ -9,6 +9,8 @@ report — the checks a 100 TB ingest runs before promoting a batch.
 
   q_profile_columns      per-column null/distinct profile of orders
   q_data_quality_checks  named rule → violation count over lineitem
+  q_mode_per_group       deterministic most-frequent-value per group
+  q_category_entropy     Shannon entropy of categorical columns
 
 Scale design: both are a SINGLE scan producing one aggregate row that
 is then exploded driver-free into the long report shape (inline over a
@@ -120,3 +122,86 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return row.select(F.inline(structs))
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY COUNT(*) DESC, o_orderpriority
+             ) AS rn
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    )
+    WHERE rn = 1
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent order priority per status — mode with a
+    DETERMINISTIC tie-break (count desc, then value asc), unlike the
+    built-in mode() whose tie winner is arbitrary and would flap the
+    value-hash between engines. Two-level shape: the big aggregate
+    combines map-side; the ranking window runs on |groups| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
+    )
+
+
+@query(
+    "q_category_entropy",
+    oracle="""
+    WITH c1 AS (SELECT o_orderstatus AS v, COUNT(*) AS c FROM orders GROUP BY 1),
+    c2 AS (SELECT o_orderpriority AS v, COUNT(*) AS c FROM orders GROUP BY 1),
+    p1 AS (SELECT CAST(c AS DOUBLE) / SUM(c) OVER () AS p FROM c1),
+    p2 AS (SELECT CAST(c AS DOUBLE) / SUM(c) OVER () AS p FROM c2)
+    SELECT 'o_orderstatus' AS col_name,
+           CAST(COUNT(*) AS BIGINT)               AS n_values,
+           ROUND(-SUM(p * LN(p) / LN(2)), 6)      AS entropy_bits
+    FROM p1
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           ROUND(-SUM(p * LN(p) / LN(2)), 6)
+    FROM p2
+    """,
+)
+def q_category_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of categorical columns — the profiler
+    metric that separates near-constant columns (entropy ≈ 0, candidates
+    for dictionary encoding / partition keys) from high-cardinality ones.
+
+    Shape per column: value-counts aggregate (map-side combined), then
+    the entropy sum runs over |distinct values| rows — the p*log p fold
+    never touches raw data. Both columns come from one scan."""
+    o = load_table(spark, sf_dir, "orders")
+
+    from pyspark.sql import Window
+
+    def ent(col: str) -> DataFrame:
+        counts = o.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("c"))
+        # p as a window column first (Spark disallows a window inside an
+        # aggregate); the whole-partition window runs over |values| rows
+        p = (F.col("c") / F.sum("c").over(Window.partitionBy())).alias("p")
+        return counts.select("v", p).agg(
+            F.lit(col).alias("col_name"),
+            F.count("*").cast("long").alias("n_values"),
+            F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy_bits"),
+        )
+
+    return ent("o_orderstatus").unionByName(ent("o_orderpriority"))
