@@ -13,6 +13,7 @@ and Markov-style transition counts.
   q_rolling_active_users  rolling 7-day actives via explode-to-cover-days
   q_week_over_week        period-over-period growth (LAG on the
                           aggregated weekly series)
+  q_ab_test_significance  two-proportion z-test between experiment arms
 
 Scale notes: funnel/retention/transitions scan the fact ONCE and hash-
 partition on ``user_id`` (whole-partition window formulations — plan-
@@ -268,4 +269,83 @@ def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         prev.alias("prev_revenue"),
         F.round((F.col("revenue") - prev) / prev * 100, 4).alias("wow_pct"),
+    )
+
+
+@query(
+    "q_ab_test_significance",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant,
+             COUNT(*)                    AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM assign GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n_users END)     AS n0,
+        MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+        MAX(CASE WHEN variant = 1 THEN n_users END)     AS n1,
+        MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+      FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+           ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+           -- NULLIF: z is undefined when the pooled rate is 0 or 1
+           -- (degenerate experiment) — NULL, not a division error
+           ROUND(
+             (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / NULLIF(SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 0), 4) AS zscore
+    FROM wide
+    """,
+)
+def q_ab_test_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between experiment arms (variant =
+    user_id % 2, conversion = any purchase): per-arm user and
+    conversion counts, rates, and the pooled z-statistic — the readout
+    every experimentation platform computes.
+
+    Shape: one per-user aggregate (the only real shuffle), a 2-row arm
+    rollup, then pure arithmetic on a 1-row conditional pivot. All the
+    statistics happen after the data has collapsed to four numbers, so
+    the cost at 100 TB is the cost of the user-level aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("variant"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    # try_divide: z is undefined when the pooled rate is 0 or 1
+    # (degenerate experiment) — NULL, not an ANSI division error
+    z = F.try_divide(
+        p1 - p0,
+        F.sqrt(pooled * (1 - pooled) * (1 / F.col("n0") + 1 / F.col("n1"))),
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.round(z, 4).alias("zscore"),
     )
