@@ -28,7 +28,7 @@ import logging
 import os
 
 from .data import load_table
-from .plans.pipeline import run_pipeline
+from .plans.pipeline import PipelineResult, run_pipeline
 from .plans.table_spec import TableSpec
 from .sinks.writers import ParquetSink
 from .session import get_spark
@@ -62,15 +62,27 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
     spark = get_spark("etl-cli")
     jobs = []
+    results: list[PipelineResult] = []
     for t in args.tables.split(","):
         spec = FIXTURE_SPECS[t.strip()]
         sink = ParquetSink(
             path=os.path.join(args.target, spec.name),
             partition_field=spec.partition_field,
         )
-        jobs.append((spec, load_table(spark, args.source, spec.name), sink))
+        try:
+            # schema resolution is eager — a missing/corrupt source
+            # fails HERE, so isolation has to cover the load too, not
+            # just the write loop
+            df = load_table(spark, args.source, spec.name)
+        except Exception as exc:
+            if not args.isolate_errors:
+                raise
+            logging.getLogger(__name__).exception("table %s: source failed", spec.name)
+            results.append(PipelineResult(spec.name, 0, skipped_empty=False, error=str(exc)))
+            continue
+        jobs.append((spec, df, sink))
 
-    results = run_pipeline(
+    results += run_pipeline(
         spark, jobs, is_daily=args.daily, day=args.day,
         isolate_errors=args.isolate_errors,
     )

@@ -205,3 +205,35 @@ def test_etl_cli_full_and_daily(spark, sf_dir, tmp_path, capsys):
     day_rows = back.filter(F.col("ts_day") == "2024-01-15").count()
     appended = back.count() - full_count
     assert appended > 0 and day_rows == 2 * appended  # slice present twice: full + daily append
+
+
+def test_etl_cli_isolate_errors(spark, sf_dir, tmp_path, capsys):
+    """S15's isolation flag on the CLI: a table whose source is missing
+    fails alone when --isolate-errors is set (exit 1, error recorded,
+    other tables written); without the flag the run is fail-fast like
+    the reference (etl_process.py:27-29)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from database_to_bigquery_spark.etl import main
+
+    partial_src = tmp_path / "partial"
+    partial_src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", partial_src / "events.parquet")
+    target = str(tmp_path / "warehouse")
+
+    rc = main([
+        "--source", str(partial_src), "--target", target,
+        "--tables", "events,orders", "--isolate-errors",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "orders: ERROR" in out and "events:" in out
+    assert spark.read.parquet(f"{target}/events").count() > 0
+
+    with _pytest.raises(Exception):
+        main([
+            "--source", str(partial_src), "--target", target,
+            "--tables", "orders,events",
+        ])
