@@ -207,3 +207,68 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", "frame_offset", F.md5("frame_bytes").alias("frame_md5")
     )
+
+
+RESIZE_SCHEMA = "doc_id long, out_bytes binary, out_len int"
+
+
+def resize_batch(
+    stride: int = 4,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """mapInPandas operator for the resize/downsample step: keep every
+    `stride`-th byte of the payload (a real implementation would be a
+    vips/PIL thumbnail per batch; byte striding keeps the exact contract
+    — binary in, smaller binary out, length bookkeeping — testable
+    without codec libs)."""
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf["payload"].map(lambda p: bytes(p)[::stride])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_bytes": out,
+                    "out_len": out.map(len).astype("int32"),
+                }
+            )
+
+    return _resize
+
+
+@query(
+    "mm_resize",
+    oracle="""
+    WITH strided AS (
+      SELECT doc_id,
+             string_agg(substr(text, CAST(i AS BIGINT), 1), '' ORDER BY i)
+               AS resized
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, LENGTH(text), 4)) AS i
+        FROM documents
+      )
+      GROUP BY doc_id
+    )
+    SELECT doc_id,
+           md5(resized)                       AS out_md5,
+           CAST(LENGTH(resized) AS INT)       AS out_len
+    FROM strided
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize/downsample leg of the multimodal pipeline (decode /
+    feature-extract / resize / frame-sample): every 4th payload byte
+    survives, output checksummed so the oracle verifies the exact bytes
+    (ASCII corpus → DuckDB's strided char-agg builds the identical
+    string). Map-only Arrow-batched op, no shuffle — the oracle's
+    explode+string_agg formulation is the slow way; the operator is a
+    row-local byte slice."""
+    d = load_table(spark, sf_dir, "documents")
+    resized = (
+        with_payload(d)
+        .select("doc_id", "payload")
+        .mapInPandas(resize_batch(), schema=RESIZE_SCHEMA)
+    )
+    return resized.select(
+        "doc_id", F.md5("out_bytes").alias("out_md5"), F.col("out_len")
+    )
