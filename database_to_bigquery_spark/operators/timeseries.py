@@ -424,3 +424,64 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("zscore"),
         F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@query(
+    "ts_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             event_id AS version_id
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT f.user_id,
+           f.event_id        AS purchase_id,
+           f.ts              AS purchase_ts,
+           d.version_id,
+           d.valid_from
+    FROM events f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    WHERE f.event_type = 'purchase'
+    """,
+)
+def ts_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join: each purchase picks the
+    SCD2 dimension version (from ts_scd2_intervals' interval build)
+    that was valid AT ITS EVENT TIME — the bitemporal-correctness join
+    that prevents training-data leakage from future attribute values.
+
+    Scale: this is an equi-join on the key with a residual interval
+    predicate, so it executes as an ordinary hash join partitioned on
+    user_id (NOT a theta join) — each key's few versions filter
+    row-locally after the match. The as-of union+window formulation
+    (q_asof_join) is the alternative when versions per key are huge."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.col("event_id").alias("version_id"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        facts.join(dim, "user_id")
+        .filter(
+            (F.col("purchase_ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("purchase_ts") < F.col("valid_to")))
+        )
+        .select("user_id", "purchase_id", "purchase_ts", "version_id", "valid_from")
+    )
