@@ -235,3 +235,34 @@ def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (~F.col("source").isin("src0", "src1") & nib.isin("0", "1"))
     )
     return d.filter(keep).select("doc_id", "source", "lang")
+
+
+@query(
+    "q_minmax_scale",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           ROUND((c_acctbal - MIN(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / NULLIF(MAX(c_acctbal) OVER (PARTITION BY c_mktsegment)
+                          - MIN(c_acctbal) OVER (PARTITION BY c_mktsegment), 0),
+                 6) AS acctbal_scaled
+    FROM customer
+    """,
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling (x-min)/(max-min) — the
+    normalization pass of a feature pipeline, NULL when a group is
+    constant (zero range) rather than a division error.
+
+    Scale: one shuffle on the group key; both extrema come from the
+    same whole-partition window, so Catalyst computes them in a single
+    Window operator. For global (ungrouped) scaling at 100 TB, compute
+    min/max as a 1-row aggregate and broadcast-join it back instead of
+    a whole-table window."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    rng = F.max("c_acctbal").over(w) - F.min("c_acctbal").over(w)
+    scaled = F.try_divide(F.col("c_acctbal") - F.min("c_acctbal").over(w), rng)
+    return c.select(
+        "c_custkey", "c_mktsegment", F.round(scaled, 6).alias("acctbal_scaled")
+    )

@@ -194,3 +194,50 @@ def q_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("t").alias("parsed_type"),
         F.round(parsed.getField("v"), 4).alias("parsed_value"),
     )
+
+
+@query(
+    "q_calendar_dim",
+    oracle="""
+    SELECT d                                   AS day,
+           CAST(year(d) AS BIGINT)             AS year,
+           CAST(month(d) AS BIGINT)            AS month,
+           CAST(isodow(d) AS BIGINT)           AS iso_dow,
+           (isodow(d) >= 6)                    AS is_weekend,
+           CAST(date_trunc('month', d) AS DATE) AS month_start,
+           CAST(last_day(d) AS DATE)           AS month_end
+    FROM (
+      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31',
+                                    INTERVAL 1 DAY))::DATE AS d
+    )
+    """,
+)
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generation — the date spine every warehouse
+    joins against, built entirely from sequence()+explode (no driver
+    loop, no source table): one row per day with the standard derived
+    attributes. ISO day-of-week is computed portably ((dayofweek+5)%7+1
+    in Spark == isodow in DuckDB, Monday=1).
+
+    Scale: generation is O(|days|) — trivially small forever; the point
+    is the pattern (a generated dimension is a DataFrame like any
+    other, broadcast into fact joins)."""
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    iso_dow = ((F.dayofweek("day") + 5) % 7 + 1).cast("long")
+    return days.select(
+        "day",
+        F.year("day").cast("long").alias("year"),
+        F.month("day").cast("long").alias("month"),
+        iso_dow.alias("iso_dow"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.date_trunc("month", F.col("day")).cast("date").alias("month_start"),
+        F.last_day("day").alias("month_end"),
+    )
