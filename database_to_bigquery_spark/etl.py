@@ -45,6 +45,25 @@ FIXTURE_SPECS: dict[str, TableSpec] = {
 }
 
 
+def configure_run_logging(log_dir: str | None, day: dt.date | None = None) -> str | None:
+    """S19: dated per-run log file, the reference's
+    ``LOG_FILE = f"/backup/logs/MYSQL_to_BQ_{CURRENT_DATE}.log"``
+    (reference config.py:38-39) — same ``{prefix}_{YYYY-MM-DD}.log``
+    shape so a migrating user's logrotate/cron greps keep working.
+    Console logging stays on; returns the log path (None if disabled).
+    """
+    fmt = "%(asctime)s %(levelname)s %(message)s"
+    handlers: list[logging.Handler] = [logging.StreamHandler()]
+    log_path = None
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+        date_str = (day or dt.date.today()).isoformat()
+        log_path = os.path.join(log_dir, f"MYSQL_to_BQ_{date_str}.log")
+        handlers.append(logging.FileHandler(log_path))
+    logging.basicConfig(level=logging.INFO, format=fmt, handlers=handlers, force=True)
+    return log_path
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="Spark ETL (reference etl_process.py twin)")
     ap.add_argument("--daily", action="store_true", help="incremental mode (S3)")
@@ -57,9 +76,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated subset of: " + ",".join(FIXTURE_SPECS))
     ap.add_argument("--isolate-errors", action="store_true",
                     help="continue past per-table failures (reference is fail-fast)")
+    ap.add_argument("--log-dir", default=None,
+                    help="write a dated run log file here (S19, reference config.py:38-39)")
     args = ap.parse_args(argv)
 
-    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    configure_run_logging(args.log_dir, day=args.day)
     spark = get_spark("etl-cli")
     jobs = []
     results: list[PipelineResult] = []

@@ -12,8 +12,100 @@ from __future__ import annotations
 
 import datetime as dt
 from dataclasses import dataclass, field
+from urllib.parse import quote_plus
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def load_credentials(path: str) -> dict[str, str]:
+    """S17: parse the reference's ``key=value`` credential file
+    (reference config.py:12-18 — e.g. ``DB_USR=root`` / ``DB_PWD=s3cret``).
+
+    Divergence from the reference, on purpose: the reference splits on
+    EVERY ``=`` (``line.strip().split("=")``), so a password containing
+    ``=`` crashes its loader. We split once (maxsplit=1) and skip blank
+    and ``#``-comment lines, which the reference would also mis-parse.
+    """
+    creds: dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, value = line.split("=", 1)
+            creds[key.strip()] = value.strip()
+    return creds
+
+
+@dataclass
+class MysqlConnectionConfig:
+    """S17: the reference's ``mysql_config`` dict (config.py:20-26) as a
+    typed object. Defaults mirror the reference's hardcoded host/port/db."""
+
+    user: str
+    password: str
+    host: str = "localhost"
+    database: str = "ti_db_inventory"
+    port: int = 3306
+
+    @classmethod
+    def from_cred_file(
+        cls,
+        path: str,
+        host: str = "localhost",
+        database: str = "ti_db_inventory",
+        port: int = 3306,
+    ) -> "MysqlConnectionConfig":
+        """Reference config.py:20-21: ``DB_USR``/``DB_PWD`` keys, empty
+        string when absent."""
+        creds = load_credentials(path)
+        return cls(
+            user=creds.get("DB_USR", ""),
+            password=creds.get("DB_PWD", ""),
+            host=host,
+            database=database,
+            port=port,
+        )
+
+
+def sqlalchemy_url(cfg: MysqlConnectionConfig) -> str:
+    """The EXACT URL shape the reference builds (mysql_operations.py:10-12):
+    ``mysql+pymysql://user:<quote_plus(password)>@host:port/database``.
+    Kept for migration parity checks; Spark itself uses :func:`jdbc_url`
+    + properties (password never embedded in a URL that lands in logs
+    and the Spark UI)."""
+    return (
+        f"mysql+pymysql://{cfg.user}:{quote_plus(cfg.password)}"
+        f"@{cfg.host}:{cfg.port}/{cfg.database}"
+    )
+
+
+def jdbc_url(cfg: MysqlConnectionConfig) -> str:
+    """Spark-side JDBC URL. Credentials deliberately NOT in the URL —
+    they travel as reader options so the UI/event-log URL stays clean."""
+    return f"jdbc:mysql://{cfg.host}:{cfg.port}/{cfg.database}"
+
+
+def jdbc_spec_from_credentials(
+    cred_path: str,
+    table: str,
+    *,
+    host: str = "localhost",
+    database: str = "ti_db_inventory",
+    port: int = 3306,
+    **spec_kwargs,
+) -> "JdbcSourceSpec":
+    """S17 end-to-end: cred file → partitioned Spark JDBC source spec.
+    The reference equivalent is config.py:8-26 feeding
+    mysql_operations.py:8-12's engine factory."""
+    cfg = MysqlConnectionConfig.from_cred_file(
+        cred_path, host=host, database=database, port=port
+    )
+    props = dict(spec_kwargs.pop("properties", {}))
+    props.setdefault("user", cfg.user)
+    props.setdefault("password", cfg.password)
+    props.setdefault("driver", "com.mysql.cj.jdbc.Driver")
+    return JdbcSourceSpec(url=jdbc_url(cfg), table=table, properties=props, **spec_kwargs)
 
 
 @dataclass

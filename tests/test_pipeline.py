@@ -237,3 +237,47 @@ def test_etl_cli_isolate_errors(spark, sf_dir, tmp_path, capsys):
             "--source", str(partial_src), "--target", target,
             "--tables", "orders,events",
         ])
+
+
+def test_etl_cli_dated_log_file(spark, sf_dir, tmp_path):
+    """S19: --log-dir writes the reference's dated log file shape
+    (config.py:38-39: MYSQL_to_BQ_{YYYY-MM-DD}.log) with run records."""
+    from database_to_bigquery_spark.etl import main
+
+    log_dir = tmp_path / "logs"
+    assert main([
+        "--daily", "--day", "2024-01-15", "--source", sf_dir,
+        "--target", str(tmp_path / "wh"), "--log-dir", str(log_dir),
+    ]) == 0
+    log_path = log_dir / "MYSQL_to_BQ_2024-01-15.log"
+    assert log_path.exists()
+    assert "INFO" in log_path.read_text()
+    # detach the run handlers (dated FileHandler + StreamHandler bound to
+    # pytest's captured stderr) so interpreter-shutdown logging from py4j
+    # doesn't hit a deleted file / closed capture stream
+    import logging
+
+    root = logging.getLogger()
+    for h in root.handlers[:]:
+        root.removeHandler(h)
+        h.close()
+    root.setLevel(logging.WARNING)
+
+
+def test_run_etl_sh_smoke(sf_dir, tmp_path):
+    """run_etl.sh twin (reference run_etl.sh:4-7): forwards args to the
+    CLI module in a subprocess. --help avoids a second JVM spin-up."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    script = repo / "run_etl.sh"
+    assert script.exists()
+    proc = subprocess.run(
+        ["bash", str(script), "--help"],
+        capture_output=True, text=True, cwd=repo,
+        env={"PATH": f"{pathlib.Path(sys.executable).parent}:/usr/bin:/bin"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "--daily" in proc.stdout and "--log-dir" in proc.stdout

@@ -12,8 +12,12 @@ from database_to_bigquery_spark.sources.catalog import (
 )
 from database_to_bigquery_spark.sources.jdbc import (
     JdbcSourceSpec,
+    MysqlConnectionConfig,
     incremental_predicate,
     jdbc_reader_options,
+    jdbc_spec_from_credentials,
+    load_credentials,
+    sqlalchemy_url,
 )
 
 
@@ -46,6 +50,49 @@ def test_jdbc_partitioned_read_options():
     assert opts["partitionColumn"] == "id"
     assert opts["numPartitions"] == "16"
     assert opts["fetchsize"] == "10000"
+
+
+class TestCredentialConfig:
+    """S17: reference config.py:8-26 + mysql_operations.py:10-12."""
+
+    CRED_TEXT = "# db creds\nDB_USR = root\nDB_PWD = p@ss w/ spaces+symbols=ok\n\n"
+
+    def _cred_file(self, tmp_path):
+        p = tmp_path / "db_credentials.conf"
+        p.write_text(self.CRED_TEXT)
+        return str(p)
+
+    def test_load_credentials_key_value(self, tmp_path):
+        creds = load_credentials(self._cred_file(tmp_path))
+        assert creds == {"DB_USR": "root", "DB_PWD": "p@ss w/ spaces+symbols=ok"}
+
+    def test_reference_exact_sqlalchemy_url(self, tmp_path):
+        cfg = MysqlConnectionConfig.from_cred_file(self._cred_file(tmp_path))
+        # the EXACT shape mysql_operations.py:10-12 builds, incl.
+        # quote_plus on the password and the hardcoded host/port/db
+        # from config.py:22-26
+        assert sqlalchemy_url(cfg) == (
+            "mysql+pymysql://root:p%40ss+w%2F+spaces%2Bsymbols%3Dok"
+            "@localhost:3306/ti_db_inventory"
+        )
+
+    def test_missing_keys_default_empty(self, tmp_path):
+        p = tmp_path / "empty.conf"
+        p.write_text("OTHER=1\n")
+        cfg = MysqlConnectionConfig.from_cred_file(str(p))
+        assert (cfg.user, cfg.password) == ("", "")  # config.py:20-21
+
+    def test_jdbc_spec_keeps_password_out_of_url(self, tmp_path):
+        spec = jdbc_spec_from_credentials(
+            self._cred_file(tmp_path), "backup_log",
+            partition_column="id", lower_bound="0", upper_bound="100",
+        )
+        assert spec.url == "jdbc:mysql://localhost:3306/ti_db_inventory"
+        opts = jdbc_reader_options(spec)
+        assert opts["user"] == "root"
+        assert opts["password"] == "p@ss w/ spaces+symbols=ok"
+        assert "p%40ss" not in spec.url and "@ss" not in spec.url
+        assert opts["partitionColumn"] == "id"
 
 
 def test_incremental_predicate_is_sargable():
