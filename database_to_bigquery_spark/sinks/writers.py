@@ -18,11 +18,26 @@ from __future__ import annotations
 import enum
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.reference_transforms import apply_declared_schema
+
+
+def _observed(df: DataFrame) -> tuple[DataFrame, Observation]:
+    """Attach a row-count observation that rides the write pass.
+
+    The S14 audit count must not cost a second execution of the plan:
+    ``df.count()`` before ``write`` recomputes every transform upstream
+    (2x compute for every table job) and can diverge from the rows
+    actually written if the source changes between the two actions.
+    ``df.observe`` accumulates the count inside the same job that
+    performs the write — one pass, and the number is by construction
+    the rows that went through the writer.
+    """
+    obs = Observation()
+    return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
 
 
 class WriteMode(enum.Enum):
@@ -61,15 +76,15 @@ class ParquetSink(Sink):
         the directory key so the original timestamp column survives
         intact — at 100 TB this is what gives readers partition pruning.
         """
-        df = self.prepare(df)
-        out_count = df.count()  # S14 extracted-count audit (cheap: parquet metadata / partial agg)
-        writer = df.write.mode(mode.value)
+        df, obs = _observed(self.prepare(df))  # S14 audit rides the write pass
         if self.partition_field:
             day_col = f"{self.partition_field}_day"
-            df2 = df.withColumn(day_col, F.to_date(F.col(self.partition_field)))
-            writer = df2.write.mode(mode.value).partitionBy(day_col)
+            df = df.withColumn(day_col, F.to_date(F.col(self.partition_field)))
+            writer = df.write.mode(mode.value).partitionBy(day_col)
+        else:
+            writer = df.write.mode(mode.value)
         writer.parquet(self.path)
-        return out_count
+        return int(obs.get["rows"])
 
 
 @dataclass
@@ -87,8 +102,7 @@ class BigQuerySink(Sink):
     temporary_gcs_bucket: str | None = None
 
     def write(self, df: DataFrame, mode: WriteMode) -> int:
-        df = self.prepare(df)
-        out_count = df.count()
+        df, obs = _observed(self.prepare(df))  # S14 audit rides the write pass
         writer = (
             df.write.format("bigquery")
             .mode(mode.value)
@@ -108,7 +122,7 @@ class BigQuerySink(Sink):
                 "(--packages com.google.cloud.spark:spark-bigquery-with-dependencies). "
                 "Use ParquetSink for local runs."
             ) from exc
-        return out_count
+        return int(obs.get["rows"])
 
 
 def compact_parquet_dir(
@@ -124,7 +138,16 @@ def compact_parquet_dir(
     Rewrites the directory to ceil(bytes / target_file_bytes) files
     via coalesce (narrow — no shuffle: compaction is IO-bound, a
     repartition would pay a full shuffle for nothing) and swaps the
-    result in atomically. Returns (files_before, files_after).
+    result in via rename-aside: the live dir moves to ``<path>._old``,
+    the compacted dir renames into place, then ``._old`` is deleted.
+    Each rename is atomic on a POSIX filesystem, so the window with no
+    data at ``path`` is one rename-to-rename gap (microseconds), not
+    the full recursive delete the naive rmtree-then-replace would
+    leave; a crash mid-swap strands a recoverable ``._old`` copy
+    instead of losing the dataset. (This is still not a transaction —
+    a table format's metadata commit, Delta OPTIMIZE / Iceberg
+    rewrite_data_files, is the true atomic version at cluster scale.)
+    Returns (files_before, files_after).
 
     At cluster scale the same logic runs per partition directory —
     day partitions compact independently and in parallel, and a table
@@ -148,7 +171,11 @@ def compact_parquet_dir(
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compacting"
+    old = path.rstrip("/") + "._old"
     df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    if os.path.exists(old):  # leftover from a crashed prior swap
+        shutil.rmtree(old)
+    os.replace(path, old)
     os.replace(tmp, path)
+    shutil.rmtree(old)
     return len(before), len(_parquet_files(path))

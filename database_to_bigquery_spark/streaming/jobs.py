@@ -93,14 +93,26 @@ def run_foreach_batch_append(
 ) -> StreamingQuery:
     """Streaming ETL: raw event micro-batches appended as day-
     partitioned parquet via foreachBatch — the streaming form of the
-    reference's daily incremental append (S3+S12+S13), with exactly-
-    once via the checkpoint + idempotent batch_id handling."""
+    reference's daily incremental append (S3+S12+S13).
+
+    Exactly-once, for real: foreachBatch alone is at-least-once (a
+    crash between the sink write and the checkpoint commit replays the
+    batch), so the write must be idempotent under replay. Each batch
+    lands in ``day=<d>/batch_id=<n>/`` partitions via *dynamic*
+    partition overwrite: a replayed batch recomputes the identical
+    rows (checkpointed source offsets) and overwrites exactly its own
+    ``batch_id`` partitions — duplicates cannot accumulate, and a
+    half-written crash remnant is clobbered by the replay. Readers see
+    an extra ``batch_id`` partition column (harmless; also an audit
+    trail of which micro-batch produced which rows)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.withColumn("day", F.to_date("ts"))
-            .write.mode("append")
-            .partitionBy("day")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day", "batch_id")
             .parquet(out_dir)
         )
 
