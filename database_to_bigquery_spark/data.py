@@ -72,6 +72,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _parse_byte_conf(value: str) -> int:
+    """Parse Spark size confs like ``10485760b`` / ``10MB`` / ``-1``."""
+    v = value.strip().lower()
+    for suffix, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)]) * mult)
+    return int(v)
+
+
+def maybe_broadcast(df: DataFrame, threshold_bytes: int | None = None) -> DataFrame:
+    """Broadcast hint guarded by Catalyst's own size estimate.
+
+    ``F.broadcast(df)`` is an unconditional hint: Spark will ship the
+    table to every executor no matter how large it turns out to be, and
+    at web scale a "vocabulary-sized" side table can blow past the
+    driver/executor memory the hint assumes. This helper reads the
+    optimized plan's ``sizeInBytes`` estimate and only applies the hint
+    when the estimate fits under ``threshold_bytes`` (default: the
+    session's ``spark.sql.autoBroadcastJoinThreshold``). Above the
+    threshold the DataFrame is returned unhinted, so the planner picks
+    a shuffle join (sort-merge / shuffled-hash, AQE may still convert
+    back if runtime stats shrink). The size estimate is conservative in
+    the safe direction — without CBO, aggregates inherit their child's
+    estimate, so an over-estimate falls back to the always-correct
+    shuffle path rather than an OOM-prone broadcast.
+    """
+    spark = df.sparkSession
+    if threshold_bytes is None:
+        threshold_bytes = _parse_byte_conf(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        )
+    if threshold_bytes < 0:  # -1 disables auto-broadcast: never hint
+        return df
+    from pyspark.sql import functions as F
+
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return F.broadcast(df) if est <= threshold_bytes else df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, register_views: bool = True
 ) -> dict[str, DataFrame]:

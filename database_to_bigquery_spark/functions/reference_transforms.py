@@ -29,7 +29,14 @@ def format_datetimes_as_strings(df: DataFrame, fmt: str = REFERENCE_DATETIME_FMT
 def cast_bools(df: DataFrame, columns: list[str]) -> DataFrame:
     """S7: cast flag columns (tinyint 0/1) to boolean, skipping absent
     columns — mirrors the existence guard at reference
-    transformations.py:33-37. NULL stays NULL, nonzero → true."""
+    transformations.py:33-37. NULL stays NULL, nonzero → true.
+
+    Intentional divergence from the reference: pandas ``astype(bool)``
+    maps NaN → True (transformations.py:33-37), an artifact of float
+    NaN being truthy, not a semantic choice. Spark's SQL-standard cast
+    keeps NULL → NULL, which is what a missing flag should mean; a
+    migrating user who depended on NaN→True can add
+    ``F.coalesce(col, lit(True))`` explicitly."""
     present = [c for c in columns if c in df.columns]
     return df.withColumns({c: F.col(c).cast("boolean") for c in present})
 

@@ -373,13 +373,14 @@ _SIMHASH_BITS = 48  # wide enough that shared-vocabulary docs don't collide
 
 @query("dedup_simhash")  # approximate → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 32-bit fingerprint from word
+    """SimHash near-dup candidates: 48-bit fingerprint from word
     hashes; pairs within hamming distance ≤ 3 found via the pigeonhole
-    band join (4 bytes → a pair within distance 3 must agree on ≥1
-    byte). Output (doc_a, doc_b, hamming).
+    band join (4 bands × 12 bits → a pair within distance 3 has its ≤3
+    differing bits spread over ≤3 bands, so at least one of the 4 bands
+    matches exactly). Output (doc_a, doc_b, hamming).
 
-    Scale: fingerprints are one narrow agg; the byte-band join buckets
-    on (byte_idx, byte_value) — bounded fanout, no doc² shuffle.
+    Scale: fingerprints are one narrow agg; the band join buckets on
+    (band_idx, band_val) — bounded fanout, no doc² shuffle.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -415,14 +416,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(4)
                 ]
             )
-        ).alias("byte_idx", "byte_val"),
+        ).alias("band_idx", "band_val"),
     )
     cand = (
         bands.alias("x")
         .join(
             bands.alias("y"),
-            (F.col("x.byte_idx") == F.col("y.byte_idx"))
-            & (F.col("x.byte_val") == F.col("y.byte_val"))
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(

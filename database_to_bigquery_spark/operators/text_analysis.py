@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import load_table, maybe_broadcast
 from ..registry import query
 
 
@@ -232,11 +232,14 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: TF is one shuffle on (doc, term); DF is one shuffle on term
     (both partial-aggregated map-side). The document-frequency table is
-    vocabulary-sized → broadcast back; corpus size N is a 1-row
-    broadcast. The doc_id < 50 slice bounds the *output*, not the
-    algorithm — remove the filter and the same plan runs corpus-wide
-    (the per-doc top-k window shuffles on doc_id, which TF already
-    partitioned by).
+    vocabulary-sized → broadcast back *when it fits*: the hint goes
+    through ``maybe_broadcast``, which checks Catalyst's size estimate
+    against autoBroadcastJoinThreshold and falls back to a shuffle join
+    for web-scale vocabularies that would overflow a broadcast. Corpus
+    size N is a 1-row broadcast, always safe. The doc_id < 50 slice
+    bounds the *output*, not the algorithm — remove the filter and the
+    same plan runs corpus-wide (the per-doc top-k window shuffles on
+    doc_id, which TF already partitioned by).
     """
     from pyspark.sql import Window as W
 
@@ -248,7 +251,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
     n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "w")
+        tf.join(maybe_broadcast(df), "w")
         .join(F.broadcast(n))
         .withColumn(
             "tfidf",

@@ -41,9 +41,11 @@ def test_lsh_topk_recall(spark, sf_dir):
         (r["query_id"], r["neighbor_id"]) for r in sim_topk_lsh(spark, sf_dir).collect()
     }
     recall = len(truth & approx) / len(truth)
-    # 8 tables × 4 bits on near-orthogonal random vectors: expected
-    # recall ≈ 0.6-0.8 (collision prob (1-θ/π)^4 per table, union of 8)
-    assert recall >= 0.4
+    # 12 tables × 4 bits on near-orthogonal random vectors: measured
+    # recall 0.88 at sf0.001 / 0.84 at sf0.01 (deterministic — fixed
+    # seed 7 planes, fixed fixtures), so 0.7 is a real floor, not a
+    # hope (collision prob (1-θ/π)^4 per table, union of 12)
+    assert recall >= 0.7
 
 
 def test_exact_dedup_is_fixpoint(spark, sf_dir):

@@ -161,6 +161,29 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
             spark.conf.set(k, v)
 
 
+def test_tfidf_vocab_broadcast_is_size_guarded(spark, sf_dir):
+    # text_tfidf_top_terms joins TF against the vocabulary-sized DF
+    # table through maybe_broadcast: under the default 10MB threshold
+    # the fixture vocabulary broadcasts (no shuffle of the TF side for
+    # the join); when the estimate exceeds the threshold the hint must
+    # NOT be applied, so a web-scale vocabulary degrades to a shuffle
+    # join instead of an executor-OOM broadcast. Exercise both shapes
+    # by flipping autoBroadcastJoinThreshold.
+    plan = plan_of(spark, sf_dir, "text_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        plan_small = plan_of(spark, sf_dir, "text_tfidf_top_terms")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan_small
+    assert (
+        "SortMergeJoin" in plan_small or "ShuffledHashJoin" in plan_small
+    ), plan_small
+
+
 def test_join_strategy_hints_are_honored(spark, sf_dir):
     # the hint API is the manual override when AQE/statistics pick a
     # suboptimal strategy at scale; verify each hint reaches the
