@@ -3,15 +3,26 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a noop-format write (full distributed
-execution, no driver collect — the honest cost) after one warmup of
-the session (JVM + codegen warm).
+Measurement hygiene (the VM shows ±40% run-to-run variance):
+- each query is forced with a noop-format write (full distributed
+  execution, no driver collect — the honest cost)
+- one warmup pass absorbs JVM/codegen startup and Python-worker forks
+- the timed section runs $SPARK_GRAFT_BENCH_RUNS (default 3) full
+  round-robin passes over the query set — round-robin, not
+  back-to-back per query, so slow VM phases spread across all queries
+  instead of landing on one — and reports the per-query MEDIAN
+- if a prior round's BENCH file exists, a per-query ratio vs that
+  baseline is attached under "delta_vs_baseline" (extra key; the
+  driver contract keys are unchanged)
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import statistics
 import sys
 import time
 
@@ -27,9 +38,33 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def load_baseline() -> tuple[str, dict] | None:
+    """Latest committed BENCH_r{N}.json at the repo root, if any."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    if not cands:
+        return None
+    n, path = max(cands)
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    # the driver's BENCH_r{N}.json wraps this script's JSON line under
+    # "parsed" (alongside run metadata); unwrap if so
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    return f"r{n:02d}", data
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark("bench")
     specs = {n: s for n, s in all_specs().items() if s.headline}
 
@@ -63,11 +98,16 @@ def main() -> None:
 
         force(dedup_ngram_jaccard(spark, warm_dir))
 
-    timings: dict[str, float] = {}
-    for name in sorted(specs):
-        t0 = time.time()
-        force(specs[name].fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in specs}
+    for _ in range(n_runs):
+        for name in sorted(specs):
+            t0 = time.time()
+            force(specs[name].fn(spark, sf_dir))
+            samples[name].append(time.time() - t0)
+
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in sorted(samples.items())
+    }
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -75,7 +115,26 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": n_runs,
     }
+    baseline = load_baseline()
+    if baseline is not None:
+        tag, base = baseline
+        base_q = base.get("queries", {})
+        common = {n for n in timings if isinstance(base_q.get(n), (int, float))}
+        if common:
+            out["delta_vs_baseline"] = {
+                "baseline": tag,
+                "total_ratio": round(
+                    sum(timings[n] for n in common)
+                    / max(1e-9, sum(base_q[n] for n in common)),
+                    3,
+                ),
+                "per_query_ratio": {
+                    n: round(timings[n] / max(1e-9, base_q[n]), 2)
+                    for n in sorted(common)
+                },
+            }
     print(json.dumps(out))
 
 

@@ -103,6 +103,7 @@ def char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     headline=True,
+    scale_twin="dedup_minhash_lsh",
     oracle=f"""
     WITH idx AS (
       SELECT doc_id, text,

@@ -887,6 +887,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey), 6)    AS cume
     FROM orders
     """,
+    scale_twin="q_global_ranks_scalable",
 )
 def q_ntile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8: distribution-ranking windows — decile assignment,

@@ -34,6 +34,12 @@ class QuerySpec:
     oracle: str | None = None  # None → driver records rows-only check
     headline: bool = False  # included in bench.py
     doc: str = ""
+    # Non-empty for queries that are INTENTIONALLY scale-unsafe (exact
+    # oracle twins / pedagogical stock forms). Names the in-repo
+    # scale-safe alternative; surfaced as a column in PLANS.md so the
+    # census distinguishes intended single-partition/quadratic plans
+    # from accidental ones.
+    scale_twin: str = ""
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -122,12 +128,24 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 
 def query(
-    name: str, oracle: str | None = None, headline: bool = False
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    scale_twin: str = "",
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator form: @query("q1", oracle=SQL)."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        register(QuerySpec(name=name, fn=fn, oracle=oracle, headline=headline, doc=fn.__doc__ or ""))
+        register(
+            QuerySpec(
+                name=name,
+                fn=fn,
+                oracle=oracle,
+                headline=headline,
+                doc=fn.__doc__ or "",
+                scale_twin=scale_twin,
+            )
+        )
         return fn
 
     return deco
