@@ -451,3 +451,107 @@ def q_union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     return new_extract.unionByName(old_extract, allowMissingColumns=True)
+
+
+# ------------------------------------------------- count-min sketch ----
+
+_CMS_DEPTH = 4  # independent hash rows
+_CMS_WIDTH = 64  # buckets per row
+
+
+@query(
+    "q_countmin_sketch",
+    oracle=f"""
+    WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    hashed AS (
+      SELECT k, i,
+             CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':', k)), 25, 8))
+                  AS BIGINT) % {_CMS_WIDTH} AS bucket
+      FROM keys CROSS JOIN (SELECT unnest(range({_CMS_DEPTH})) AS i)),
+    cells AS (
+      SELECT i, bucket, COUNT(*) AS cell FROM hashed GROUP BY i, bucket),
+    exact AS (
+      SELECT k, COUNT(*) AS exact_cnt FROM keys GROUP BY k),
+    top AS (
+      SELECT k, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, k LIMIT 10),
+    est AS (
+      SELECT t.k, t.exact_cnt, MIN(c.cell) AS cms_est
+      FROM top t
+      CROSS JOIN (SELECT unnest(range({_CMS_DEPTH})) AS i) d
+      JOIN cells c
+        ON c.i = d.i
+       AND c.bucket = CAST(concat('0x', substr(md5(concat(CAST(d.i AS VARCHAR), ':', t.k)), 25, 8))
+                           AS BIGINT) % {_CMS_WIDTH}
+      GROUP BY t.k, t.exact_cnt)
+    SELECT k AS user_key, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: count-min sketch — mergeable frequency estimation. Builds a
+    4×64 CMS over event user_ids in ONE pass (each event lands in one
+    bucket per hash row via posexplode), then reports, for the top-10
+    exact heavy hitters, exact count vs CMS estimate and the
+    guaranteed-nonnegative overcount (CMS never undercounts).
+
+    The bucket hash is md5-derived (bits 97-128 of md5(f"{{row}}:{{key}}"))
+    so the sketch is deterministic and engine-independent — the DuckDB
+    oracle rebuilds the identical sketch, making an *approximate*
+    structure exactly checkable.
+
+    Scale: the sketch is {_CMS_DEPTH}×{_CMS_WIDTH} longs regardless of input size —
+    the groupBy(row, bucket) partial-aggregates map-side, so the
+    shuffle carries at most cells×partitions rows; per-partition
+    sketches merge by cell-wise addition, which IS that groupBy. Width
+    scales as e/ε for error ε·N: at 100 TB you'd raise width into the
+    2^20 range and keep this exact plan shape. The top-10 probe side is
+    a broadcast of 10 rows against the 256-cell sketch."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+
+    def bucket(i, key_col):
+        # bits 97-128 of md5 — identical to the oracle's substr(..,25,8)
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(str(i)), F.lit(":"), key_col)), 25, 8), 16, 10)
+            .cast("long")
+            % _CMS_WIDTH
+        )
+
+    cells = (
+        ev.select(
+            F.posexplode(F.array(*[bucket(i, F.col("k")) for i in range(_CMS_DEPTH)])).alias(
+                "i", "bucket"
+            )
+        )
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("cell"))
+    )
+    top = (
+        ev.groupBy("k")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "k")
+        .limit(10)
+    )
+    probes = top.select(
+        "k",
+        "exact_cnt",
+        F.posexplode(F.array(*[bucket(i, F.col("k")) for i in range(_CMS_DEPTH)])).alias(
+            "i", "bucket"
+        ),
+    )
+    return (
+        F.broadcast(probes)
+        .join(cells, ["i", "bucket"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            F.col("k").alias("user_key"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        )
+    )

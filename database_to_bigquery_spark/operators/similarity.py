@@ -381,3 +381,107 @@ def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ------------------------------------------------------- k-means ----
+
+_KMEANS_K = 4  # seeds = the vectors with vec_id 0..3
+
+
+@query(
+    "sim_kmeans_2iter",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cl, v AS cv FROM e WHERE vec_id < {_KMEANS_K}),
+    a1 AS (
+      SELECT vec_id, cl FROM (
+        SELECT e.vec_id, c0.cl,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v)
+                 - 2 * list_dot_product(e.v, c0.cv)
+                 + list_dot_product(c0.cv, c0.cv), c0.cl) AS rn
+        FROM e CROSS JOIN c0)
+      WHERE rn = 1),
+    dims AS (
+      SELECT a1.cl, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x
+      FROM e JOIN a1 USING (vec_id)),
+    m AS (
+      SELECT cl, i, CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY cl, i),
+    c1 AS (SELECT cl, list(c ORDER BY i) AS cv FROM m GROUP BY cl),
+    a2 AS (
+      SELECT vec_id, cl, d2 FROM (
+        SELECT e.vec_id, c1.cl,
+               list_dot_product(e.v, e.v)
+               - 2 * list_dot_product(e.v, c1.cv)
+               + list_dot_product(c1.cv, c1.cv) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v)
+                 - 2 * list_dot_product(e.v, c1.cv)
+                 + list_dot_product(c1.cv, c1.cv), c1.cl) AS rn
+        FROM e CROSS JOIN c1)
+      WHERE rn = 1)
+    SELECT vec_id, CAST(cl AS INT) AS cluster, ROUND(d2, 4) AS dist2
+    FROM a2
+    """,
+)
+def sim_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm), two iterations, fully
+    deterministic: seeds are the vectors with vec_id < 4, assignment
+    ties break on cluster id, and per-dimension centroid means sum in
+    DECIMAL(20,10) (exact, order-independent — the sim_topk_ivf trick)
+    so both engines derive bit-identical centroids. Output: final
+    (vec_id, cluster, dist2).
+
+    This is the trainer whose OUTPUT sim_topk_ivf consumes: run more
+    iterations and the cluster column becomes the IVF cell assignment.
+
+    Scale: each iteration is (a) one broadcast nested-loop join of the
+    k-row centroid table against the corpus — k×n distance rows, map-
+    side, never n² — with an argmin window partitioned by vec_id, and
+    (b) one posexplode → groupBy(cluster, dim) partial-aggregated
+    shuffle for the new centroids (k×d rows out). No driver-side
+    centroid collect: centroids stay a DataFrame, so the same code runs
+    when k×d is millions of cells. Squared L2 uses the dot-product
+    identity |v-c|² = v·v - 2 v·c + c·c — the v·v term is computed once
+    per vector, and every fold runs in index order (zip_with/aggregate
+    ≡ list_dot_product) for cross-engine bit-equality."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    c0 = e.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cl"), F.col("v").alias("cv")
+    )
+
+    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        d2 = _dot("v", "v") - 2 * _dot("v", "cv") + _dot("cv", "cv")
+        w = W.partitionBy("vec_id").orderBy("d2", "cl")
+        return (
+            vecs.join(F.broadcast(cents))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "cv")
+        )
+
+    a1 = assign(e, c0).select("vec_id", "cl")
+    # new centroids: exact decimal mean per (cluster, dim), re-packed
+    # into an ordered array
+    dims = e.join(a1, "vec_id").select(
+        "cl", F.posexplode("v").alias("i", "x")
+    )
+    m = dims.groupBy("cl", "i").agg(
+        (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count("*")).alias("c")
+    )
+    c1 = m.groupBy("cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    return assign(e, c1).select(
+        "vec_id",
+        F.col("cl").cast("int").alias("cluster"),
+        F.round("d2", 4).alias("dist2"),
+    )

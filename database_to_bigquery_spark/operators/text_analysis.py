@@ -17,6 +17,7 @@ identically; the rolling-hash fold keeps every intermediate < 2^63.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..data import load_table, maybe_broadcast
@@ -344,3 +345,141 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<PHONE>",
     )
     return d.select("doc_id", scrubbed.alias("scrubbed"))
+
+
+# ------------------------------------------------ BPE merge learning ----
+
+
+def greedy_pair_merge(syms: Column, l: Column, r: Column) -> Column:
+    """Greedy left-to-right non-overlapping merge of each adjacent
+    (l, r) symbol pair into l||r — the BPE apply step, as a fold:
+    "a a a" with pair (a,a) → ["aa","a"], never ["aa","aa"[1:]]-style
+    overlap. A just-merged symbol can't re-merge (it equals l||r, which
+    is strictly longer than l), which is exactly the non-overlap rule."""
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == l) & (x == r),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(l, r))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@query(
+    "text_bpe_merges",
+    oracle=r"""
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wt FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word),
+    s0 AS (
+      SELECT word, wt,
+             list_append(string_split(trim(regexp_replace(word, '(.)', '\1 ', 'g')), ' '), '</w>') AS syms
+      FROM w),
+    pos0 AS (
+      SELECT word, wt, u.p AS p, s0.syms[u.p] AS sym,
+             LEAD(s0.syms[u.p]) OVER (PARTITION BY word ORDER BY u.p) AS nxt
+      FROM s0 CROSS JOIN LATERAL (SELECT unnest(range(1, len(s0.syms) + 1)) AS p) u),
+    p1 AS (SELECT sym AS l, nxt AS r, SUM(wt) AS cnt FROM pos0 WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    r1 AS (SELECT l, r, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM p1),
+    t1 AS (SELECT l, r FROM r1 WHERE rnk = 1),
+    m1 AS (SELECT word, p FROM pos0, t1 WHERE pos0.sym = t1.l AND pos0.nxt = t1.r),
+    sel1 AS (
+      SELECT word, p FROM (
+        SELECT word, p, ROW_NUMBER() OVER (PARTITION BY word, g ORDER BY p) AS rn
+        FROM (SELECT word, p, p - ROW_NUMBER() OVER (PARTITION BY word ORDER BY p) AS g FROM m1))
+      WHERE rn % 2 = 1),
+    s1 AS (
+      SELECT pos0.word, ANY_VALUE(pos0.wt) AS wt,
+             list(CASE WHEN s_here.p IS NOT NULL THEN t1.l || t1.r ELSE pos0.sym END ORDER BY pos0.p) AS syms
+      FROM pos0
+      CROSS JOIN t1
+      LEFT JOIN sel1 s_here ON s_here.word = pos0.word AND s_here.p = pos0.p
+      LEFT JOIN sel1 s_prev ON s_prev.word = pos0.word AND s_prev.p = pos0.p - 1
+      WHERE s_prev.p IS NULL
+      GROUP BY pos0.word, t1.l, t1.r),
+    pos1 AS (
+      SELECT word, wt, u.p AS p, s1.syms[u.p] AS sym,
+             LEAD(s1.syms[u.p]) OVER (PARTITION BY word ORDER BY u.p) AS nxt
+      FROM s1 CROSS JOIN LATERAL (SELECT unnest(range(1, len(s1.syms) + 1)) AS p) u),
+    p2 AS (SELECT sym AS l, nxt AS r, SUM(wt) AS cnt FROM pos1 WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    r2 AS (SELECT l, r, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM p2)
+    SELECT CAST(1 AS INT) AS it, CAST(rnk AS INT) AS rnk, l AS left_sym, r AS right_sym,
+           CAST(cnt AS BIGINT) AS pair_count
+    FROM r1 WHERE rnk <= 5
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST(rnk AS INT), l, r, CAST(cnt AS BIGINT)
+    FROM r2 WHERE rnk <= 5
+    """,
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE (byte-pair-encoding) vocabulary learning, two merge rounds,
+    distributed: the tokenizer-training primitive of every LLM data
+    pipeline, run as pure DataFrame ops. Words are spelled as symbol
+    sequences (chars + '</w>'), adjacent-pair frequencies are counted
+    corpus-wide (weighted by word frequency), the top pair becomes a
+    merge, and the corpus is re-tokenized by a greedy left-to-right
+    non-overlapping merge — expressed as a higher-order F.aggregate
+    fold over each symbol array, with the merge pair delivered to the
+    fold via a 1-row broadcast join (NOT a driver collect: the learned
+    pair stays a DataFrame, so the whole round is one job). Output: the
+    top-5 pair table per round — the merge table IS the model.
+
+    Scale: pair counting operates on the *distinct-word* table (Zipf:
+    vocabulary ≪ corpus) — one groupBy(word) shuffle builds it, then
+    each round is a map-side explode + a partial-aggregated
+    groupBy(l, r) whose key space is bounded by vocab², plus the 1-row
+    broadcast. Rounds are inherently sequential (merge k+1 depends on
+    merge k) — that is BPE, not a plan defect; each round's cost is
+    O(total symbol positions), shrinking as merges land. The greedy
+    fold is the semantics the oracle reproduces via run-parity windows
+    (positions in a run of consecutive matches merge at odd ranks)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+    ).filter(F.col("word") != "")
+    w = words.groupBy("word").agg(F.count("*").alias("wt"))
+    syms0 = F.concat(
+        F.split(F.trim(F.regexp_replace("word", "(.)", "$1 ")), " "),
+        F.array(F.lit("</w>")),
+    )
+    s = w.select("word", "wt", syms0.alias("syms"))
+
+    def pair_counts(sdf: DataFrame) -> DataFrame:
+        pairs = F.zip_with(
+            F.slice("syms", 1, F.size("syms") - 1),
+            F.slice("syms", 2, F.size("syms") - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        return (
+            sdf.select("wt", F.explode(pairs).alias("pr"))
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("wt").alias("cnt"))
+        )
+
+    def ranked(p: DataFrame) -> DataFrame:
+        # global top-k of the pair-vocabulary aggregate: the input is
+        # already reduced to |symbol-vocab|² rows at most — a 1-row-out
+        # window, not a corpus-wide sort
+        return p.withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.col("cnt").desc(), "l", "r"))
+        )
+
+    merged = greedy_pair_merge(F.col("syms"), F.col("l"), F.col("r"))
+
+    p1 = ranked(pair_counts(s))
+    t1 = p1.filter(F.col("rnk") == 1).select("l", "r")
+    s1 = s.join(F.broadcast(t1)).select("word", "wt", merged.alias("syms"))
+    p2 = ranked(pair_counts(s1))
+
+    def out(p: DataFrame, it: int) -> DataFrame:
+        return p.filter(F.col("rnk") <= 5).select(
+            F.lit(it).cast("int").alias("it"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("cnt").cast("long").alias("pair_count"),
+        )
+
+    return out(p1, 1).unionAll(out(p2, 2))

