@@ -206,3 +206,14 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
 
     bc = physical(li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey))
     assert "BroadcastHashJoin" in bc
+
+
+def test_parse_byte_conf_units():
+    from database_to_bigquery_spark.data import _parse_byte_conf
+
+    assert _parse_byte_conf("10485760b") == 10 << 20
+    assert _parse_byte_conf("10MB") == 10 << 20
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf("512k") == 512 << 10
+    assert _parse_byte_conf("12345") == 12345
+    assert _parse_byte_conf("-1") == -1  # broadcast disabled
