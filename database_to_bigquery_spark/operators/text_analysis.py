@@ -350,6 +350,53 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ BPE merge learning ----
 
 
+def _word_symbols(d: DataFrame) -> DataFrame:
+    """(word, wt, syms): the distinct-word table with each word spelled
+    as its character symbols + '</w>'. One groupBy(word) shuffle; Zipf
+    makes this table ≪ corpus size."""
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+    ).filter(F.col("word") != "")
+    w = words.groupBy("word").agg(F.count("*").alias("wt"))
+    syms0 = F.concat(
+        F.split(F.trim(F.regexp_replace("word", "(.)", "$1 ")), " "),
+        F.array(F.lit("</w>")),
+    )
+    return w.select("word", "wt", syms0.alias("syms"))
+
+
+def _pair_counts(sdf: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent-symbol pair frequencies: map-side
+    explode + partial-aggregated groupBy(l, r), key space ≤ vocab²."""
+    pairs = F.zip_with(
+        F.slice("syms", 1, F.size("syms") - 1),
+        F.slice("syms", 2, F.size("syms") - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        sdf.select("wt", F.explode(pairs).alias("pr"))
+        .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+        .agg(F.sum("wt").alias("cnt"))
+    )
+
+
+def _ranked_pairs(p: DataFrame) -> DataFrame:
+    # global top-k of the pair-vocabulary aggregate: the input is
+    # already reduced to |symbol-vocab|² rows at most — a 1-row-out
+    # window, not a corpus-wide sort
+    return p.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.col("cnt").desc(), "l", "r"))
+    )
+
+
+def _apply_top_merge(sdf: DataFrame, ranked: DataFrame) -> DataFrame:
+    """Re-tokenize every word with the rank-1 merge pair, delivered to
+    the greedy fold via a 1-row broadcast join (no driver collect)."""
+    top = ranked.filter(F.col("rnk") == 1).select("l", "r")
+    merged = greedy_pair_merge(F.col("syms"), F.col("l"), F.col("r"))
+    return sdf.join(F.broadcast(top)).select("word", "wt", merged.alias("syms"))
+
+
 def greedy_pair_merge(syms: Column, l: Column, r: Column) -> Column:
     """Greedy left-to-right non-overlapping merge of each adjacent
     (l, r) symbol pair into l||r — the BPE apply step, as a fold:
@@ -435,43 +482,10 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(total symbol positions), shrinking as merges land. The greedy
     fold is the semantics the oracle reproduces via run-parity windows
     (positions in a run of consecutive matches merge at odd ranks)."""
-    d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
-    ).filter(F.col("word") != "")
-    w = words.groupBy("word").agg(F.count("*").alias("wt"))
-    syms0 = F.concat(
-        F.split(F.trim(F.regexp_replace("word", "(.)", "$1 ")), " "),
-        F.array(F.lit("</w>")),
-    )
-    s = w.select("word", "wt", syms0.alias("syms"))
-
-    def pair_counts(sdf: DataFrame) -> DataFrame:
-        pairs = F.zip_with(
-            F.slice("syms", 1, F.size("syms") - 1),
-            F.slice("syms", 2, F.size("syms") - 1),
-            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-        )
-        return (
-            sdf.select("wt", F.explode(pairs).alias("pr"))
-            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
-            .agg(F.sum("wt").alias("cnt"))
-        )
-
-    def ranked(p: DataFrame) -> DataFrame:
-        # global top-k of the pair-vocabulary aggregate: the input is
-        # already reduced to |symbol-vocab|² rows at most — a 1-row-out
-        # window, not a corpus-wide sort
-        return p.withColumn(
-            "rnk", F.row_number().over(W.orderBy(F.col("cnt").desc(), "l", "r"))
-        )
-
-    merged = greedy_pair_merge(F.col("syms"), F.col("l"), F.col("r"))
-
-    p1 = ranked(pair_counts(s))
-    t1 = p1.filter(F.col("rnk") == 1).select("l", "r")
-    s1 = s.join(F.broadcast(t1)).select("word", "wt", merged.alias("syms"))
-    p2 = ranked(pair_counts(s1))
+    s = _word_symbols(load_table(spark, sf_dir, "documents"))
+    p1 = _ranked_pairs(_pair_counts(s))
+    s1 = _apply_top_merge(s, p1)
+    p2 = _ranked_pairs(_pair_counts(s1))
 
     def out(p: DataFrame, it: int) -> DataFrame:
         return p.filter(F.col("rnk") <= 5).select(
@@ -483,3 +497,100 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return out(p1, 1).unionAll(out(p2, 2))
+
+
+@query(
+    "text_bpe_tokenize",
+    oracle=r"""
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wt FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word),
+    s0 AS (
+      SELECT word, wt,
+             list_append(string_split(trim(regexp_replace(word, '(.)', '\1 ', 'g')), ' '), '</w>') AS syms
+      FROM w),
+    pos0 AS (
+      SELECT word, wt, u.p AS p, s0.syms[u.p] AS sym,
+             LEAD(s0.syms[u.p]) OVER (PARTITION BY word ORDER BY u.p) AS nxt
+      FROM s0 CROSS JOIN LATERAL (SELECT unnest(range(1, len(s0.syms) + 1)) AS p) u),
+    p1 AS (SELECT sym AS l, nxt AS r, SUM(wt) AS cnt FROM pos0 WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    t1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+    m1 AS (SELECT word, p FROM pos0, t1 WHERE pos0.sym = t1.l AND pos0.nxt = t1.r),
+    sel1 AS (
+      SELECT word, p FROM (
+        SELECT word, p, ROW_NUMBER() OVER (PARTITION BY word, g ORDER BY p) AS rn
+        FROM (SELECT word, p, p - ROW_NUMBER() OVER (PARTITION BY word ORDER BY p) AS g FROM m1))
+      WHERE rn % 2 = 1),
+    s1 AS (
+      SELECT pos0.word, ANY_VALUE(pos0.wt) AS wt,
+             list(CASE WHEN s_here.p IS NOT NULL THEN t1.l || t1.r ELSE pos0.sym END ORDER BY pos0.p) AS syms
+      FROM pos0 CROSS JOIN t1
+      LEFT JOIN sel1 s_here ON s_here.word = pos0.word AND s_here.p = pos0.p
+      LEFT JOIN sel1 s_prev ON s_prev.word = pos0.word AND s_prev.p = pos0.p - 1
+      WHERE s_prev.p IS NULL GROUP BY pos0.word, t1.l, t1.r),
+    pos1 AS (
+      SELECT word, wt, u.p AS p, s1.syms[u.p] AS sym,
+             LEAD(s1.syms[u.p]) OVER (PARTITION BY word ORDER BY u.p) AS nxt
+      FROM s1 CROSS JOIN LATERAL (SELECT unnest(range(1, len(s1.syms) + 1)) AS p) u),
+    p2 AS (SELECT sym AS l, nxt AS r, SUM(wt) AS cnt FROM pos1 WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    t2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+    m2 AS (SELECT word, p FROM pos1, t2 WHERE pos1.sym = t2.l AND pos1.nxt = t2.r),
+    sel2 AS (
+      SELECT word, p FROM (
+        SELECT word, p, ROW_NUMBER() OVER (PARTITION BY word, g ORDER BY p) AS rn
+        FROM (SELECT word, p, p - ROW_NUMBER() OVER (PARTITION BY word ORDER BY p) AS g FROM m2))
+      WHERE rn % 2 = 1),
+    toklen AS (
+      SELECT pos1.word, COUNT(*) FILTER (WHERE s_prev.p IS NULL) AS n_tokens
+      FROM pos1
+      LEFT JOIN sel2 s_prev ON s_prev.word = pos1.word AND s_prev.p = pos1.p - 1
+      GROUP BY pos1.word),
+    docw AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS dw FROM (
+        SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents)
+      WHERE word <> '' GROUP BY source, word)
+    SELECT d.source,
+           CAST(SUM(d.dw * (LENGTH(d.word) + 1)) AS BIGINT) AS char_tokens,
+           CAST(SUM(d.dw * t.n_tokens) AS BIGINT) AS bpe_tokens
+    FROM docw d JOIN toklen t ON t.word = d.word
+    GROUP BY d.source
+    """,
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE *apply* step: tokenize the corpus with the merge table
+    text_bpe_merges learns (2 rounds here), reporting per-source token
+    counts before (chars + '</w>') and after the merges — the token-
+    budget accounting every training-data pipeline runs after tokenizer
+    training. bpe_tokens < char_tokens by exactly the number of merge
+    applications.
+
+    Scale: the merges are applied to the DISTINCT-WORD table (Zipf:
+    re-tokenizing the vocabulary, not the corpus), then token counts
+    flow back to documents via a (source, word)-grain join against the
+    word-level lengths — the corpus itself is never re-exploded into
+    symbols. Both merge deliveries are 1-row broadcasts; the join-back
+    uses maybe_broadcast (vocabulary-sized side, size-guarded)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = _word_symbols(d)
+    s1 = _apply_top_merge(s, _ranked_pairs(_pair_counts(s)))
+    s2 = _apply_top_merge(s1, _ranked_pairs(_pair_counts(s1)))
+    toklen = s2.select("word", F.size("syms").alias("n_tokens"))
+
+    docw = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("dw"))
+    )
+    return (
+        docw.join(maybe_broadcast(toklen), "word")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("dw") * (F.length("word") + 1)).cast("long").alias("char_tokens"),
+            F.sum(F.col("dw") * F.col("n_tokens")).cast("long").alias("bpe_tokens"),
+        )
+    )
