@@ -131,3 +131,41 @@ def test_countmin_never_undercounts(spark, sf_dir):
     for r in rows:
         assert r["cms_est"] >= r["exact_cnt"], r  # CMS one-sided error
         assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
+
+
+def test_bpe_greedy_merge_exhaustive_vs_reference(spark):
+    # exhaustive over all {a,b}-sequences of length 1..6 x 4 pairs:
+    # the Catalyst fold must agree with a straightforward Python
+    # reference implementation of greedy left-to-right merging
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.operators.text_analysis import greedy_pair_merge
+
+    def ref_merge(syms, l, r):
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    cases = []
+    for n in range(1, 7):
+        for seq in product("ab", repeat=n):
+            for l, r in [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]:
+                cases.append((list(seq), l, r, ref_merge(list(seq), l, r)))
+    df = spark.createDataFrame(
+        cases, "syms array<string>, l string, r string, want array<string>"
+    )
+    bad = (
+        df.withColumn("got", greedy_pair_merge(F.col("syms"), F.col("l"), F.col("r")))
+        .filter(F.col("got") != F.col("want"))
+        .collect()
+    )
+    assert bad == [], bad[:5]
