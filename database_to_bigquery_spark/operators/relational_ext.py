@@ -459,6 +459,20 @@ _CMS_DEPTH = 4  # independent hash rows
 _CMS_WIDTH = 64  # buckets per row
 
 
+def cms_bucket(i: int, key_col):
+    """CMS bucket for hash row i: bits 97-128 of md5(f"{i}:{key}") mod
+    width — engine-independent (the oracle's substr(md5, 25, 8)), so
+    batch, streaming, and DuckDB all build the identical sketch."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(str(i)), F.lit(":"), key_col)), 25, 8),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_WIDTH
+    )
+
+
 @query(
     "q_countmin_sketch",
     oracle=f"""
@@ -513,13 +527,7 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("k")
     )
 
-    def bucket(i, key_col):
-        # bits 97-128 of md5 — identical to the oracle's substr(..,25,8)
-        return (
-            F.conv(F.substring(F.md5(F.concat(F.lit(str(i)), F.lit(":"), key_col)), 25, 8), 16, 10)
-            .cast("long")
-            % _CMS_WIDTH
-        )
+    bucket = cms_bucket
 
     cells = (
         ev.select(

@@ -238,3 +238,39 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "stream_countmin_cells",
+    oracle="""
+    SELECT i, bucket, COUNT(*) AS cell FROM (
+      SELECT i,
+             CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':',
+                                                 CAST(user_id AS VARCHAR))), 25, 8))
+                  AS BIGINT) % 64 AS bucket
+      FROM events CROSS JOIN (SELECT unnest(range(4)) AS i))
+    GROUP BY i, bucket
+    """,
+)
+def stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/jobs.py::countmin_cells: the 4×64
+    count-min cell table over event user_ids. Identical plan under
+    readStream (complete mode) because the aggregation state is a
+    constant 256 cells — the sketch property that makes frequency
+    estimation streamable with bounded memory where an exact per-key
+    count is not. Cells are md5-bucketed (engine-independent), so the
+    DuckDB oracle rebuilds the same sketch cell-for-cell;
+    tests/test_streaming.py asserts stream == batch on the same input."""
+    from ..operators.relational_ext import _CMS_DEPTH, cms_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.col("user_id").cast("string")
+    return (
+        ev.select(
+            F.posexplode(F.array(*[cms_bucket(i, k) for i in range(_CMS_DEPTH)])).alias(
+                "i", "bucket"
+            )
+        )
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("cell"))
+    )

@@ -447,3 +447,27 @@ def with_audit_metrics(events: DataFrame, name: str = "audit") -> DataFrame:
         F.sum("value").alias("total_value"),
         F.max("ts").alias("max_event_ts"),
     )
+
+
+def countmin_cells(events: DataFrame) -> DataFrame:
+    """Streaming count-min sketch build: the CMS cell table as a
+    running (complete-mode) aggregation. The state is BOUNDED BY
+    CONSTRUCTION — depth × width cells regardless of how many events or
+    distinct keys stream through — which is exactly why sketches are
+    the streaming answer to frequency questions: a raw groupBy(user_id)
+    count grows state with the key universe, the sketch never does. No
+    watermark needed; cells merge by addition, so per-micro-batch
+    partial counts fold into state exactly like map-side partial
+    aggregation does in batch (q_countmin_sketch is the batch twin)."""
+    from ..operators.relational_ext import _CMS_DEPTH, cms_bucket
+
+    k = F.col("user_id").cast("string")
+    return (
+        events.select(
+            F.posexplode(F.array(*[cms_bucket(i, k) for i in range(_CMS_DEPTH)])).alias(
+                "i", "bucket"
+            )
+        )
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("cell"))
+    )

@@ -480,3 +480,17 @@ def test_observed_audit_metrics_per_microbatch(spark, events_dir):
     assert observed, "no observed metrics surfaced in progress"
     total_rows = sum(m["n_rows"] for m in observed)
     assert total_rows == spark.read.parquet(events_dir).count()
+
+
+def test_stream_countmin_cells_equal_batch(spark, events_dir):
+    # the CMS cell table is a complete-mode streaming aggregation with
+    # state bounded at depth x width cells; drained over the same input
+    # it must equal the batch build cell-for-cell
+    stream = jobs.countmin_cells(jobs.read_events_stream(spark, events_dir))
+    q = jobs.run_to_memory_sink(stream, "cms_test", output_mode="complete")
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("cms_test").collect()}
+    ev = spark.read.parquet(events_dir)
+    want = {tuple(r) for r in jobs.countmin_cells(ev).collect()}
+    assert got == want
+    assert len(want) <= 4 * 64  # bounded-state property
