@@ -23,6 +23,7 @@ different plan, which is exactly what the equivalence check wants.)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -205,3 +206,90 @@ def q_category_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return ent("o_orderstatus").unionByName(ent("o_orderpriority"))
+
+
+# ------------------------------------------------- drift detection ----
+
+_PSI_BINS = 10
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE WHEN LENGTH(source) = 4 THEN 'a' ELSE 'b' END AS grp, n_chars
+      FROM documents),
+    bounds AS (
+      SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM tagged),
+    binned AS (
+      SELECT grp,
+             LEAST({_PSI_BINS - 1},
+                   CAST(FLOOR((n_chars - mn) / ((mx - mn + 1) / {_PSI_BINS}.0)) AS INT)) AS bin
+      FROM tagged CROSS JOIN bounds),
+    counts AS (
+      SELECT bin,
+             COUNT(*) FILTER (WHERE grp = 'a') AS na,
+             COUNT(*) FILTER (WHERE grp = 'b') AS nb
+      FROM binned GROUP BY bin),
+    tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM counts),
+    probs AS (
+      SELECT bin, na, nb,
+             (na + 0.5) / (ta + {_PSI_BINS * 0.5}) AS pa,
+             (nb + 0.5) / (tb + {_PSI_BINS * 0.5}) AS pb
+      FROM counts CROSS JOIN tot)
+    SELECT CAST(bin AS INT) AS bin, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           ROUND(pa, 6) AS pa, ROUND(pb, 6) AS pb,
+           ROUND((pa - pb) * LN(pa / pb), 6) AS psi_term,
+           ROUND(SUM((pa - pb) * LN(pa / pb)) OVER (), 6) AS psi_total
+    FROM probs
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between two corpus
+    slices (sources src0-9 vs src10+), binned on document length — the
+    distribution-shift gate a training-data pipeline runs between
+    ingest snapshots before mixing them (PSI < 0.1 stable, 0.1-0.25
+    moderate shift, > 0.25 investigate). Laplace-smoothed (+0.5/bin) so
+    empty bins contribute finite terms.
+
+    Scale: one scan → 1-row global min/max broadcast back for the bin
+    edges → one groupBy(bin) with conditional counts (map-side
+    partial) → arithmetic over {_PSI_BINS} rows. The per-bin report and
+    the windowed total ride the same {_PSI_BINS}-row frame; nothing
+    rescans the corpus. Works unchanged for any numeric column and any
+    pair of snapshot predicates."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.when(F.length("source") == 4, "a").otherwise("b").alias("grp"), "n_chars"
+    )
+    bounds = d.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    width = (F.col("mx") - F.col("mn") + 1) / float(_PSI_BINS)
+    binned = d.join(F.broadcast(bounds)).select(
+        "grp",
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.floor((F.col("n_chars") - F.col("mn")) / width).cast("int"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("grp") == "a", 1)).alias("na"),
+        F.count(F.when(F.col("grp") == "b", 1)).alias("nb"),
+    )
+    tot = counts.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    smooth = _PSI_BINS * 0.5
+    probs = counts.join(F.broadcast(tot)).select(
+        "bin",
+        "na",
+        "nb",
+        ((F.col("na") + 0.5) / (F.col("ta") + smooth)).alias("pa"),
+        ((F.col("nb") + 0.5) / (F.col("tb") + smooth)).alias("pb"),
+    )
+    term = (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+    return probs.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.round("pa", 6).alias("pa"),
+        F.round("pb", 6).alias("pb"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(W.partitionBy()), 6).alias("psi_total"),
+    )

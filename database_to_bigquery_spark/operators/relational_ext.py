@@ -563,3 +563,130 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------- bloom filter ----
+
+_BF_BITS = 1024  # filter size m
+_BF_K = 3  # hash functions
+_BF_SEG = 32  # bits per bitmap segment (32 keeps 1<<bit inside BIGINT)
+
+
+@query(
+    "q_bloom_filter_membership",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS k
+      FROM events WHERE event_type = 'purchase'),
+    positions AS (
+      SELECT k, j,
+             CAST(concat('0x', substr(md5(concat('bf', CAST(j AS VARCHAR), ':', k)), 25, 8))
+                  AS BIGINT) % {_BF_BITS} AS pos
+      FROM corpus CROSS JOIN (SELECT unnest(range({_BF_K})) AS j)),
+    bitmap AS (
+      SELECT pos // {_BF_SEG} AS seg,
+             bit_or(1::BIGINT << CAST(pos % {_BF_SEG} AS INT)) AS bits
+      FROM positions GROUP BY 1),
+    probes AS (SELECT CAST(unnest(range(30)) AS BIGINT) AS user_id),
+    probe_pos AS (
+      SELECT user_id, j,
+             CAST(concat('0x', substr(md5(concat('bf', CAST(j AS VARCHAR), ':',
+                                                 CAST(user_id AS VARCHAR))), 25, 8))
+                  AS BIGINT) % {_BF_BITS} AS pos
+      FROM probes CROSS JOIN (SELECT unnest(range({_BF_K})) AS j)),
+    hits AS (
+      SELECT p.user_id,
+             MIN(CASE WHEN (COALESCE(b.bits, 0) >> CAST(p.pos % {_BF_SEG} AS INT)) & 1 = 1
+                      THEN 1 ELSE 0 END) AS all_set
+      FROM probe_pos p LEFT JOIN bitmap b ON b.seg = p.pos // {_BF_SEG}
+      GROUP BY p.user_id),
+    truth AS (
+      SELECT pr.user_id, (c.k IS NOT NULL) AS true_member
+      FROM probes pr LEFT JOIN corpus c ON c.k = CAST(pr.user_id AS VARCHAR))
+    SELECT h.user_id, h.all_set = 1 AS bloom_member, t.true_member
+    FROM hits h JOIN truth t ON t.user_id = h.user_id
+    """,
+)
+def q_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: explicit Bloom filter as data — the mergeable membership
+    sketch completing the family (HLL = distinct, CMS = frequency,
+    bitmap = exact distinct, bloom = membership). A {_BF_BITS}-bit / 
+    {_BF_K}-hash filter over purchase user_ids is built as a 
+    {_BF_BITS // _BF_SEG}-row (segment, bits) bitmap via bit_or 
+    aggregation, then 30 probe keys are tested against it alongside 
+    exact truth, exposing false positives while guaranteeing zero 
+    false negatives (tested).
+
+    md5-derived bit positions make the filter engine-independent, so
+    the DuckDB oracle builds the identical bitmap — same exactness
+    story as q_countmin_sketch.
+
+    Scale: the filter is m/{_BF_SEG} longs regardless of input; build
+    is one map-side-combined groupBy(segment) (per-partition partial
+    bitmaps OR-merge — which is why Spark's own runtime bloom pushdown
+    works the same way); probes broadcast against the tiny bitmap.
+    This is the portable, materializable cousin of the planner's
+    bloom_filter_agg runtime filter (plan-asserted elsewhere in
+    test_plan_quality.py) — use it when the filter must persist across
+    jobs (e.g. incremental dedup probes shipped to another pipeline)."""
+    ev = load_table(spark, sf_dir, "events")
+    corpus = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").cast("string").alias("k"))
+        .distinct()
+    )
+
+    def pos(j: int, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{j}"), F.lit(":"), key_col)), 25, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BF_BITS
+        )
+
+    positions = corpus.select(
+        F.explode(F.array(*[pos(j, F.col("k")) for j in range(_BF_K)])).alias("pos")
+    )
+    bitmap = positions.groupBy((F.col("pos") / _BF_SEG).cast("long").alias("seg")).agg(
+        # shiftleft() the function requires a literal shift amount;
+        # the SQL form accepts a column
+        F.bit_or(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BF_SEG} AS INT))")
+        ).alias("bits")
+    )
+    probes = spark.range(30).select(F.col("id").alias("user_id"))
+    probe_pos = probes.select(
+        "user_id",
+        F.explode(
+            F.array(*[pos(j, F.col("user_id").cast("string")) for j in range(_BF_K)])
+        ).alias("pos"),
+    )
+    hits = (
+        probe_pos.join(
+            F.broadcast(bitmap), (F.col("pos") / _BF_SEG).cast("long") == F.col("seg"), "left"
+        )
+        .withColumn(
+            "hit",
+            (
+                F.expr(
+                    f"shiftright(COALESCE(bits, CAST(0 AS BIGINT)),"
+                    f" CAST(pos % {_BF_SEG} AS INT)) & 1"
+                )
+                == 1
+            ).cast("int"),
+        )
+        .groupBy("user_id")
+        .agg((F.min("hit") == 1).alias("bloom_member"))
+    )
+    truth = probes.join(
+        corpus.withColumn("user_id", F.col("k").cast("long")).select(
+            "user_id", F.lit(True).alias("present")
+        ),
+        "user_id",
+        "left",
+    ).select("user_id", F.coalesce("present", F.lit(False)).alias("true_member"))
+    return hits.join(truth, "user_id").select("user_id", "bloom_member", "true_member")

@@ -169,3 +169,15 @@ def test_bpe_greedy_merge_exhaustive_vs_reference(spark):
         .collect()
     )
     assert bad == [], bad[:5]
+
+
+def test_bloom_filter_no_false_negatives(spark, sf_dir):
+    from database_to_bigquery_spark.operators.relational_ext import (
+        q_bloom_filter_membership,
+    )
+
+    rows = q_bloom_filter_membership(spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        if r["true_member"]:
+            assert r["bloom_member"], r  # bloom guarantee: no false negatives
