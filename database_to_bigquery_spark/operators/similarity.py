@@ -485,3 +485,83 @@ def sim_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cl").cast("int").alias("cluster"),
         F.round("d2", 4).alias("dist2"),
     )
+
+
+# ------------------------------------------------ power iteration ----
+
+
+@query(
+    "sim_power_iteration",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(11,10))) AS v
+      FROM embeddings),
+    pairs AS (
+      SELECT ii.i AS i, jj.j AS j, e.v[ii.i] * e.v[jj.j] AS p
+      FROM e
+      CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS i) ii
+      CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) jj),
+    gram AS (
+      SELECT i, j, CAST(ROUND(SUM(p) * 1000, 0) AS BIGINT) AS q
+      FROM pairs GROUP BY i, j),
+    v1 AS (SELECT i, CAST(SUM(q) AS BIGINT) AS w FROM gram GROUP BY i),
+    v2 AS (
+      SELECT g.i, CAST(SUM(g.q * v1.w) AS BIGINT) AS w2
+      FROM gram g JOIN v1 ON v1.i = g.j GROUP BY g.i)
+    SELECT CAST(i - 1 AS INT) AS dim,
+           w2 AS v2_q,
+           ROUND(w2 / SQRT(SUM(CAST(w2 AS DOUBLE) * CAST(w2 AS DOUBLE)) OVER ()), 4)
+             AS direction
+    FROM v2
+    """,
+)
+def sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top singular direction of the (uncentered) embedding Gram matrix
+    by two power-iteration steps — distributed numerical linear algebra
+    as DataFrames: the Gram matrix is a (i, j, value) relation built
+    map-only from each vector's self-outer-product (no join: a nested
+    transform explodes d² products per vector), matrix-vector products
+    are a broadcast join + groupBy(i), starting vector = all-ones.
+
+    Determinism scheme (the oracle matches bit-for-bit): Gram entries
+    accumulate in DECIMAL (order-independent), then quantize to
+    integers at 1e-3 resolution; both power steps run in pure int64 —
+    exact, associative, engine-independent. Bounds: |x| < 0.6 and
+    n ≤ 20k rows keep v₂ ≤ ~2·10¹⁷ < 2⁶³. Only the final normalized
+    direction touches floating point, rounded after one division.
+
+    Scale: the d² explode is map-side (d=64 → 4096 rows/vector —
+    at 100 TB this is the standard tall-skinny Gramian: one
+    groupBy(i, j) shuffle of d² × partitions partials, never the
+    n × n route); each iteration shuffles only the d-row vector."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double").cast("decimal(11,10)")).alias("v")
+    )
+    pairs = e.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "v",
+                    lambda xi, i: F.transform(
+                        "v", lambda xj, j: F.struct(i.alias("i"), j.alias("j"), (xi * xj).alias("p"))
+                    ),
+                )
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    gram = pairs.groupBy("i", "j").agg(
+        F.round(F.sum("p") * 1000, 0).cast("long").alias("q")
+    )
+    v1 = gram.groupBy("i").agg(F.sum("q").alias("w"))
+    v2 = (
+        gram.join(F.broadcast(v1.select(F.col("i").alias("j"), "w")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("q") * F.col("w")).alias("w2"))
+    )
+    norm = F.sqrt(F.sum(F.col("w2").cast("double") * F.col("w2").cast("double")).over(W.partitionBy()))
+    return v2.select(
+        F.col("i").cast("int").alias("dim"),
+        F.col("w2").alias("v2_q"),
+        F.round(F.col("w2") / norm, 4).alias("direction"),
+    )
