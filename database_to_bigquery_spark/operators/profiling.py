@@ -274,14 +274,18 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("grp") == "a", 1)).alias("na"),
         F.count(F.when(F.col("grp") == "b", 1)).alias("nb"),
     )
-    tot = counts.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    # totals as a window over the 10-row bin frame, NOT a separate
+    # aggregate joined back: the agg+join form re-executes the corpus
+    # scan per consumer (4 scans total); the window keeps it at the
+    # 2-scan minimum for this formulation (bounds + binning)
     smooth = _PSI_BINS * 0.5
-    probs = counts.join(F.broadcast(tot)).select(
+    wall = W.partitionBy()
+    probs = counts.select(
         "bin",
         "na",
         "nb",
-        ((F.col("na") + 0.5) / (F.col("ta") + smooth)).alias("pa"),
-        ((F.col("nb") + 0.5) / (F.col("tb") + smooth)).alias("pb"),
+        ((F.col("na") + 0.5) / (F.sum("na").over(wall) + smooth)).alias("pa"),
+        ((F.col("nb") + 0.5) / (F.sum("nb").over(wall) + smooth)).alias("pb"),
     )
     term = (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
     return probs.select(

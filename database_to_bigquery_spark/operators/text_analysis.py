@@ -482,7 +482,11 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(total symbol positions), shrinking as merges land. The greedy
     fold is the semantics the oracle reproduces via run-parity windows
     (positions in a run of consecutive matches merge at odd ranks)."""
-    s = _word_symbols(load_table(spark, sf_dir, "documents"))
+    # persist the vocabulary table: it feeds both the round-1 pair
+    # count and the merge (and, without it, every downstream round
+    # re-explodes the corpus into words) — vocabulary-sized, the
+    # standard materialization point of a BPE trainer
+    s = _word_symbols(load_table(spark, sf_dir, "documents")).persist()
     p1 = _ranked_pairs(_pair_counts(s))
     s1 = _apply_top_merge(s, p1)
     p2 = _ranked_pairs(_pair_counts(s1))
@@ -572,8 +576,8 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbols. Both merge deliveries are 1-row broadcasts; the join-back
     uses maybe_broadcast (vocabulary-sized side, size-guarded)."""
     d = load_table(spark, sf_dir, "documents")
-    s = _word_symbols(d)
-    s1 = _apply_top_merge(s, _ranked_pairs(_pair_counts(s)))
+    s = _word_symbols(d).persist()
+    s1 = _apply_top_merge(s, _ranked_pairs(_pair_counts(s))).persist()
     s2 = _apply_top_merge(s1, _ranked_pairs(_pair_counts(s1)))
     toklen = s2.select("word", F.size("syms").alias("n_tokens"))
 
