@@ -448,9 +448,11 @@ def sim_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity |v-c|² = v·v - 2 v·c + c·c — the v·v term is computed once
     per vector, and every fold runs in index order (zip_with/aggregate
     ≡ list_dot_product) for cross-engine bit-equality."""
+    # cache the point set — the standard Lloyd's-iteration practice:
+    # every iteration (and the centroid reduce) re-reads it
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
-    )
+    ).persist()
     c0 = e.filter(F.col("vec_id") < _KMEANS_K).select(
         F.col("vec_id").alias("cl"), F.col("v").alias("cv")
     )
@@ -550,9 +552,11 @@ def sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("t")
     ).select("t.i", "t.j", "t.p")
+    # the d x d Gram relation feeds both power steps — persist so the
+    # d^2-per-vector explode runs once
     gram = pairs.groupBy("i", "j").agg(
         F.round(F.sum("p") * 1000, 0).cast("long").alias("q")
-    )
+    ).persist()
     v1 = gram.groupBy("i").agg(F.sum("q").alias("w"))
     v2 = (
         gram.join(F.broadcast(v1.select(F.col("i").alias("j"), "w")), "j")
