@@ -111,7 +111,12 @@ def maybe_broadcast(df: DataFrame, threshold_bytes: int | None = None) -> DataFr
         return df
     from pyspark.sql import functions as F
 
-    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    try:
+        # internal API (classic mode); under Spark Connect there is no
+        # _jdf — fall back to the unguarded hint, the pre-guard behavior
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return F.broadcast(df)
     return F.broadcast(df) if est <= threshold_bytes else df
 
 
