@@ -690,3 +690,90 @@ def q_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     ).select("user_id", F.coalesce("present", F.lit(False)).alias("true_member"))
     return hits.join(truth, "user_id").select("user_id", "bloom_member", "true_member")
+
+
+# --------------------------------------- Spark 4.1 sketch functions ----
+
+
+@query(
+    "q_approx_topk",
+    oracle="""
+    SELECT item, CAST(cnt AS BIGINT) AS est_count, CAST(rnk AS INT) AS rnk
+    FROM (SELECT event_type AS item, COUNT(*) AS cnt,
+                 ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) AS rnk
+          FROM events GROUP BY 1)
+    WHERE rnk <= 3
+    """,
+)
+def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: approximate heavy hitters via Spark 4.1's native
+    approx_top_k (Misra-Gries-family summary): top-3 event types with
+    estimated counts in ONE aggregation — no full groupBy + sort of the
+    key universe. On a key space smaller than the summary size the
+    estimates are exact, which is what makes this oracle-checkable;
+    q_countmin_sketch covers the from-scratch construction with
+    per-key error bounds.
+
+    Scale: the summary is fixed-size and mergeable, so partials
+    combine map-side like any algebraic aggregate; contrast with the
+    exact oracle plan (full groupBy + global sort), which shuffles
+    every distinct key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+        .select(F.posexplode("tk").alias("pos", "t"))
+        .select(
+            F.col("t.item").alias("item"),
+            F.col("t.count").cast("long").alias("est_count"),
+            (F.col("pos") + 1).cast("int").alias("rnk"),
+        )
+    )
+
+
+@query(
+    "q_theta_sketch_setops",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT
+      CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS clickers,
+      CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS purchasers,
+      CAST((SELECT COUNT(*) FROM (SELECT * FROM c UNION SELECT * FROM p)) AS BIGINT) AS union_cnt,
+      CAST((SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p)) AS BIGINT) AS both_cnt,
+      CAST((SELECT COUNT(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p)) AS BIGINT) AS click_only_cnt
+    """,
+)
+def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: theta sketches (Spark 4.1 / Apache DataSketches) — the
+    distinct-counting sketch that, unlike HLL, supports INTERSECTION
+    and DIFFERENCE: distinct clickers ∩/∖/∪ purchasers estimated from
+    two sketches built in a single scan (conditional theta_sketch_agg
+    per segment; aggregates skip the NULLs the CASE produces). Below
+    the sketch's nominal-entries threshold the estimates are exact —
+    oracle-checked against the set-algebra truth.
+
+    Scale: this is the audience-overlap query every event platform
+    runs; exact requires co-shuffling both distinct sets, the sketch
+    form ships two fixed-size summaries to the driver of ANY segment
+    pair — and sketches persist, so N segments need N sketch builds,
+    not N² pairwise joins."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END)"
+        ).alias("skc"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)"
+        ).alias("skp"),
+    )
+    return sk.select(
+        F.expr("theta_sketch_estimate(skc)").cast("long").alias("clickers"),
+        F.expr("theta_sketch_estimate(skp)").cast("long").alias("purchasers"),
+        F.expr("theta_sketch_estimate(theta_union(skc, skp))").cast("long").alias("union_cnt"),
+        F.expr("theta_sketch_estimate(theta_intersection(skc, skp))")
+        .cast("long")
+        .alias("both_cnt"),
+        F.expr("theta_sketch_estimate(theta_difference(skc, skp))")
+        .cast("long")
+        .alias("click_only_cnt"),
+    )
