@@ -266,3 +266,54 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", "c_mktsegment", F.round(scaled, 6).alias("acctbal_scaled")
     )
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             LN(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 25, 8)) AS BIGINT)
+                / 4294967296.0) / n_chars AS k
+      FROM documents)
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight, ROUND(k, 6) AS sample_key,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY k DESC, doc_id) AS rnk
+          FROM keyed)
+    WHERE rnk <= 5
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis-Spirakis A-ES), top-5
+    docs per source with inclusion probability proportional to weight
+    (n_chars stands in for a quality score): key = ln(u)/w with
+    u = md5-uniform in (0,1), keep the largest keys. Deterministic —
+    the 'randomness' is the md5 of the key, so the sample is
+    reproducible across runs AND engines (oracle-checked), the property
+    a training-data pipeline needs for auditable subset selection.
+
+    Scale: one shuffle on the stratum; the per-group top-k is
+    rank-and-filter (TakeOrdered semantics). The A-ES key makes
+    weighted sampling MERGEABLE: partial top-k per partition, then
+    top-k of partials — the same two-phase shape as any algebraic
+    aggregate, which is why this beats sequential reservoir algorithms
+    on a cluster."""
+    d = load_table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 25, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    k = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars", k.alias("k"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.round("k", 6).alias("sample_key"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

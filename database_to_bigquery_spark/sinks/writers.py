@@ -88,6 +88,44 @@ class ParquetSink(Sink):
 
 
 @dataclass
+class FileSink(Sink):
+    """Generic file sink for the remaining built-in formats — the write
+    side of sources/files.py::FileSourceSpec (orc / csv / json), so a
+    pipeline can round-trip any format it can read. Same contract as
+    ParquetSink: schema-enforce, single-pass observed audit count,
+    optional DAY partitioning by a derived date column.
+
+    Format notes: csv writes a header by default (matching the read
+    side's default); json is newline-delimited (the reference ships BQ
+    loads as NDJSON, bigquery_operations.py:28); timestamps survive in
+    orc, while csv/json callers wanting the reference's string form
+    apply S4 (format_datetimes_as_strings) upstream.
+    """
+
+    path: str = ""
+    format: str = "orc"  # orc | csv | json
+    options: dict[str, str] | None = None
+
+    def write(self, df: DataFrame, mode: WriteMode) -> int:
+        fmt = self.format.lower()
+        if fmt not in {"orc", "csv", "json"}:
+            raise ValueError(f"FileSink format must be orc/csv/json, got {self.format}")
+        df, obs = _observed(self.prepare(df))
+        if self.partition_field:
+            day_col = f"{self.partition_field}_day"
+            df = df.withColumn(day_col, F.to_date(F.col(self.partition_field)))
+            writer = df.write.mode(mode.value).partitionBy(day_col)
+        else:
+            writer = df.write.mode(mode.value)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        for k, v in (self.options or {}).items():
+            writer = writer.option(k, v)
+        writer.format(fmt).save(self.path)
+        return int(obs.get["rows"])
+
+
+@dataclass
 class BigQuerySink(Sink):
     """Production sink via the public spark-bigquery-connector.
 

@@ -362,3 +362,56 @@ class TestSchemaEvolution:
         assert set(merged.columns) == {"id", "name", "score"}
         rows = {r["id"]: r["score"] for r in merged.collect()}
         assert rows[1] is None and rows[2] is None and rows[3] == 9.5
+
+
+class TestFileSink:
+    def test_orc_csv_json_roundtrip(self, spark, sf_dir, tmp_path):
+        # the write side of FileSourceSpec: every text/binary format the
+        # reader supports must round-trip through FileSink with the
+        # audit count riding the write pass
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from database_to_bigquery_spark.sinks.writers import FileSink, WriteMode
+        from database_to_bigquery_spark.sources.files import (
+            FileSourceSpec,
+            read_file_source,
+        )
+
+        src = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+        )
+        want = [tuple(r) for r in src.collect()]
+        schema = T.StructType(
+            [
+                T.StructField("n_nationkey", T.LongType()),
+                T.StructField("n_name", T.StringType()),
+                T.StructField("n_regionkey", T.LongType()),
+            ]
+        )
+        for fmt in ["orc", "csv", "json"]:
+            path = str(tmp_path / fmt)
+            n = FileSink(path=path, format=fmt).write(src, WriteMode.TRUNCATE)
+            assert n == len(want)
+            back = read_file_source(
+                spark,
+                FileSourceSpec(path=path, format=fmt, schema=schema if fmt != "orc" else None),
+            )
+            got = [
+                tuple(r)
+                for r in back.select("n_nationkey", "n_name", "n_regionkey")
+                .orderBy("n_nationkey")
+                .collect()
+            ]
+            assert got == want, fmt
+
+    def test_file_sink_rejects_unknown_format(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from database_to_bigquery_spark.sinks.writers import FileSink, WriteMode
+
+        df = spark.read.parquet(f"{sf_dir}/region.parquet")
+        with _pytest.raises(ValueError, match="orc/csv/json"):
+            FileSink(path="/tmp/x", format="avro").write(df, WriteMode.TRUNCATE)
