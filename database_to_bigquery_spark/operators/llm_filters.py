@@ -316,3 +316,56 @@ def text_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup * 1.0 / F.count("*") > 0.5).alias("mostly_boilerplate"),
         )
     )
+
+
+@query(
+    "text_char_entropy_filter",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+      FROM documents
+      CROSS JOIN LATERAL (SELECT unnest(range(1, LENGTH(text) + 1)) AS i)),
+    freq AS (
+      SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, SUM(n) AS t FROM freq GROUP BY doc_id),
+    agg AS (
+      SELECT f.doc_id, -SUM((n * 1.0 / t) * LN(n * 1.0 / t)) AS h
+      FROM freq f JOIN tot USING (doc_id) GROUP BY f.doc_id)
+    SELECT doc_id, ROUND(h, 4) AS char_entropy,
+           (h BETWEEN 2.0 AND 6.0) AS keep
+    FROM agg
+    """,
+)
+def text_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish filter: Shannon entropy of the
+    per-document character distribution. Degenerate docs sit at the
+    extremes — near 0 for repeated-character junk ('aaaa…'), near
+    log2(alphabet) ≈ 4.7+ nats for uniform random bytes / base64 blobs
+    — while natural language lands in a stable mid band; the keep flag
+    applies the standard [2.0, 6.0] nat window.
+
+    Scale: one map-side character explode → groupBy(doc, char) with
+    partial aggregation (the wire carries per-doc char histograms,
+    ≤ ~100 rows/doc regardless of doc length) → per-doc entropy fold.
+    Same shape as text_stats: embarrassingly parallel, one shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.col("text").substr(i, F.lit(1)),
+            )
+        ).alias("c"),
+    )
+    freq = chars.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    tot = F.sum("n").over(W.partitionBy("doc_id"))
+    p = F.col("n") / tot
+    ent = freq.select("doc_id", (p * F.log(p)).alias("plogp"))
+    h = -F.sum("plogp")
+    return ent.groupBy("doc_id").agg(
+        F.round(h, 4).alias("char_entropy"),
+        ((h >= 2.0) & (h <= 6.0)).alias("keep"),
+    )
