@@ -777,3 +777,50 @@ def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("click_only_cnt"),
     )
+
+
+@query(
+    "q_skyline_pareto",
+    oracle="""
+    WITH best AS (
+      SELECT ROUND(p_retailprice, 2) AS price, MAX(p_size) AS size
+      FROM part GROUP BY 1),
+    ranked AS (
+      SELECT price, size,
+             MAX(size) OVER (ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_best
+      FROM best)
+    SELECT price, CAST(size AS BIGINT) AS size
+    FROM ranked
+    WHERE prev_best IS NULL OR size > prev_best
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) operator: the parts not dominated on
+    (minimize price, maximize size) — no other part is both cheaper and
+    at-least-as-large with one strict. The classic research operator,
+    here in its scalable 2D form: reduce to the best size per price
+    point (one groupBy), then one price-ordered pass keeping points
+    that beat the running max of everything cheaper.
+
+    Scale: the naive skyline is an O(n²) dominance self-join; this
+    formulation is one partial-aggregated shuffle on price + one
+    range-partitioned global sort (Spark samples boundaries, so the
+    'global' window parallelizes across partitions) over the much
+    smaller distinct-price relation. Higher dimensions decompose to
+    block-nested-loop over this 2D pass per block."""
+    p = load_table(spark, sf_dir, "part")
+    best = p.groupBy(F.round("p_retailprice", 2).alias("price")).agg(
+        F.max("p_size").alias("size")
+    )
+    w = (
+        Window.orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_best = F.max("size").over(w)
+    return (
+        best.withColumn("prev_best", prev_best)
+        .filter(F.col("prev_best").isNull() | (F.col("size") > F.col("prev_best")))
+        .select("price", F.col("size").cast("long").alias("size"))
+    )
