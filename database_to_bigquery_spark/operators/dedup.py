@@ -23,6 +23,7 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -671,3 +672,46 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e.agg(F.count("*").alias("n_edges"))
     return tri.crossJoin(edges)
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH groups AS (
+      SELECT event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE)
+                                ORDER BY value DESC, event_id) AS pick,
+             COUNT(*) OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE)) AS group_size
+      FROM events)
+    SELECT event_id AS keeper_id, ROUND(value, 4) AS keeper_value,
+           CAST(group_size AS BIGINT) AS group_size,
+           CAST(group_size - 1 AS BIGINT) AS dropped
+    FROM groups WHERE pick = 1 AND group_size > 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection policy: within each duplicate group (here the
+    (user, event_type, day) grain — the fixture's only grain with real
+    multi-member groups), keep the HIGHEST-VALUE member (tie on id)
+    instead of dedup_exact_keys' min-id convention — the policy layer
+    every production dedup needs once a quality/priority score exists
+    (swap `value` for any score column). Output: one row per
+    multi-member group with its keeper and drop count.
+
+    Scale: one shuffle on the group key; the ranking window and the
+    group-size count share that single partitioning (one Exchange
+    serves both)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    keys = ["user_id", "event_type", "d"]
+    w = W.partitionBy(*keys).orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.withColumn("pick", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(W.partitionBy(*keys)))
+        .filter((F.col("pick") == 1) & (F.col("group_size") > 1))
+        .select(
+            F.col("event_id").alias("keeper_id"),
+            F.round("value", 4).alias("keeper_value"),
+            F.col("group_size").cast("long").alias("group_size"),
+            (F.col("group_size") - 1).cast("long").alias("dropped"),
+        )
+    )

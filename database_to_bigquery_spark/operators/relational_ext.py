@@ -824,3 +824,51 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev_best").isNull() | (F.col("size") > F.col("prev_best")))
         .select("price", F.col("size").cast("long").alias("size"))
     )
+
+
+@query(
+    "q_cooccurrence_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_orders DESC, part_a, part_b) AS rnk
+          FROM pairs)
+    WHERE rnk <= 10
+    """,
+)
+def q_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top item pairs appearing in the
+    same order — the support-counting core of association mining (and
+    the bipartite-graph projection: items linked through shared
+    baskets).
+
+    Scale: the self-join keys on l_orderkey, so fanout is bounded by
+    basket size² (TPC-H baskets ≤ 7 lineitems → ≤ 21 pairs/order) —
+    one co-partitioned join, one partial-aggregated groupBy on the
+    pair. Real retail data has pathological baskets; cap them first
+    (slice the per-order item array) and this plan's bound holds. The
+    global top-10 window runs on the already-aggregated pair relation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
