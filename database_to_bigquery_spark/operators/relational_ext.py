@@ -475,6 +475,7 @@ def cms_bucket(i: int, key_col):
 
 @query(
     "q_countmin_sketch",
+    headline=True,
     oracle=f"""
     WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
     hashed AS (

@@ -390,6 +390,7 @@ _KMEANS_K = 4  # seeds = the vectors with vec_id 0..3
 
 @query(
     "sim_kmeans_2iter",
+    headline=True,
     oracle=f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

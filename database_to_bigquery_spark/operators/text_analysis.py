@@ -415,6 +415,7 @@ def greedy_pair_merge(syms: Column, l: Column, r: Column) -> Column:
 
 @query(
     "text_bpe_merges",
+    headline=True,
     oracle=r"""
     WITH w AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS wt FROM (
