@@ -30,7 +30,7 @@ import os
 from .data import load_table
 from .plans.pipeline import PipelineResult, run_pipeline
 from .plans.table_spec import TableSpec
-from .sinks.writers import ParquetSink
+from .sinks.writers import FileSink, ParquetSink
 from .session import get_spark
 
 #: Fixture-table specs: incremental column = the event-time column the
@@ -78,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="continue past per-table failures (reference is fail-fast)")
     ap.add_argument("--log-dir", default=None,
                     help="write a dated run log file here (S19, reference config.py:38-39)")
+    ap.add_argument("--sink-format", default="parquet",
+                    choices=["parquet", "orc", "csv", "json"],
+                    help="warehouse file format (csv/json callers usually also want "
+                         "the reference's S4 datetime->string rendering)")
     args = ap.parse_args(argv)
 
     configure_run_logging(args.log_dir, day=args.day)
@@ -86,10 +90,17 @@ def main(argv: list[str] | None = None) -> int:
     results: list[PipelineResult] = []
     for t in args.tables.split(","):
         spec = FIXTURE_SPECS[t.strip()]
-        sink = ParquetSink(
-            path=os.path.join(args.target, spec.name),
-            partition_field=spec.partition_field,
-        )
+        sink_path = os.path.join(args.target, spec.name)
+        if args.sink_format == "parquet":
+            sink: ParquetSink | FileSink = ParquetSink(
+                path=sink_path, partition_field=spec.partition_field
+            )
+        else:
+            sink = FileSink(
+                path=sink_path,
+                format=args.sink_format,
+                partition_field=spec.partition_field,
+            )
         try:
             # schema resolution is eager — a missing/corrupt source
             # fails HERE, so isolation has to cover the load too, not

@@ -281,3 +281,22 @@ def test_run_etl_sh_smoke(sf_dir, tmp_path):
     )
     assert proc.returncode == 0, proc.stderr
     assert "--daily" in proc.stdout and "--log-dir" in proc.stdout
+
+
+def test_cli_sink_format_orc(spark, sf_dir, tmp_path):
+    # --sink-format routes through FileSink; the warehouse round-trips
+    from database_to_bigquery_spark import etl
+
+    rc = etl.main(
+        [
+            "--source", sf_dir,
+            "--target", str(tmp_path / "wh"),
+            "--tables", "customer",
+            "--sink-format", "orc",
+        ]
+    )
+    assert rc == 0
+    back = spark.read.orc(str(tmp_path / "wh" / "customer"))
+    want = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert back.count() == want.count()
+    assert set(back.columns) == set(want.columns)
