@@ -122,6 +122,17 @@ def main(argv: list[str] | None = None) -> int:
         status = "ERROR: " + r.error if r.error else (
             "skipped (empty)" if r.skipped_empty else f"{r.rows_written} rows")
         print(f"{r.table}: {status}")
+    # release the run's handlers: configure_run_logging pinned root
+    # handlers to THIS run's stderr/file. When main() is called
+    # in-process (tests, notebooks), anything logging after we return
+    # — e.g. py4j's interpreter-shutdown message — would hit a closed
+    # capture stream or a deleted log dir ("--- Logging error ---"
+    # noise). Dropping the handlers falls back to logging.lastResort,
+    # which resolves sys.stderr at emit time and is always safe.
+    root = logging.getLogger()
+    for h in root.handlers[:]:
+        root.removeHandler(h)
+        h.close()
     return 1 if any(r.error for r in results) else 0
 
 
