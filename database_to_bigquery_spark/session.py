@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow batches for every pandas_udf / applyInPandas crossing.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ...and for Python UDTFs too (ArrowEvalPythonUDTF instead of
+        # row-pickled BatchEvalPythonUDTF) — keeps the suite-wide
+        # "no row-at-a-time Python" plan gate exact.
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # Deterministic timestamp semantics (matches DuckDB oracle).
         .config("spark.sql.session.timeZone", "UTC")
         # Dimension tables (region/nation/supplier/part at test SFs)

@@ -217,3 +217,27 @@ def test_parse_byte_conf_units():
     assert _parse_byte_conf("512k") == 512 << 10
     assert _parse_byte_conf("12345") == 12345
     assert _parse_byte_conf("-1") == -1  # broadcast disabled
+
+
+def test_suitewide_no_cartesian_no_row_udf(spark, sf_dir):
+    # census-as-CI: EVERY registered query must plan without a
+    # CartesianProduct (the accidental-cross-join scale killer) and
+    # without row-at-a-time Python evaluation (BatchEvalPython — only
+    # Arrow-batched Python is allowed in this repo). The per-query
+    # spot checks above freeze specific shapes; this is the global
+    # floor a new operator cannot slip under.
+    failures = []
+    for name, spec in sorted(SPECS.items()):
+        try:
+            df = spec.fn(spark, sf_dir)
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # a plan-time failure is also a failure
+            failures.append((name, f"plan error: {type(exc).__name__}"))
+            continue
+        if "CartesianProduct" in plan:
+            failures.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            failures.append((name, "BatchEvalPython (row-at-a-time UDF)"))
+    assert not failures, failures
