@@ -273,8 +273,8 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
       SELECT source, doc_id, n_chars,
-             LN(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 25, 8)) AS BIGINT)
-                / 4294967296.0) / n_chars AS k
+             LN((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 25, 8)) AS BIGINT)
+                 + 1) / 4294967296.0) / n_chars AS k
       FROM documents)
     SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight, ROUND(k, 6) AS sample_key,
            CAST(rnk AS INT) AS rnk
@@ -300,8 +300,13 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, which is why this beats sequential reservoir algorithms
     on a cluster."""
     d = load_table(spark, sf_dir, "documents")
-    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 25, 8), 16, 10).cast(
-        "double"
+    # +1 shifts the 32-bit uniform into (0, 1]: u = 0 would make
+    # ln(u) engine-divergent (NULL in Spark, -inf/error elsewhere)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 25, 8), 16, 10).cast(
+            "double"
+        )
+        + 1
     ) / F.lit(4294967296.0)
     k = F.log(u) / F.col("n_chars")
     w = Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
