@@ -369,3 +369,133 @@ def text_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 4).alias("char_entropy"),
         ((h >= 2.0) & (h <= 6.0)).alias("keep"),
     )
+
+
+@query(
+    "llm_corpus_prepare",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, source, text,
+             CASE WHEN LENGTH(text) BETWEEN 100 AND 400 THEN 1.0 ELSE 0.5 END
+           * CASE WHEN LENGTH(string_split(text, ' ')) >= 20 THEN 1.0 ELSE 0.6 END
+           * CASE WHEN CAST(LENGTH(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                       / LENGTH(text) < 0.1 THEN 1.0 ELSE 0.7 END AS q
+      FROM documents),
+    kept_q AS (SELECT * FROM quality WHERE q >= 0.6),
+    idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(LENGTH(text) - 4, 1))) AS i
+      FROM kept_q),
+    sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g FROM idx),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dups AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6),
+    final AS (
+      SELECT k.* FROM kept_q k LEFT JOIN dups d USING (doc_id)
+      WHERE d.doc_id IS NULL)
+    SELECT q.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(COUNT(*) FILTER (WHERE q.q >= 0.6) AS BIGINT) AS docs_quality,
+           CAST(COUNT(f.doc_id) AS BIGINT) AS docs_final,
+           CAST(COALESCE(SUM(LENGTH(string_split(f.text, ' '))), 0) AS BIGINT)
+             AS ws_tokens_final
+    FROM quality q LEFT JOIN final f USING (doc_id)
+    GROUP BY q.source
+    """,
+)
+def llm_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation — the composition the
+    individual operators exist for, as ONE oracle-checked funnel:
+
+      1. heuristic quality gate (text_quality_score formula, keep
+         q ≥ 0.6),
+      2. near-duplicate removal over the survivors (exact n-gram
+         Jaccard ≥ 0.6; keep-first policy — any doc appearing as the
+         higher id of a near-dup pair is dropped), using the same
+         shingle machinery as dedup_ngram_jaccard,
+      3. per-source funnel report: docs in → past quality → past dedup
+         → surviving whitespace-token budget.
+
+    At 100 TB step 2 swaps to dedup_minhash_lsh candidates (same
+    output contract, sub-quadratic) — the exact form here is what
+    makes the whole funnel oracle-checkable end to end; every stage is
+    also available and tested as a standalone operator.
+
+    Scale: the funnel is a strict narrowing — quality is map-only,
+    dedup runs on the reduced survivor set, and the report is one
+    groupBy(source). Nothing rescans the raw corpus more than the
+    shingle pass."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(F.split(F.col("text"), " "))
+    punct_ratio = F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")) / n_chars
+    q = (
+        F.when((n_chars >= 100) & (n_chars <= 400), 1.0).otherwise(0.5)
+        * F.when(n_words >= 20, 1.0).otherwise(0.6)
+        * F.when(punct_ratio < 0.1, 1.0).otherwise(0.7)
+    )
+    quality = d.select("doc_id", "source", "text", q.alias("q"))
+    kept_q = quality.filter(F.col("q") >= 0.6)
+
+    # near-dup pairs over the quality survivors (shingle → equi-join on
+    # gram → Jaccard); persist shingles: they feed sizes AND both join
+    # sides
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(5)),
+        )
+    )
+    sh = (
+        kept_q.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(grams).alias("g"))
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        sh.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    dups = (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b",
+        )
+        .filter(jac >= 0.6)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = kept_q.join(dups, "doc_id", "left_anti")
+
+    report = (
+        quality.alias("q")
+        .join(
+            final.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("nw")).alias("f"),
+            "doc_id",
+            "left",
+        )
+        .groupBy(F.col("q.source").alias("source"))
+        .agg(
+            F.count("*").cast("long").alias("docs_in"),
+            F.count(F.when(F.col("q.q") >= 0.6, 1)).cast("long").alias("docs_quality"),
+            F.count("f.nw").cast("long").alias("docs_final"),
+            F.coalesce(F.sum("f.nw"), F.lit(0)).cast("long").alias("ws_tokens_final"),
+        )
+    )
+    return report
