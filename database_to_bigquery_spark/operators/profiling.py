@@ -297,3 +297,78 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(W.partitionBy()), 6).alias("psi_total"),
     )
+
+
+@query(
+    "q_ks_test",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN LENGTH(source) = 4 THEN 'a' ELSE 'b' END AS grp, n_chars
+      FROM documents),
+    tot AS (
+      SELECT COUNT(*) FILTER (WHERE grp = 'a') AS ta,
+             COUNT(*) FILTER (WHERE grp = 'b') AS tb
+      FROM tagged),
+    vals AS (
+      SELECT n_chars AS x,
+             COUNT(*) FILTER (WHERE grp = 'a') AS ca,
+             COUNT(*) FILTER (WHERE grp = 'b') AS cb
+      FROM tagged GROUP BY n_chars),
+    cdf AS (
+      SELECT x,
+             SUM(ca) OVER (ORDER BY x) * 1.0 / ta AS fa,
+             SUM(cb) OVER (ORDER BY x) * 1.0 / tb AS fb
+      FROM vals CROSS JOIN tot)
+    SELECT ROUND(MAX(ABS(fa - fb)), 6) AS ks_stat,
+           CAST((SELECT ta FROM tot) AS BIGINT) AS n_a,
+           CAST((SELECT tb FROM tot) AS BIGINT) AS n_b,
+           MAX(ABS(fa - fb))
+             > 1.358 * SQRT((ta + tb) * 1.0 / (ta * tb)) AS reject_95
+    FROM cdf CROSS JOIN tot GROUP BY ta, tb
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the same corpus
+    slices as q_psi_drift (src0-9 vs src10+), on document length: the
+    nonparametric distribution-shift detector — KS statistic = max gap
+    between the two empirical CDFs, with the 95% rejection threshold
+    1.358·√((n+m)/(n·m)). PSI reports *where* the mass moved (binned);
+    KS answers *whether* the distributions differ, bin-free.
+
+    Scale: group to distinct values first (one partial-aggregated
+    shuffle on the value — the CDF support, ≪ corpus), then one
+    range-partitioned ordered window over the support builds both CDFs
+    in a single pass; the max-gap reduce is 1 row out. No corpus-sized
+    sort anywhere."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.when(F.length("source") == 4, "a").otherwise("b").alias("grp"), "n_chars"
+    )
+    vals = d.groupBy(F.col("n_chars").alias("x")).agg(
+        F.count(F.when(F.col("grp") == "a", 1)).alias("ca"),
+        F.count(F.when(F.col("grp") == "b", 1)).alias("cb"),
+    )
+    wall = W.partitionBy()
+    wcdf = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    cdf = vals.select(
+        "x",
+        "ca",
+        "cb",
+        (F.sum("ca").over(wcdf) * 1.0 / F.sum("ca").over(wall)).alias("fa"),
+        (F.sum("cb").over(wcdf) * 1.0 / F.sum("cb").over(wall)).alias("fb"),
+        F.sum("ca").over(wall).alias("ta"),
+        F.sum("cb").over(wall).alias("tb"),
+    )
+    gap = F.abs(F.col("fa") - F.col("fb"))
+    return (
+        cdf.groupBy("ta", "tb")
+        .agg(F.max(gap).alias("d"))
+        .select(
+            F.round("d", 6).alias("ks_stat"),
+            F.col("ta").cast("long").alias("n_a"),
+            F.col("tb").cast("long").alias("n_b"),
+            (
+                F.col("d")
+                > 1.358 * F.sqrt((F.col("ta") + F.col("tb")) * 1.0 / (F.col("ta") * F.col("tb")))
+            ).alias("reject_95"),
+        )
+    )

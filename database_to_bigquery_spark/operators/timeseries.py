@@ -485,3 +485,71 @@ def ts_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "purchase_id", "purchase_ts", "version_id", "valid_from")
     )
+
+
+@query(
+    "ts_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+      FROM events WHERE user_id < 100),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM flagged),
+    merged AS (
+      SELECT user_id, isl, MIN(s) AS m_start, MAX(e) AS m_end
+      FROM islands GROUP BY user_id, isl)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           -- floor each endpoint before differencing: Spark's
+           -- unix_timestamp truncates to whole seconds per endpoint
+           CAST(SUM(CAST(FLOOR(epoch(m_end)) AS BIGINT)
+                    - CAST(FLOOR(epoch(m_start)) AS BIGINT)) AS BIGINT) AS covered_seconds
+    FROM merged GROUP BY user_id
+    """,
+)
+def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval algebra: union of overlapping intervals per key (each
+    event opens a 30-minute activity window) → merged interval count
+    and total covered seconds — the coverage/utilization computation
+    behind SLA accounting, ad-viewability, and machine-uptime rollups.
+    Classic gap-islands: an interval starts a new island iff it begins
+    after the running max end of everything earlier.
+
+    Scale: one shuffle on user_id; both windows and the island groupBy
+    ride the same hash partitioning (a single Exchange), and the
+    running-max trick handles nested/contained intervals that a naive
+    LAG(end) comparison gets wrong."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_end = F.max("e").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > prev_max_end, 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "isl",
+        F.sum("new_island").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("user_id", "isl").agg(
+        F.min("s").alias("m_start"), F.max("e").alias("m_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum(F.unix_timestamp("m_end") - F.unix_timestamp("m_start"))
+        .cast("long")
+        .alias("covered_seconds"),
+    )
