@@ -873,3 +873,116 @@ def q_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@query(
+    "q_largest_remainder_alloc",
+    oracle="""
+    WITH share AS (
+      SELECT n_nationkey AS nation, COUNT(c_custkey) AS members
+      FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY 1),
+    quota AS (
+      SELECT nation, members,
+             CAST(FLOOR(members * 1000.0 / SUM(members) OVER ()) AS BIGINT) AS base,
+             members * 1000.0 / SUM(members) OVER ()
+               - FLOOR(members * 1000.0 / SUM(members) OVER ()) AS rem
+      FROM share),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, nation) AS rr,
+             1000 - SUM(base) OVER () AS leftover
+      FROM quota)
+    SELECT nation, CAST(members AS BIGINT) AS members,
+           CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS allocation
+    FROM ranked
+    """,
+)
+def q_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: distribute 1000
+    integer units across nations pro-rata to customer count — floor
+    each quota, then hand the leftover units to the largest fractional
+    remainders. The sum is EXACTLY 1000 by construction (tested), which
+    naive independent rounding cannot guarantee — the pattern behind
+    budget splits, seat apportionment, and sampling-quota assignment.
+
+    Scale: the big side reduces to one groupBy; everything after runs
+    on the |groups| relation (two windows over 25 rows here; at any
+    scale the group count, not the fact count, bounds the window)."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nation")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"), "c_custkey"
+    )
+    share = n.join(c, "nation", "left").groupBy("nation").agg(
+        F.count("c_custkey").alias("members")
+    )
+    wall = Window.partitionBy()
+    exact = F.col("members") * 1000.0 / F.sum("members").over(wall)
+    quota = share.select(
+        "nation",
+        "members",
+        F.floor(exact).cast("long").alias("base"),
+        (exact - F.floor(exact)).alias("rem"),
+    )
+    ranked = quota.select(
+        "*",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), "nation")).alias("rr"),
+        (F.lit(1000) - F.sum("base").over(wall)).alias("leftover"),
+    )
+    return ranked.select(
+        "nation",
+        F.col("members").cast("long").alias("members"),
+        (
+            F.col("base") + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("long").alias("allocation"),
+    )
+
+
+@query(
+    "q_benford_test",
+    oracle="""
+    WITH digits AS (
+      -- FLOOR, not a bare BIGINT cast: DuckDB's double->int cast
+      -- rounds to nearest while Spark's truncates
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+      FROM orders WHERE o_totalprice >= 1),
+    counts AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT d AS leading_digit,
+           CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / t, 6) AS observed_freq,
+           ROUND(LN(1.0 + 1.0 / d) / LN(10), 6) AS benford_freq,
+           ROUND(n * 1.0 / t - LN(1.0 + 1.0 / d) / LN(10), 6) AS deviation
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of order totals: observed leading-
+    digit frequencies vs the Benford expectation log10(1 + 1/d) — the
+    fraud/anomaly screen auditors run on financial magnitude columns
+    (fabricated numbers rarely follow the law; naturally-grown
+    magnitudes do).
+
+    Scale: map-only digit extraction, one 9-key groupBy (partial-
+    aggregated), and the comparison arithmetic on 9 rows. Truncating
+    to BIGINT before taking the first character avoids scientific
+    notation in string rendering on either engine."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(F.col("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d")
+    )
+    counts = d.groupBy("d").agg(F.count("*").alias("n"))
+    wall = Window.partitionBy()
+    t = F.sum("n").over(wall)
+    benford = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    return counts.select(
+        F.col("d").alias("leading_digit"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * 1.0 / t, 6).alias("observed_freq"),
+        F.round(benford, 6).alias("benford_freq"),
+        F.round(F.col("n") * 1.0 / t - benford, 6).alias("deviation"),
+    )

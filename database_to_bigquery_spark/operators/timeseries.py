@@ -553,3 +553,44 @@ def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("covered_seconds"),
     )
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value,
+             CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+           - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dur
+      FROM events WHERE user_id < 100)
+    SELECT user_id,
+           CAST(SUM(dur) AS BIGINT) AS observed_seconds,
+           ROUND(SUM(value * dur) / SUM(dur), 4) AS twap
+    FROM seg WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY user_id
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation holds until the
+    next one, so its weight is the duration it was in force — the
+    correct average for irregularly-sampled state (prices, gauge
+    metrics, feature values), where the arithmetic mean over-weights
+    bursts of frequent updates.
+
+    Scale: one shuffle on user_id; LEAD and the aggregate share the
+    partitioning. The final segment (no successor) is excluded —
+    standard right-open convention."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = (
+        F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+    ).alias("dur")
+    seg = ev.select("user_id", "value", dur)
+    return (
+        seg.filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.sum("dur").cast("long").alias("observed_seconds"),
+            F.round(F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 4).alias("twap"),
+        )
+    )

@@ -181,3 +181,15 @@ def test_bloom_filter_no_false_negatives(spark, sf_dir):
     for r in rows:
         if r["true_member"]:
             assert r["bloom_member"], r  # bloom guarantee: no false negatives
+
+
+def test_largest_remainder_allocation_is_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.operators.relational_ext import (
+        q_largest_remainder_alloc,
+    )
+
+    out = q_largest_remainder_alloc(spark, sf_dir)
+    total = out.agg(F.sum("allocation")).collect()[0][0]
+    assert total == 1000  # the property naive rounding cannot guarantee
