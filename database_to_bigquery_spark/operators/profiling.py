@@ -372,3 +372,53 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reject_95"),
         )
     )
+
+
+@query(
+    "q_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c_custkey, ROUND(SUM(o_totalprice), 2) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, c_custkey) AS i FROM spend)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(x), 2) AS total_spend,
+           ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the concentration metric
+    behind revenue-dependency and data-source-imbalance monitoring
+    (0 = perfectly even, →1 = one whale): G = 2·Σ(rank·xᵢ)/(n·Σx) −
+    (n+1)/n over ascending-sorted values, ties broken by key for
+    cross-engine determinism.
+
+    Scale: spend is one join + groupBy reduce; the ranking runs over
+    the aggregated per-customer relation, orders of magnitude smaller
+    than the fact table. The global ORDER BY window is a range-
+    partitioned sort; for key spaces where even that is too hot, the
+    two-phase offset pattern of q_global_ranks_scalable computes the
+    same Σ(rank·x) without a single-partition stage."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+    )
+    ranked = spend.withColumn(
+        "i", F.row_number().over(W.orderBy("x", "c_custkey"))
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.sum("x"), 2).alias("total_spend"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.count("*") * F.sum("x"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
