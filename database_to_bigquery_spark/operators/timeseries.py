@@ -594,3 +594,127 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 4).alias("twap"),
         )
     )
+
+
+@query(
+    "ts_autocorr_lag1",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type, value AS y,
+             LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x
+      FROM events),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(20,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(20,10)) * CAST(y AS DECIMAL(20,10))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(20,10)) * CAST(x AS DECIMAL(20,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(20,10)) * CAST(y AS DECIMAL(20,10))) AS DOUBLE) AS syy
+      FROM pairs WHERE x IS NOT NULL GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS acf1
+    FROM s
+    """,
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per event type — the first time-series
+    diagnostic (is the signal momentum-driven or white noise?):
+    Pearson correlation between each value and its predecessor in
+    event-time order.
+
+    Determinism: the five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    Σy²) accumulate in DECIMAL(20,10) — exact and order-independent —
+    so both engines compute the identical correlation before the one
+    rounded division. Scale: LAG and the aggregate share one shuffle
+    on event_type; the sufficient statistics combine map-side, which
+    is why closed-form correlation beats any sort-based method on a
+    cluster."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type",
+        F.col("value").alias("y"),
+        F.lag("value").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(20,10)")  # noqa: E731
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    acf = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_pairs"),
+        F.round(acf, 6).alias("acf1"),
+    )
+
+
+@query(
+    "ts_ols_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE) AS x,
+             value AS y
+      FROM events),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(20,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(20,10)) * CAST(y AS DECIMAL(20,10))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(20,10)) * CAST(x AS DECIMAL(20,10))) AS DOUBLE) AS sxx
+      FROM pts GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM s
+    """,
+)
+def ts_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend (OLS slope per day + intercept) of
+    value over time — the closed-form distributed regression: four
+    sufficient statistics, one shuffle, no iteration. x = days since
+    2024-01-01 keeps magnitudes small enough for exact DECIMAL
+    accumulation (the cross-engine determinism trick shared with
+    ts_autocorr_lag1).
+
+    Scale: identical shape to any hash aggregate — map-side partials
+    of (n, Σx, Σy, Σxy, Σx²) merge associatively; this is why OLS,
+    correlation and variance belong IN the engine rather than in a
+    driver-side statistics library."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("value").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(20,10)")  # noqa: E731
+    s = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_points"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+    )
