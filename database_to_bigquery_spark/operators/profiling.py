@@ -422,3 +422,71 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS bucket,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2),
+    margins AS (
+      SELECT event_type, bucket, o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(o) OVER (PARTITION BY bucket) AS col_tot,
+             SUM(o) OVER () AS n
+      FROM obs),
+    cells AS (
+      SELECT *, row_tot * col_tot * 1.0 / n AS e FROM margins)
+    SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT bucket) - 1) AS BIGINT) AS dof,
+           ROUND(SQRT(SUM((o - e) * (o - e) / e) / (MAX(n) *
+                 LEAST(COUNT(DISTINCT event_type) - 1,
+                       COUNT(DISTINCT bucket) - 1))), 6) AS cramers_v
+    FROM cells
+    """,
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the event_type × value-band
+    contingency table, with Cramér's V effect size — the categorical
+    association check completing the drift/association family
+    (q_psi_drift: binned shift, q_ks_test: continuous shift, this:
+    categorical dependence).
+
+    Scale: ONE pass builds the contingency table (groupBy both keys,
+    map-side combined); margins and expectations are windows over the
+    |cells| relation (types × bands — tiny at any corpus size), so the
+    statistic costs one corpus shuffle regardless of data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        F.when(F.col("value") >= 50, "hi").otherwise("lo").alias("bucket"),
+    ).agg(F.count("*").alias("o"))
+    margins = obs.select(
+        "event_type",
+        "bucket",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(W.partitionBy("bucket")).alias("col_tot"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+    cells = margins.withColumn("e", e)
+    chi2 = F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+    dof = (F.count_distinct("event_type") - 1) * (F.count_distinct("bucket") - 1)
+    v = F.sqrt(
+        chi2
+        / (
+            F.max("n")
+            * F.least(
+                F.count_distinct("event_type") - 1, F.count_distinct("bucket") - 1
+            )
+        )
+    )
+    return cells.agg(
+        F.round(chi2, 6).alias("chi2"),
+        dof.cast("long").alias("dof"),
+        F.round(v, 6).alias("cramers_v"),
+    )
