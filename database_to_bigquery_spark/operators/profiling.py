@@ -490,3 +490,58 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         dof.cast("long").alias("dof"),
         F.round(v, 6).alias("cramers_v"),
     )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS m
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, e.value, med.m, ABS(e.value - med.m) AS ad
+      FROM events e JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(CAST(ad AS DOUBLE), 0.5) AS mad
+      FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           ROUND(MAX(d.m), 4) AS median_value,
+           ROUND(MAX(mad.mad), 4) AS mad,
+           CAST(COUNT(*) FILTER (
+             WHERE ABS(d.value - d.m) > 3 * 1.4826 * mad.mad) AS BIGINT)
+             AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / MAD (median
+    absolute deviation) with the 3σ-equivalent 1.4826 consistency
+    factor — the outlier screen that, unlike mean/stddev z-scores,
+    isn't dragged by the outliers it's hunting.
+
+    Determinism: exact interpolated medians (percentile ≡ DuckDB
+    quantile_cont) rather than approx_percentile, so both engines
+    agree bit-for-bit before the single rounded report. Scale: two
+    grouped exact percentiles + one broadcast of the per-group
+    medians/MADs back onto the stream (groups are few); swap in
+    approx_percentile at extreme group cardinality — same plan, the
+    report gains a documented error band."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("m"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    d = dev.join(F.broadcast(mad), "event_type")
+    return d.groupBy("event_type").agg(
+        F.round(F.max("m"), 4).alias("median_value"),
+        F.round(F.max("mad"), 4).alias("mad"),
+        F.count(
+            F.when(F.abs(F.col("value") - F.col("m")) > 3 * 1.4826 * F.col("mad"), 1)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.count("*").cast("long").alias("n_total"),
+    )

@@ -471,3 +471,36 @@ def countmin_cells(events: DataFrame) -> DataFrame:
         .groupBy("i", "bucket")
         .agg(F.count("*").alias("cell"))
     )
+
+
+def ols_sufficient_stats(events: DataFrame) -> DataFrame:
+    """Streaming OLS: the per-event-type sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) as a running complete-mode aggregation —
+    regression coefficients maintained over a stream with five numbers
+    of state per key, because the statistics merge associatively
+    (exactly the property that makes them map-side-combinable in
+    batch; ts_ols_trend is the batch twin). Slope/intercept derive in
+    the final select, so the stateful part never grows."""
+    from pyspark.sql import functions as F
+
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("double")
+    dec = lambda c: c.cast("decimal(20,10)")  # noqa: E731
+    s = events.select(
+        "event_type", x.alias("x"), F.col("value").alias("y")
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).cast("double").alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_points"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+    )

@@ -494,3 +494,15 @@ def test_stream_countmin_cells_equal_batch(spark, events_dir):
     want = {tuple(r) for r in jobs.countmin_cells(ev).collect()}
     assert got == want
     assert len(want) <= 4 * 64  # bounded-state property
+
+
+def test_stream_ols_equals_batch(spark, events_dir):
+    # regression coefficients over a stream: the sufficient statistics
+    # are associative, so the drained complete-mode result must equal
+    # the batch computation exactly (decimal-exact sums, same rounding)
+    stream = jobs.ols_sufficient_stats(jobs.read_events_stream(spark, events_dir))
+    q = jobs.run_to_memory_sink(stream, "ols_test", output_mode="complete")
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("ols_test").collect()}
+    want = {tuple(r) for r in jobs.ols_sufficient_stats(spark.read.parquet(events_dir)).collect()}
+    assert got == want
