@@ -349,3 +349,52 @@ def q_ab_test_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("rate1"),
         F.round(z, 4).alias("zscore"),
     )
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'signup')   AS first_signup,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id),
+    conv AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(first_purchase)) AS BIGINT)
+           - CAST(FLOOR(epoch(first_signup)) AS BIGINT) AS secs
+      FROM firsts
+      WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_signup)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(CAST(secs AS DOUBLE), 0.5), 2) AS median_secs,
+           ROUND(quantile_cont(CAST(secs AS DOUBLE), 0.9), 2) AS p90_secs
+    FROM conv
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first signup → first
+    purchase latency; report conversion count with exact median and
+    p90 — the activation metric behind every growth dashboard
+    (q_funnel_conversion counts WHO converts; this measures HOW FAST).
+
+    Scale: one conditional-MIN groupBy on user_id builds both
+    first-touch timestamps in a single pass (no per-stage scan or
+    self-join); the percentile runs over the converted-user relation
+    only. Endpoint-floored epoch seconds keep both engines integral
+    before the interpolated quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("fs"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    conv = firsts.filter(
+        F.col("fs").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("fs"))
+    ).select(
+        (F.unix_timestamp("fp") - F.unix_timestamp("fs")).cast("double").alias("secs")
+    )
+    return conv.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(secs, 0.5)"), 2).alias("median_secs"),
+        F.round(F.expr("percentile(secs, 0.9)"), 2).alias("p90_secs"),
+    )

@@ -599,3 +599,58 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dw") * F.col("n_tokens")).cast("long").alias("bpe_tokens"),
         )
     )
+
+
+@query(
+    "text_novelty_ratio",
+    oracle=r"""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(LENGTH(text) - 4, 1))) AS i
+      FROM documents),
+    sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g FROM idx),
+    first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g),
+    scored AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(*) FILTER (WHERE f.first_doc = sh.doc_id) AS n_novel
+      FROM sh JOIN first_seen f USING (g)
+      GROUP BY sh.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           ROUND(n_novel * 1.0 / n_grams, 4) AS novelty
+    FROM scored
+    """,
+)
+def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty per document: the fraction of a doc's distinct
+    character 5-grams never seen in any earlier document (doc_id order
+    = ingestion order) — the diversity/redundancy signal curation
+    pipelines use to decide whether more of a source still adds
+    information, and the streaming-ingest view of what dedup measures
+    pairwise.
+
+    Scale: NOT a doc × history comparison — 'first to contain g' is
+    just MIN(doc_id) per gram: one groupBy over the shingle relation,
+    joined back on the gram key. Two shuffles total regardless of
+    corpus depth, the same (doc, gram) relation both times."""
+    from .dedup import char_shingles
+
+    sh = char_shingles(spark, sf_dir).persist()
+    first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") * 1.0 / F.col("n_grams"), 4).alias("novelty"),
+        )
+    )
