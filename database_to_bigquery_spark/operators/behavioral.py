@@ -398,3 +398,38 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(secs, 0.5)"), 2).alias("median_secs"),
         F.round(F.expr("percentile(secs, 0.9)"), 2).alias("p90_secs"),
     )
+
+
+@query(
+    "q_cumulative_distinct_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id),
+    daily_new AS (
+      SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY 1)
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM daily_new
+    """,
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve. Windowed
+    COUNT(DISTINCT) is unsupported in Spark (and quadratic where it
+    exists); the scalable identity is first-occurrence: a user counts
+    exactly once, on MIN(day), so cumulative distinct = running sum of
+    daily first-timers. One groupBy(user) + one tiny running sum over
+    |days| rows — the pattern generalizes to any cumulative-unique
+    metric (devices, SKUs, n-grams: see text_novelty_ratio)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily_new = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

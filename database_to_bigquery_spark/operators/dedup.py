@@ -715,3 +715,67 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") - 1).cast("long").alias("dropped"),
         )
     )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(LENGTH(text) - {SHINGLE_LEN - 1}, 1))) AS i
+      FROM documents),
+    sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {SHINGLE_LEN}) AS g FROM idx),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / sa.n, 4) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / sa.n >= 0.9
+      AND sa.n < sb.n
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: |A∩B| / |A| ≥ 0.9 with A the
+    strictly smaller shingle set — finds documents SUBSUMED by larger
+    ones (quotes, excerpts, page-within-crawl), the asymmetric overlap
+    that symmetric Jaccard structurally under-scores (a small doc
+    inside a huge one has tiny Jaccard but containment ≈ 1).
+
+    Scale: same bounded-key (doc, gram) equi-join as the Jaccard twin;
+    the sa.n < sb.n restriction halves the candidate space and breaks
+    the symmetric double-count. At 100 TB the candidate set comes from
+    the MinHash bands instead — containment verification is the same
+    join either way."""
+    sh = char_shingles(spark, sf_dir).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b",
+        )
+        .filter(
+            ((F.col("n_common").cast("double") / F.col("na")) >= 0.9)
+            & (F.col("na") < F.col("nb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common").cast("double") / F.col("na"), 4).alias("containment"),
+        )
+    )

@@ -718,3 +718,58 @@ def ts_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_per_day"),
         F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
     )
+
+
+@query(
+    "ts_peak_concurrency",
+    oracle="""
+    WITH edges AS (
+      SELECT user_id, ts AS t, 1 AS delta
+      FROM events WHERE user_id < 200
+      UNION ALL
+      SELECT user_id, ts + INTERVAL 30 MINUTE, -1
+      FROM events WHERE user_id < 200),
+    swept AS (
+      SELECT user_id, t, delta,
+             SUM(delta) OVER (PARTITION BY user_id
+                              ORDER BY t, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS concurrent
+      FROM edges)
+    SELECT user_id,
+           CAST(MAX(concurrent) AS BIGINT) AS peak_concurrency,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+    FROM swept GROUP BY user_id
+    """,
+)
+def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per key via the sweep line: every interval
+    (event + 30-minute window) contributes a +1 edge at its start and
+    a -1 at its end; the running sum over time-ordered edges is the
+    number of simultaneously-open intervals, and its max is the
+    capacity answer (max concurrent sessions / connections / jobs)
+    that interval counting alone can't give.
+
+    Ordering ties break by delta ASC so an interval ending exactly
+    when another starts counts the END first (-1 sorts before +1) —
+    back-to-back intervals don't overlap; both engines sort
+    identically. Scale: the edge relation is 2× the input, one shuffle
+    on the key, and the window + max share its partitioning."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    starts = ev.select("user_id", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    edges = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = edges.withColumn("concurrent", F.sum("delta").over(w))
+    return swept.groupBy("user_id").agg(
+        F.max("concurrent").cast("long").alias("peak_concurrency"),
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+    )
