@@ -50,8 +50,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # similarity / streaming / UDF families past position 50 in round 1
 # (VERDICT.md "driver coverage blind spot"). This explicit prefix pins at
 # least one *oracle-bearing* representative of every SURVEY.md §2 operator
-# family (S1-S19, X1-X17) into the sampled window; everything else follows
-# in registration order. Keep this list at exactly <=50 names.
+# family (S1-S19, X1-X17) into the sampled window; round 2 additionally
+# rotates in the new flagship operators (count-min, k-means, BPE, bloom,
+# PSI, streaming sketch, power iteration, corpus funnel) in place of
+# second representatives of already-attested families — every family
+# keeps at least one pinned oracle-bearing query. Keep at exactly <=50
+# names.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # S-family (reference ETL surface)
     "s1_catalog_allowlist",      # S1
@@ -65,7 +69,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s14_audit_counts",          # S14
     # X1 projection/filter, X2 equi-joins
     "q1_pricing_summary",
-    "q3_shipping_priority",
+    "q_countmin_sketch",
     "q_full_outer_nations",
     # X3 semi/anti, X4 theta/range/as-of
     "q_semi_join",
@@ -81,15 +85,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bitmap_distinct_rollup",
     # X8 windows, X9 sort/limit/top-k
     "q_window_rank",
-    "q_window_range_frame",
+    "sim_kmeans_2iter",
     "q_topk_per_group",
     "q18_large_volume_customers",
     # X10 set ops, X11 scalar function library
     "q_set_ops",
-    "q_union_by_name_drift",
+    "text_bpe_merges",
     "q_json_extract",
-    "q_variant_json",
-    "q_from_xml",
+    "llm_corpus_prepare",
+    "q_bloom_filter_membership",
     # X12 dedup (exact, clustered, banded-LSH scale path)
     "dedup_exact_text",
     "dedup_clusters",
@@ -104,15 +108,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_repetition_filter",
     # X15 multimodal
     "mm_binary_metadata",
-    "mm_resize",
+    "q_psi_drift",
     # X16 streaming (batch-equivalence twins)
     "stream_tumbling_hourly",
     "stream_stateful_user_totals",
-    "stream_session_windows",
+    "stream_countmin_cells",
     # X17 UDF surface
     "udf_pandas_scalar",
     "udf_grouped_agg_weighted",
-    "udtf_word_chunks",
+    "sim_power_iteration",
     # behavioral / timeseries / skew representatives
     "q_funnel_conversion",
     "ts_sessionize",
