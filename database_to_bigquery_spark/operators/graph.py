@@ -119,3 +119,76 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.round("pr", 7).alias("pr"))
+
+
+@query(
+    "graph_label_propagation_2iter",
+    oracle=f"""
+    WITH li AS (SELECT * FROM lineitem WHERE l_quantity >= {_QTY}),
+    e0 AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM li),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    v1 AS (
+      SELECT e.src AS node, l.label, COUNT(*) AS c
+      FROM edges e JOIN l0 l ON l.node = e.dst
+      GROUP BY 1, 2),
+    l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM v1) WHERE rn = 1),
+    v2 AS (
+      SELECT e.src AS node, l.label, COUNT(*) AS c
+      FROM edges e JOIN l1 l ON l.node = e.dst
+      GROUP BY 1, 2),
+    l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM v2) WHERE rn = 1)
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY label
+    """,
+)
+def graph_label_propagation_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA), two
+    rounds, deterministic: every node adopts its neighbors'
+    most-frequent label (ties → lexicographically smallest), starting
+    from singleton labels. Distinct from connected components
+    (dedup_clusters' min-label fixpoint finds CONNECTIVITY; LPA's
+    plurality vote finds DENSITY — two components bridged by one edge
+    stay separate communities here).
+
+    Scale: each round is one edges⨝labels join (hash-partitioned on
+    the node key, reused across rounds) + a two-level groupBy (label
+    counts, then argmax window over |node, label| pairs). Fixed
+    unrolled rounds keep it one declarative plan for the oracle; the
+    production converge-until-stable loop is the same body driven like
+    dedup_clusters' iteration."""
+    e0 = _edges(spark, sf_dir)
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(2):  # fixed unroll — mirrors the oracle's two CTE rounds
+        votes = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("long").alias("n_members")
+    )

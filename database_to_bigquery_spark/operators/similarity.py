@@ -570,3 +570,76 @@ def sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w2").alias("v2_q"),
         F.round(F.col("w2") / norm, 4).alias("direction"),
     )
+
+
+# --------------------------------------------- reciprocal rank fusion ----
+
+_RRF_K = 60  # standard RRF dampening constant
+
+
+def _make_rrf_oracle() -> str:
+    """Compose the fusion oracle from the two rankers' own oracles —
+    the fused truth is definitionally a function of the component
+    rankings, so reuse their SQL verbatim as subqueries."""
+    from ..registry import _REGISTRY
+
+    bf = _REGISTRY["sim_topk_bruteforce"].oracle
+    s8 = _REGISTRY["sim_topk_sq8"].oracle
+    return f"""
+    WITH fused AS (
+      SELECT COALESCE(b.query_id, s.query_id) AS query_id,
+             COALESCE(b.neighbor_id, s.neighbor_id) AS neighbor_id,
+             COALESCE(1.0 / ({_RRF_K} + b.rnk), 0)
+           + COALESCE(1.0 / ({_RRF_K} + s.rnk), 0) AS rrf
+      FROM ({bf}) b
+      FULL OUTER JOIN ({s8}) s
+        ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, ROUND(rrf, 6) AS rrf_score,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, neighbor_id) AS rnk
+          FROM fused)
+    WHERE rnk <= 3
+    """
+
+
+@query("sim_hybrid_rrf", oracle=_make_rrf_oracle())
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion: merge two rankers'
+    top-k lists with score Σ 1/(60 + rankᵢ) — the standard fusion for
+    combining heterogeneous retrievers (here exact float cosine and
+    SQ8-quantized cosine; in a full RAG stack the second leg is a
+    lexical/BM25 ranker) without calibrating their score scales.
+    A neighbor missing from one list simply contributes nothing from
+    it — RRF degrades gracefully on partial lists.
+
+    Scale: the component rankers already bound their outputs to
+    queries × k rows, so fusion is a join + window over a tiny
+    relation regardless of corpus size; both oracles are reused
+    verbatim as subqueries, making the fused truth exactly the
+    function-of-rankings it is by definition."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("rnk_bf")
+    )
+    s8 = sim_topk_sq8(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("rnk_s8")
+    )
+    fused = bf.join(s8, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("rnk_bf")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rnk_s8")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), "neighbor_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
