@@ -654,3 +654,92 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_novel") * 1.0 / F.col("n_grams"), 4).alias("novelty"),
         )
     )
+
+
+_BM25_TERMS = ["spark", "join", "window"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "text_bm25_scores",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM docs),
+    terms AS (SELECT unnest(['spark', 'join', 'window']) AS t),
+    tf AS (
+      SELECT d.doc_id, len(d.ws) AS dl, t.t,
+             len(list_filter(d.ws, w -> w = t.t)) AS f
+      FROM docs d CROSS JOIN terms t),
+    df AS (SELECT t, COUNT(*) FILTER (WHERE f > 0) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * tf.f * ({_BM25_K1} + 1)
+                 / (tf.f + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * tf.dl / s.avgdl)))
+               AS score
+      FROM tf JOIN df USING (t) CROSS JOIN stats s
+      WHERE tf.f > 0
+      GROUP BY tf.doc_id)
+    SELECT doc_id, ROUND(score, 4) AS bm25, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 20
+    """,
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical ranking of the corpus against a fixed query
+    ({_BM25_TERMS}): Lucene-form IDF, k1=1.2, b=0.75 doc-length
+    normalization, top-20 docs — the lexical leg of hybrid retrieval
+    (fuse with sim_topk_* via sim_hybrid_rrf's RRF and you have the
+    standard RAG retriever stack on one engine).
+
+    Scale: term frequencies are map-only array filters per (doc, term)
+    — |query| is small, so this is q× one corpus pass with no explode
+    of the full vocabulary; document frequencies and the avgdl corpus
+    stat are tiny aggregates broadcast back. Top-k is the usual
+    rank-and-filter."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size("ws")).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    per_term = []
+    for t in _BM25_TERMS:
+        per_term.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                F.size(F.filter("ws", lambda w: w == F.lit(t))).alias("f"),
+            )
+        )
+    tf = d.select(
+        "doc_id", F.size("ws").alias("dl"), F.explode(F.array(*per_term)).alias("s")
+    ).select("doc_id", "dl", "s.t", "s.f")
+    df_tbl = tf.groupBy("t").agg(
+        F.count(F.when(F.col("f") > 0, 1)).alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    norm = F.col("f") * (_BM25_K1 + 1) / (
+        F.col("f") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.filter(F.col("f") > 0)
+        .join(F.broadcast(df_tbl), "t")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * norm).alias("score"))
+    )
+    w = W.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", F.round("score", 4).alias("bm25"), F.col("rnk").cast("int").alias("rnk"))
+    )
