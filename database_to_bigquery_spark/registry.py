@@ -163,6 +163,7 @@ def all_specs() -> dict[str, QuerySpec]:
         behavioral,
         dedup,
         graph,
+        layout,
         llm_filters,
         multimodal,
         pipeline_ops,

@@ -153,3 +153,27 @@ def test_leakage_safe_split_never_straddles_groups(spark, sf_dir):
     assert {r["split"] for r in s.select("split").distinct().collect()} <= {
         "train", "val", "test",
     }
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    # the file-skipping guarantee: every Z-bucket's rectangle spans at
+    # most 1/16th of EACH key domain (+1 cell of rescale rounding) —
+    # a plain sort by x would give y-spans covering the whole domain.
+    from database_to_bigquery_spark.data import load_table
+    from database_to_bigquery_spark.operators.layout import q_zorder_layout
+
+    zm = q_zorder_layout(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_partkey").alias("xmin"), F.max("l_partkey").alias("xmax"),
+        F.min("l_suppkey").alias("ymin"), F.max("l_suppkey").alias("ymax"),
+    ).first()
+    x_cell = (b["xmax"] - b["xmin"] + 1) / 16 + 1
+    y_cell = (b["ymax"] - b["ymin"] + 1) / 16 + 1
+    bad = zm.filter(
+        ((F.col("x_max") - F.col("x_min")) > x_cell)
+        | ((F.col("y_max") - F.col("y_min")) > y_cell)
+    )
+    assert bad.isEmpty(), [tuple(r) for r in bad.collect()]
+    # the zone map partitions the corpus
+    assert zm.agg(F.sum("n_rows")).first()[0] == li.count()
