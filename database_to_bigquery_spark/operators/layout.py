@@ -10,19 +10,15 @@ that column and none on any other; interleaving the bits of two keys
 *bounded* min/max rectangles on BOTH dimensions simultaneously, so
 predicates on either column skip most of the data.
 
-The write-side recipe at scale is::
-
-    df.withColumn("z", <interleave>)
-      .repartitionByRange(N_FILES, "z")
-      .sortWithinPartitions("z")
-      .write.parquet(...)
-
-which needs one range-exchange (sampling-based, no global sort stage).
-``q_zorder_layout`` below computes the deterministic part — the curve
-value and the resulting zone map (per-Z-bucket min/max per dimension,
-exactly the statistics a parquet footer would carry) — so the locality
-guarantee is oracle-checkable: every bucket's rectangle is provably
-bounded, which is the property file skipping relies on.
+The write side lives in ``sinks/layout.py`` (``write_zordered``: one
+range-exchange, no global sort stage; real parquet row-group stats
+asserted in ``tests/test_sources_sinks.py``). ``q_zorder_layout``
+below is its oracle-checkable query twin: it computes the curve value
+and the resulting zone map (per-Z-bucket min/max per dimension,
+exactly the statistics a parquet footer would carry), so the locality
+guarantee is value-verified against DuckDB, not just plan-asserted:
+every bucket's rectangle is provably bounded, which is the property
+file skipping relies on.
 
 No counterpart in the reference (a per-table copy pipeline has no
 layout control; BigQuery clustering is delegated server-side —
@@ -33,32 +29,12 @@ partitioning). This is part of the 100 TB extension surface
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
 from ..registry import query
-
-_BITS = 16  # bits per dimension after rescale → 32-bit Z value
-_GRID = 16  # zone map uses the top 4 bits of each dim → 16×16 buckets
-
-
-def zvalue(x: Column, y: Column) -> Column:
-    """32-bit Morton interleave of two 16-bit non-negative ints.
-
-    Bit i of ``x`` lands at position 2i, bit i of ``y`` at 2i+1. The
-    unrolled shift/mask expression stays inside whole-stage codegen —
-    no UDF, no Python boundary; ``+`` is safe for ``|`` because the
-    terms occupy disjoint bit positions.
-    """
-    parts = []
-    for i in range(_BITS):
-        parts.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
-        parts.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
-    z = parts[0]
-    for p in parts[1:]:
-        z = z + p
-    return z
+from ..sinks.layout import Z_BITS, zorder_value
 
 
 def _zorder_oracle() -> str:
@@ -66,7 +42,7 @@ def _zorder_oracle() -> str:
     generated from the same bit layout so the two engines cannot
     drift."""
     terms = []
-    for i in range(_BITS):
+    for i in range(Z_BITS):
         terms.append(f"(((xs >> {i}) & 1) << {2 * i})")
         terms.append(f"(((ys >> {i}) & 1) << {2 * i + 1})")
     z = " + ".join(terms)
@@ -102,7 +78,8 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
       1. 1-row global min/max of both keys, broadcast back (the rescale
          must be domain-adaptive — key ranges differ per SF/tenant)
       2. rescale each key to 16 bits via integer floor-division, then
-         Morton-interleave to a 32-bit Z value (:func:`zvalue`)
+         Morton-interleave to a 32-bit Z value (the same
+         ``sinks.layout.zorder_value`` expression the sink writes with)
       3. bucket = top 4+4 bits (a 16×16 grid cell) and aggregate the
          zone map: per-bucket row count + min/max of BOTH raw keys
 
@@ -133,7 +110,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(x - xmin) * 65536 div (xmax - xmin + 1)").alias("xs"),
         F.expr("(y - ymin) * 65536 div (ymax - ymin + 1)").alias("ys"),
     )
-    zed = scaled.withColumn("z", zvalue(F.col("xs"), F.col("ys")))
+    zed = scaled.withColumn("z", zorder_value(F.col("xs"), F.col("ys")))
     return (
         zed.groupBy(F.shiftright(F.col("z"), 24).alias("bucket"))
         .agg(
