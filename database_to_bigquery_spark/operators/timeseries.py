@@ -773,3 +773,87 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("concurrent").cast("long").alias("peak_concurrency"),
         (F.count("*") / 2).cast("long").alias("n_intervals"),
     )
+
+
+@query(
+    "ts_holt_winters",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    arr AS (
+      SELECT event_type, list(CAST(c AS DOUBLE) ORDER BY hour) AS xs
+      FROM hourly GROUP BY 1 HAVING COUNT(*) >= 2),
+    rec AS (
+      SELECT event_type, xs, 2 AS i,
+             xs[1] AS level, xs[2] - xs[1] AS trend
+      FROM arr
+      UNION ALL
+      SELECT event_type, xs, i + 1,
+             0.5 * xs[i + 1] + 0.5 * (level + trend),
+             0.5 * ((0.5 * xs[i + 1] + 0.5 * (level + trend)) - level)
+               + 0.5 * trend
+      FROM rec WHERE i < len(xs)
+    )
+    SELECT event_type, CAST(len(xs) AS BIGINT) AS n_hours,
+           ROUND(level, 4) AS level, ROUND(trend, 4) AS trend,
+           ROUND(level + trend, 4) AS forecast_next
+    FROM rec WHERE i = len(xs)
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend, α=β=0.5)
+    over the hourly event-count series per event type, forecasting the
+    next hour — the classic capacity-planning smoother one step beyond
+    EWMA (which cannot track a trend).
+
+    The textbook recurrence is sequential; here it is one ordered-array
+    fold per key: collect the hourly series (sort_array — hours are
+    unique per key, so ordering is total), seed (level, trend) from the
+    first two points, then `F.aggregate` with a struct accumulator over
+    the tail. The fold runs inside codegen — no Python, no iteration,
+    no driver loop; DuckDB replays the identical recurrence as a
+    recursive CTE, so both engines execute the same float ops in the
+    same order (the series is integer counts — no cross-engine
+    sum-order divergence feeds the fold).
+
+    Scale: per-key series length is bounded by the time range (here
+    ≤ a few hundred hours), not the row count; the heavy reduction is
+    the hourly pre-aggregation, one partial-agg shuffle on
+    (event_type, hour). Million-key cardinality parallelizes freely —
+    the pattern for fleet-wide per-metric forecasting.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").cast("double").alias("c"))
+    arr = (
+        hourly.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list(F.struct("hour", "c"))).alias("hc"))
+        .filter(F.size("hc") >= 2)
+        .select("event_type", F.expr("transform(hc, s -> s.c)").alias("xs"))
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          slice(xs, 3, greatest(size(xs) - 2, 0)),
+          named_struct('level', xs[1], 'trend', xs[2] - xs[1]),
+          (acc, x) -> named_struct(
+            'level', 0.5D * x + 0.5D * (acc.level + acc.trend),
+            'trend', 0.5D * ((0.5D * x + 0.5D * (acc.level + acc.trend)) - acc.level)
+                       + 0.5D * acc.trend)
+        )
+        """
+    )
+    return arr.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_hours"),
+        fold.alias("st"),
+    ).select(
+        "event_type",
+        "n_hours",
+        F.round(F.col("st.level"), 4).alias("level"),
+        F.round(F.col("st.trend"), 4).alias("trend"),
+        F.round(F.col("st.level") + F.col("st.trend"), 4).alias("forecast_next"),
+    )
