@@ -449,6 +449,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine",
+    scale_twin="sim_topk_lsh",
     oracle="""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -470,21 +471,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_topk_lsh's bucketing and keeps this exact cosine as the
     verification stage. All vector math is F.zip_with/F.aggregate —
     codegen, no UDF, double accumulation in index order (bit-identical
-    to the oracle).
+    to the oracle). The two self-norms are folded ONCE per row before
+    the pair join (identical expression → identical doubles), so each
+    of the n² pairs pays one 64-element fold, not three.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
 
     def dot(x: str, y: str):
         return F.aggregate(
             F.zip_with(x, y, lambda u, v: u * v), F.lit(0.0), lambda acc, z: acc + z
         )
 
+    e = e.withColumn("nrm", F.sqrt(dot("v", "v")))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = dot("va", "vb") / (F.sqrt(dot("va", "va")) * F.sqrt(dot("vb", "vb")))
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine_raw", cos)
         .filter(F.col("cosine_raw") >= 0.4)
@@ -719,6 +728,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_containment",
+    scale_twin="dedup_minhash_lsh",
     oracle=f"""
     WITH idx AS (
       SELECT doc_id, text,
