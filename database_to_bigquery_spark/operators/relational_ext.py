@@ -986,3 +986,65 @@ def q_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_freq"),
         F.round(F.col("n") * 1.0 / t - benford, 6).alias("deviation"),
     )
+
+
+@query(
+    "q_partial_agg_merge",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n, SUM(value) AS s,
+             MIN(value) AS mn, MAX(value) AS mx,
+             SUM(value * value) AS s2
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n_days,
+           CAST(SUM(n) AS BIGINT)    AS n_events,
+           ROUND(SUM(s), 4)          AS total,
+           ROUND(SUM(s) / SUM(n), 4) AS mean,
+           ROUND(MIN(mn), 4)         AS vmin,
+           ROUND(MAX(mx), 4)         AS vmax,
+           ROUND((SUM(s2) - SUM(s) * SUM(s) / SUM(n)) / SUM(n), 4) AS variance
+    FROM daily GROUP BY event_type
+    """,
+)
+def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation via mergeable partial states — the
+    pattern that replaces whole-history recomputes in a daily pipeline.
+    Stage 1 reduces each day to sufficient statistics per key
+    (count, sum, min, max, sum-of-squares); stage 2 merges partials
+    across days into exact totals, mean, and variance. Because every
+    statistic is associative+commutative, yesterday's partials never
+    need recomputing: a new day appends one partial row per key and
+    the merge is a key-sized aggregation, not a 100 TB rescan.
+
+    The oracle recomputes the same daily-partial → merge pipeline in
+    SQL, and the variance identity (Σx² − (Σx)²/n)/n demonstrates the
+    non-obvious mergeable form of a "non-mergeable-looking" statistic.
+
+    Scale: both stages are hash aggregations with map-side partials;
+    stage 2's input is |keys|×|days| rows regardless of event volume.
+    In production stage-1 output is the day-partitioned state table
+    (sinks/writers.py ParquetSink partitionBy) that each daily run
+    appends to — this query is the read path over that state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    s, n, s2 = F.sum("s"), F.sum("n"), F.sum("s2")
+    return daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        n.cast("long").alias("n_events"),
+        F.round(s, 4).alias("total"),
+        F.round(s / n, 4).alias("mean"),
+        F.round(F.min("mn"), 4).alias("vmin"),
+        F.round(F.max("mx"), 4).alias("vmax"),
+        F.round((s2 - s * s / n) / n, 4).alias("variance"),
+    )
