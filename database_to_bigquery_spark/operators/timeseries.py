@@ -857,3 +857,69 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.trend"), 4).alias("trend"),
         F.round(F.col("st.level") + F.col("st.trend"), 4).alias("forecast_next"),
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, AVG(c * 1.0) AS mu FROM hourly GROUP BY 1),
+    dev AS (
+      SELECT h.event_type, h.hour, h.c, h.c - s.mu AS d,
+             SUM(h.c - s.mu) OVER (PARTITION BY h.event_type ORDER BY h.hour) AS cum
+      FROM hourly h JOIN stats s USING (event_type)),
+    ranked AS (
+      SELECT event_type, hour, cum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(cum) DESC, hour) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_hours
+      FROM dev)
+    SELECT event_type, hour AS change_hour,
+           ROUND(cum, 4) AS cusum_peak,
+           CAST(n_hours AS BIGINT) AS n_hours
+    FROM ranked WHERE rk = 1 AND n_hours >= 4
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection: for each event type's hourly count
+    series, accumulate deviations from the series mean; the hour where
+    |cumulative deviation| peaks is the most likely mean-shift point
+    (the classic offline CUSUM estimator — monitoring's "when did this
+    metric change behavior" question).
+
+    Two passes, both hash-shuffles: the per-key mean (broadcast back
+    via an equi-join on the key), then one ordered window per key for
+    the running sum and the argmax. Ties on |cum| break by hour, so
+    both engines pick the same peak deterministically.
+
+    Scale: series length is bounded by the time range, not event
+    volume — the window partitions by key, never a global sort. The
+    hourly pre-agg is the only stage that sees raw rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("c"))
+    stats = hourly.groupBy("event_type").agg(F.avg(F.col("c") * 1.0).alias("mu"))
+    wcum = Window.partitionBy("event_type").orderBy("hour")
+    dev = hourly.join(stats, "event_type").withColumn(
+        "cum", F.sum(F.col("c") - F.col("mu")).over(wcum)
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cum")).desc(), F.col("hour")
+    )
+    return (
+        dev.withColumn("rk", F.row_number().over(wrank))
+        .withColumn("n_hours", F.count("*").over(Window.partitionBy("event_type")))
+        .filter((F.col("rk") == 1) & (F.col("n_hours") >= 4))
+        .select(
+            "event_type",
+            F.col("hour").alias("change_hour"),
+            F.round("cum", 4).alias("cusum_peak"),
+            F.col("n_hours").cast("long").alias("n_hours"),
+        )
+    )
