@@ -98,10 +98,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_exact_text",
     "dedup_clusters",
     "dedup_minhash_lsh",
-    # X13 similarity / ANN
+    # X13 similarity / ANN (sq8 rotated out in round 2 for the new
+    # layout family below; still covered by the local oracle suite)
     "sim_topk_bruteforce",
     "sim_topk_ivf",
-    "sim_topk_sq8",
+    # data layout (round-2 family): Z-order zone map, oracle-bearing
+    "q_zorder_layout",
     # X14 text analysis + LLM filters
     "text_stats",
     "text_tfidf_top_terms",
