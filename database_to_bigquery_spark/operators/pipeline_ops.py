@@ -191,3 +191,75 @@ def s14_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "q_snapshot_diff_cdc",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 3),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 7)
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           old.o_totalprice AS old_price,
+           new.o_totalprice AS new_price
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_totalprice <> new.o_totalprice
+    """,
+)
+def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff change-data-capture: given yesterday's and today's
+    full extracts of a table with no change log, emit the insert /
+    update / delete delta — the standard way to retrofit incremental
+    loads (reference S3's --daily mode) onto a source that can't
+    provide one (the reference's fallback is a full refresh,
+    etl_process.py --daily).
+
+    The two snapshots are derived deterministically from orders so the
+    oracle can reproduce them: "old" drops keys ≡3 (mod 10), "new"
+    drops keys ≡7 and bumps the price of keys ≡0 (mod 5). The bump is
+    an exact +1000.0 (same IEEE add in both engines) rather than a
+    ×1.1-then-ROUND, whose half-ties Spark (BigDecimal HALF_UP) and
+    DuckDB (double rounding) resolve differently.
+
+    Scale: ONE full-outer sort-merge join on the primary key — the
+    minimal possible cost for snapshot differencing (every row of both
+    snapshots must be looked at once). At 100 TB both extracts should
+    be written bucketed by the key (sinks/layout.py) so the diff joins
+    with zero exchange; the unchanged majority is filtered before
+    anything downstream shuffles again."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    j = old.alias("old").join(new.alias("new"), "o_orderkey", "full_outer")
+    op, np = F.col("old.o_totalprice"), F.col("new.o_totalprice")
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(op.isNull(), "insert")
+            .when(np.isNull(), "delete")
+            .otherwise("update"),
+        )
+        .filter(op.isNull() | np.isNull() | (op != np))
+        .select(
+            "o_orderkey",
+            "change_type",
+            op.alias("old_price"),
+            np.alias("new_price"),
+        )
+    )

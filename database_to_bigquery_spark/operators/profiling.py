@@ -545,3 +545,59 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.count("*").cast("long").alias("n_total"),
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+]
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS pearson_r FROM lineitem
+    UNION ALL SELECT 'l_quantity', 'l_discount',
+           ROUND(corr(l_quantity, l_discount), 4) FROM lineitem
+    UNION ALL SELECT 'l_quantity', 'l_tax',
+           ROUND(corr(l_quantity, l_tax), 4) FROM lineitem
+    UNION ALL SELECT 'l_extendedprice', 'l_discount',
+           ROUND(corr(l_extendedprice, l_discount), 4) FROM lineitem
+    UNION ALL SELECT 'l_extendedprice', 'l_tax',
+           ROUND(corr(l_extendedprice, l_tax), 4) FROM lineitem
+    UNION ALL SELECT 'l_discount', 'l_tax',
+           ROUND(corr(l_discount, l_tax), 4) FROM lineitem
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle) over the
+    four numeric lineitem measures, in ONE scan.
+
+    All C(4,2)=6 correlations ride a single partial aggregate — each
+    corr() is a 5-accumulator (n, Σx, Σy, Σxy, Σx², Σy²) map-side
+    combine, so the whole matrix costs one table pass and one 1-row
+    reduce regardless of table size; the long (col_a, col_b, r) report
+    shape comes from a driver-free inline() explode of the single
+    aggregate row. The DuckDB oracle deliberately uses the k-scan
+    UNION ALL form — same values, different plan. At 100 TB the
+    single-scan form is 6× less I/O; widening to k columns is
+    C(k,2) extra accumulators, not extra passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        *[F.corr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(_CORR_PAIRS)]
+    )
+    return agg.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.round(F.col(f"c_{i}"), 4).alias("pearson_r"),
+                    )
+                    for i, (a, b) in enumerate(_CORR_PAIRS)
+                ]
+            )
+        )
+    )

@@ -643,3 +643,71 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             list_dot_product(q.v, c.v)
+             / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))) AS cos
+      FROM e q JOIN e c
+        ON q.vec_id < {_N_QUERIES} AND c.label <> q.label)
+    SELECT anchor_id, anchor_label, negative_id, negative_label,
+           ROUND(cos, 4) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cos DESC, negative_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_TOP_K}
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each anchor vector, the top-5 most-similar vectors carrying a
+    DIFFERENT label — the negatives closest to the decision boundary,
+    which is what a triplet/InfoNCE batch builder actually wants
+    (random negatives are trivially easy and teach nothing).
+
+    Same plan spine as sim_topk_bruteforce: the anchor set broadcasts,
+    the corpus streams by once, the label-mismatch predicate rides the
+    join (so same-label pairs never materialize), and per-anchor top-k
+    is a ranking window on the anchor partition. At corpus scale,
+    restrict candidates first with sim_topk_lsh buckets and run this
+    exact scorer only on the bucket survivors — mining quality needs
+    near-top negatives, not a full ranking."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("v").alias("cv"),
+    )
+    cos = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+    w = W.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("negative_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("negative_label") != F.col("anchor_label"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -743,3 +743,66 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("doc_id", F.round("score", 4).alias("bm25"), F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM words WHERE LENGTH(w) > 0 GROUP BY doc_id, w),
+    ranked AS (
+      SELECT w, doc_id, tf,
+             ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id) AS rn
+      FROM tf),
+    agg AS (
+      SELECT w AS term,
+             CAST(COUNT(*) AS BIGINT)  AS doc_freq,
+             CAST(SUM(tf) AS BIGINT)   AS total_tf,
+             string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END,
+                        ',' ORDER BY doc_id) AS postings_head
+      FROM ranked GROUP BY w)
+    SELECT term, doc_freq, total_tf, postings_head
+    FROM agg WHERE doc_freq >= 5
+    ORDER BY doc_freq DESC, term LIMIT 40
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → (document frequency, total term
+    frequency, head of the sorted posting list) — the core data
+    structure behind text_bm25_scores and any corpus-scale retrieval
+    or contamination lookup.
+
+    Scale: one shuffle on (doc, term) for TF, one on term for the
+    posting aggregation — both partial-aggregated map-side. Posting
+    lists are built per-term AFTER the shuffle (collect_list →
+    array_sort inside the term partition — never a global sort), and
+    the report serializes only the 8-entry head; a real index sink
+    would write the full lists partitioned by term-hash. The df >= 5
+    floor is the classic index-pruning knob: at web scale the
+    singleton tail is most of the vocabulary but none of the recall."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    agg = tf.groupBy("w").agg(
+        F.count("*").cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 8),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+    return (
+        agg.filter(F.col("doc_freq") >= 5)
+        .select(F.col("w").alias("term"), "doc_freq", "total_tf", "postings_head")
+        .orderBy(F.col("doc_freq").desc(), "term")
+        .limit(40)
+    )

@@ -923,3 +923,115 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hours").cast("long").alias("n_hours"),
         )
     )
+
+
+@query(
+    "ts_lttb_downsample",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    pts AS (SELECT hour, y, CAST(epoch(hour) AS BIGINT) AS x FROM hourly),
+    span AS (SELECT MIN(x) AS minx, MAX(x) - MIN(x) + 3600 AS w FROM pts),
+    b AS (SELECT hour, y, x, ((x - minx) * 24) // w AS bucket FROM pts, span),
+    stats AS (SELECT bucket, AVG(CAST(x AS DOUBLE)) AS ax,
+                     AVG(CAST(y AS DOUBLE)) AS ay
+              FROM b GROUP BY bucket),
+    nb AS (SELECT bucket,
+                  LAG(ax)  OVER (ORDER BY bucket) AS ax_prev,
+                  LAG(ay)  OVER (ORDER BY bucket) AS ay_prev,
+                  LEAD(ax) OVER (ORDER BY bucket) AS ax_next,
+                  LEAD(ay) OVER (ORDER BY bucket) AS ay_next
+           FROM stats),
+    mx AS (SELECT MAX(bucket) AS mb FROM b),
+    scored AS (
+      SELECT b.bucket, b.hour, b.y, b.x, mb,
+             ABS((ax_prev - ax_next) * (CAST(b.y AS DOUBLE) - ay_prev)
+                 - (ax_prev - CAST(b.x AS DOUBLE)) * (ay_next - ay_prev)) AS area
+      FROM b JOIN nb USING (bucket) CROSS JOIN mx),
+    sel AS (
+      SELECT bucket, hour, y,
+             ROW_NUMBER() OVER (
+               PARTITION BY bucket
+               ORDER BY CASE WHEN bucket = 0  THEN CAST(x AS DOUBLE)
+                             WHEN bucket = mb THEN -CAST(x AS DOUBLE)
+                             ELSE -area END, x) AS rn
+      FROM scored)
+    SELECT CAST(bucket AS INT) AS bucket, hour, y FROM sel WHERE rn = 1
+    """,
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of the hourly event
+    series to 24 points — the standard shape-preserving reduction for
+    charting/monitoring a long series (peaks and cliffs survive; a
+    plain per-bucket average erases them).
+
+    Parallel variant: true LTTB anchors each triangle on the
+    *previously selected* point — a sequential chain. This uses the
+    neighbor-BUCKET AVERAGES as both anchors, which removes the chain:
+    every bucket selects independently (the original paper's own
+    "effective area" approximation for its fixed right anchor). First/
+    last bucket pin the series endpoints, as in the paper.
+
+    Determinism across engines: x is exact epoch seconds, y an exact
+    count, bucket assignment is integer arithmetic (`div`), and bucket
+    averages are exact-integer sums over counts — so the triangle
+    areas are bit-identical IEEE doubles in Spark and DuckDB and the
+    per-bucket argmax agrees without rounding tricks.
+
+    Scale: one shuffle for the hourly rollup, one for the per-bucket
+    argmax window; the bucket-stats/neighbor table is O(#buckets) and
+    broadcasts (its LAG/LEAD window runs on that tiny table only —
+    the deliberate O(#buckets) single-partition stage, same pattern as
+    q_global_ranks_scalable's offset table)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    pts = hourly.withColumn("x", F.unix_timestamp("hour"))
+    span = pts.agg(
+        F.min("x").alias("minx"), (F.max("x") - F.min("x") + 3600).alias("w")
+    )
+    b = pts.join(F.broadcast(span)).withColumn(
+        "bucket", F.expr("((x - minx) * 24) div w")
+    )
+    stats = b.groupBy("bucket").agg(
+        F.avg(F.col("x").cast("double")).alias("ax"),
+        F.avg(F.col("y").cast("double")).alias("ay"),
+    )
+    wb = Window.orderBy("bucket")  # O(#buckets) rows — tiny by design
+    nb = stats.select(
+        "bucket",
+        F.lag("ax").over(wb).alias("ax_prev"),
+        F.lag("ay").over(wb).alias("ay_prev"),
+        F.lead("ax").over(wb).alias("ax_next"),
+        F.lead("ay").over(wb).alias("ay_next"),
+    )
+    mx = b.agg(F.max("bucket").alias("mb"))
+    scored = (
+        b.join(F.broadcast(nb), "bucket")
+        .join(F.broadcast(mx))
+        .withColumn(
+            "area",
+            F.abs(
+                (F.col("ax_prev") - F.col("ax_next"))
+                * (F.col("y").cast("double") - F.col("ay_prev"))
+                - (F.col("ax_prev") - F.col("x").cast("double"))
+                * (F.col("ay_next") - F.col("ay_prev"))
+            ),
+        )
+    )
+    order_key = (
+        F.when(F.col("bucket") == 0, F.col("x").cast("double"))
+        .when(F.col("bucket") == F.col("mb"), -F.col("x").cast("double"))
+        .otherwise(-F.col("area"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("bucket").orderBy(order_key, "x")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(F.col("bucket").cast("int").alias("bucket"), "hour", "y")
+    )
