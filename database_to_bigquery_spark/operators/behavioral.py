@@ -433,3 +433,77 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@query(
+    "q_session_path_topk",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id < 300
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked),
+    paths AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sessions GROUP BY user_id, session_seq)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent session paths (the ordered event-type
+    sequence within a 30-minute-gap session) — the "common journeys"
+    report behind funnel design and anomaly triage.
+
+    Reuses the ts_sessionize spine: one shuffle on user_id serves the
+    LAG gap-mark, the running session number, AND the per-session path
+    aggregation (same key → Catalyst reuses the exchange); the path
+    string is built per session AFTER that shuffle by sorting only the
+    session's own events (collect_list → array_sort on (ts, event_id)
+    structs — never a global sort). The final path count is one more
+    hash aggregate; top-10 is a TakeOrdered, not a full sort."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+
+    # exact microsecond gap arithmetic — same rationale as ts_sessionize
+    # (a plain long cast truncates to seconds and disagrees with the
+    # oracle's INTERVAL compare on sub-second gap edges)
+    def micros(col):
+        return F.unix_micros(col.cast("timestamp"))
+
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            prev_ts.isNull()
+            | (micros(F.col("ts")) - micros(prev_ts) > 30 * 60 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_seq", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = sessions.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )

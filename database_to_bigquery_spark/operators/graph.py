@@ -192,3 +192,68 @@ def graph_label_propagation_2iter(spark: SparkSession, sf_dir: str) -> DataFrame
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").cast("long").alias("n_members")
     )
+
+
+@query(
+    "graph_item_jaccard",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sizes AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             COUNT(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT item_a, item_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(sa.n AS BIGINT)   AS n_a,
+           CAST(sb.n AS BIGINT)   AS n_b,
+           ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.event_type = inter.item_a
+    JOIN sizes sb ON sb.event_type = inter.item_b
+    """,
+)
+def graph_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item audience similarity: Jaccard overlap of the distinct
+    user sets of every event-type pair — the co-engagement similarity
+    behind "users who did A also did B" and bipartite-graph projection.
+
+    Scale: the classic trap is intersecting user SETS pairwise (set
+    materialization per item → skew + memory). Instead the bipartite
+    edge list is deduped once (one shuffle on (user, item)), pair
+    counts come from a self-join on user_id — per-user cost is
+    C(items-per-user, 2), bounded by the per-user item fanout, never
+    |users|² — and the per-item sizes broadcast back. Heavy-fanout
+    users (the skew risk) get capped upstream in a real deployment;
+    the plan itself is the standard co-occurrence projection
+    (q_cooccurrence_pairs is the basket-bounded twin on orders)."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select(F.col("user_id"), F.col("event_type").alias("item_a"))
+    b = ut.select(F.col("user_id").alias("uid_b"), F.col("event_type").alias("item_b"))
+    inter = (
+        a.join(b, (a.user_id == b.uid_b) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sizes = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    sa = sizes.select(F.col("event_type").alias("item_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

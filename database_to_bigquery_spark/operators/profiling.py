@@ -601,3 +601,82 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "q_feature_woe_iv",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+    binned AS (
+      SELECT LEAST(4, CAST(FLOOR((o_totalprice - lo) * 5.0 / (hi - lo)) AS INT))
+               AS bin,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders CROSS JOIN span),
+    cells AS (
+      SELECT bin,
+             CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+             CAST(SUM(bad) AS BIGINT)     AS n_bad
+      FROM binned GROUP BY bin),
+    tot AS (SELECT SUM(n_good) AS g, SUM(n_bad) AS b FROM cells)
+    SELECT bin, n_good, n_bad,
+           ROUND(LN(((n_good + 0.5) / g) / ((n_bad + 0.5) / b)), 4) AS woe,
+           ROUND((CAST(n_good AS DOUBLE) / g - CAST(n_bad AS DOUBLE) / b)
+                 * LN(((n_good + 0.5) / g) / ((n_bad + 0.5) / b)), 6) AS iv_term
+    FROM cells CROSS JOIN tot
+    """,
+)
+def q_feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value scoring of a numeric
+    feature (o_totalprice, 5 fixed-width bins) against a binary label
+    (order status F) — the standard credit-scoring feature screen;
+    Σ iv_term is the feature's predictive-power score.
+
+    Fixed-width bins (arithmetic from a 1-row min/max broadcast, the
+    q_histogram pattern) rather than quantile bins, so binning is a
+    map-only expression — no global sort/ntile stage; the +0.5
+    continuity correction keeps WoE finite in empty cells. Counts are
+    exact integers and min/max are exact selections, so every double
+    derives from identical IEEE ops in both engines.
+
+    Scale: one scan → one partial-aggregated shuffle on the 5-value
+    bin key → a 1-row totals broadcast. Per-feature cost is one pass;
+    k features ride the same scan as k bin columns (the
+    q_corr_matrix single-scan widening pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    span = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = o.join(F.broadcast(span)).select(
+        F.least(
+            F.lit(4),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                * 5.0
+                / (F.col("hi") - F.col("lo"))
+            ).cast("int"),
+        ).alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(1 - F.col("bad")).cast("long").alias("n_good"),
+        F.sum("bad").cast("long").alias("n_bad"),
+    )
+    tot = cells.agg(F.sum("n_good").alias("g"), F.sum("n_bad").alias("b"))
+    woe = F.log(
+        ((F.col("n_good") + 0.5) / F.col("g")) / ((F.col("n_bad") + 0.5) / F.col("b"))
+    )
+    return cells.join(F.broadcast(tot)).select(
+        "bin",
+        "n_good",
+        "n_bad",
+        F.round(woe, 4).alias("woe"),
+        F.round(
+            (
+                F.col("n_good").cast("double") / F.col("g")
+                - F.col("n_bad").cast("double") / F.col("b")
+            )
+            * woe,
+            6,
+        ).alias("iv_term"),
+    )

@@ -1035,3 +1035,92 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select(F.col("bucket").cast("int").alias("bucket"), "hour", "y")
     )
+
+
+@query(
+    "ts_stl_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT hour, y,
+             SUM(y)    OVER w AS t_num,
+             COUNT(y)  OVER w AS t_cnt
+      FROM hourly
+      WINDOW w AS (ORDER BY hour ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    interior AS (SELECT * FROM tr WHERE t_cnt = 25),
+    seas AS (
+      SELECT EXTRACT(hour FROM hour) AS hod,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*)
+             - CAST(SUM(t_num) AS DOUBLE) / (25.0 * COUNT(*)) AS s
+      FROM interior GROUP BY 1)
+    SELECT i.hour, i.y,
+           ROUND(CAST(i.t_num AS DOUBLE) / 25.0, 4) + 0.0  AS trend,
+           ROUND(s, 4) + 0.0                               AS seasonal,
+           ROUND(CAST(i.y AS DOUBLE)
+                 - CAST(i.t_num AS DOUBLE) / 25.0 - s, 4) + 0.0 AS resid
+    FROM interior i JOIN seas ON EXTRACT(hour FROM i.hour) = seas.hod
+    """,
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the hourly event series:
+    trend = centered 25-hour moving average, seasonal = hour-of-day
+    mean of the detrended series, residual = remainder — the additive
+    decomposition behind capacity planning and anomaly baselines
+    (the moving-average skeleton of STL, without loess).
+
+    Determinism across engines: y is an exact count and the moving
+    window keeps the exact integer SUM and COUNT as separate columns,
+    so every double is derived from exact BIGINTs by identical IEEE
+    ops — no order-dependent double summation anywhere. Edge hours
+    (partial windows, t_cnt < 25) are excluded, as in the classical
+    method.
+
+    Scale: the moving window orders the WHOLE series — a deliberate
+    O(series-length) single-partition stage, fine for one series
+    (#hours, not #events; the heavy part is the hourly rollup's hash
+    aggregate, which distributes). For millions of independent series,
+    add the series key to every PARTITION BY and the same plan
+    distributes by key (the q_global_ranks_scalable pattern is NOT
+    needed because no window ever spans series)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    w = Window.orderBy("hour").rowsBetween(-12, 12)
+    tr = hourly.select(
+        "hour",
+        "y",
+        F.sum("y").over(w).alias("t_num"),
+        F.count("y").over(w).alias("t_cnt"),
+    )
+    interior = tr.filter(F.col("t_cnt") == 25)
+    seas = interior.groupBy(F.hour("hour").alias("hod")).agg(
+        (
+            F.sum("y").cast("double") / F.count("*")
+            - F.sum("t_num").cast("double") / (25.0 * F.count("*"))
+        ).alias("s")
+    )
+    return (
+        interior.withColumn("hod", F.hour("hour"))
+        .join(F.broadcast(seas), "hod")
+        .select(
+            "hour",
+            "y",
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0 (both engines),
+            # so rounded zeros hash identically
+            (F.round(F.col("t_num").cast("double") / 25.0, 4) + 0.0).alias("trend"),
+            (F.round(F.col("s"), 4) + 0.0).alias("seasonal"),
+            (
+                F.round(
+                    F.col("y").cast("double")
+                    - F.col("t_num").cast("double") / 25.0
+                    - F.col("s"),
+                    4,
+                )
+                + 0.0
+            ).alias("resid"),
+        )
+    )

@@ -227,3 +227,52 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "q_temperature_mixture",
+    oracle="""
+    WITH avail AS (
+      SELECT lang, CAST(SUM(n_chars) // 4 AS BIGINT) AS tokens
+      FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(tokens) AS total, SUM(SQRT(tokens)) AS z FROM avail)
+    SELECT lang, tokens,
+           ROUND(CAST(tokens AS DOUBLE) / total, 6)         AS p_raw,
+           ROUND(SQRT(tokens) / z, 6)                       AS p_temp,
+           ROUND(SQRT(tokens) / z * total / tokens, 4)      AS epochs
+    FROM avail CROSS JOIN tot
+    """,
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based training-mixture plan (α = 0.5): per language,
+    the available token budget, its natural share p_raw, the
+    temperature-flattened sampling share p_temp ∝ tokens^α, and the
+    implied epoch count (oversampling factor) if the total budget is
+    held constant — the standard rebalancing that keeps low-resource
+    languages from vanishing (multilingual-BERT / XLM-R exponential
+    smoothing; α=1 is proportional, α=0 uniform).
+
+    epochs > 1 rows are the upsampled tails; at α=0.5 the head
+    language's epochs fall below 1 (downsampled). Token counts use the
+    chars//4 heuristic of text_token_count.
+
+    Scale: one partial-aggregated shuffle on lang for the per-group
+    token sums, then a 1-row broadcast of the normalizers — the
+    mixture plan for a 100 TB corpus costs one scan. The output table
+    is what q_dataset_mixture / q_weighted_sample consume as rates."""
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(
+        (F.sum("n_chars") / F.lit(4)).cast("long").alias("tokens")
+    )
+    tot = avail.agg(
+        F.sum("tokens").alias("total"), F.sum(F.sqrt("tokens")).alias("z")
+    )
+    return avail.join(F.broadcast(tot)).select(
+        "lang",
+        "tokens",
+        F.round(F.col("tokens").cast("double") / F.col("total"), 6).alias("p_raw"),
+        F.round(F.sqrt("tokens") / F.col("z"), 6).alias("p_temp"),
+        F.round(
+            F.sqrt("tokens") / F.col("z") * F.col("total") / F.col("tokens"), 4
+        ).alias("epochs"),
+    )
