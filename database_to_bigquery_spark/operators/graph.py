@@ -196,6 +196,7 @@ def graph_label_propagation_2iter(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "graph_item_jaccard",
+    headline=True,
     oracle="""
     WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
     sizes AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),

@@ -195,6 +195,7 @@ def s14_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_snapshot_diff_cdc",
+    headline=True,
     oracle="""
     WITH old AS (
       SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 3),

@@ -1039,6 +1039,7 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_stl_decompose",
+    headline=True,
     oracle="""
     WITH hourly AS (
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,

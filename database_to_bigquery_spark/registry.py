@@ -79,7 +79,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # X5 hash agg, X6 rollup/cube/grouping sets
     "q_hash_agg_functions",
     "q_rollup",
-    "q_grouping_sets",
+    # (q_grouping_sets rotated out for round-2 flagship below; X6 keeps q_rollup)
+    "q_snapshot_diff_cdc",
     # X7 approx aggs + sketches (oracle-bearing members)
     "q_percentiles",
     "q_bitmap_distinct_rollup",
@@ -101,7 +102,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # X13 similarity / ANN (sq8 rotated out in round 2 for the new
     # layout family below; still covered by the local oracle suite)
     "sim_topk_bruteforce",
-    "sim_topk_ivf",
+    # (sim_topk_ivf rotated out for round-2 flagship below; X13 keeps bruteforce)
+    "ts_stl_decompose",
     # data layout (round-2 family): Z-order zone map, oracle-bearing
     "q_zorder_layout",
     # X14 text analysis + LLM filters

@@ -177,3 +177,63 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     assert bad.isEmpty(), [tuple(r) for r in bad.collect()]
     # the zone map partitions the corpus
     assert zm.agg(F.sum("n_rows")).first()[0] == li.count()
+
+
+def test_lttb_selects_one_point_per_bucket_and_pins_endpoints(spark, sf_dir):
+    from database_to_bigquery_spark.data import load_table
+    from database_to_bigquery_spark.registry import all_specs
+
+    out = all_specs()["ts_lttb_downsample"].fn(spark, sf_dir).collect()
+    buckets = [r.bucket for r in out]
+    # one representative per non-empty bucket, buckets strictly ordered
+    assert len(buckets) == len(set(buckets))
+    assert buckets == sorted(buckets)
+    # the series endpoints survive downsampling (LTTB's defining pin)
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("y"))
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .first()
+    )
+    hours = {r.hour for r in out}
+    assert hourly.lo in hours and hourly.hi in hours
+
+
+def test_stl_components_sum_back_to_series(spark, sf_dir):
+    from database_to_bigquery_spark.registry import all_specs
+
+    out = all_specs()["ts_stl_decompose"].fn(spark, sf_dir).collect()
+    assert out, "interior of the series must be non-empty"
+    for r in out:
+        # additive identity y = trend + seasonal + resid holds to the
+        # 4-decimal rounding of each component
+        assert abs(r.y - (r.trend + r.seasonal + r.resid)) < 5e-4, r
+
+
+def test_temperature_mixture_is_a_distribution_that_flattens(spark, sf_dir):
+    from database_to_bigquery_spark.registry import all_specs
+
+    out = all_specs()["q_temperature_mixture"].fn(spark, sf_dir).collect()
+    assert abs(sum(r.p_raw for r in out) - 1.0) < 1e-3
+    assert abs(sum(r.p_temp for r in out) - 1.0) < 1e-3
+    for r in out:
+        # alpha=0.5 pulls every share toward uniform: small shares rise,
+        # large shares fall; epochs is exactly that ratio
+        if r.p_raw < 1.0 / len(out):
+            assert r.p_temp >= r.p_raw or abs(r.p_temp - r.p_raw) < 1e-6
+            assert r.epochs >= 1.0 - 1e-6
+        if r.p_raw > 1.0 / len(out):
+            assert r.p_temp <= r.p_raw or abs(r.p_temp - r.p_raw) < 1e-6
+            assert r.epochs <= 1.0 + 1e-6
+
+
+def test_item_jaccard_bounds(spark, sf_dir):
+    from database_to_bigquery_spark.registry import all_specs
+
+    out = all_specs()["graph_item_jaccard"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.item_a < r.item_b  # canonical pair orientation, no dups
+        assert 0 < r.n_both <= min(r.n_a, r.n_b)
+        assert 0.0 < r.jaccard <= 1.0
