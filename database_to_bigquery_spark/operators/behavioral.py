@@ -507,3 +507,164 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+@query(
+    "q_funnel_time_windowed",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS view_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        AND e.ts <= v.view_ts + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS buy_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        AND e.ts <= c.click_ts + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS users_view,
+           (SELECT COUNT(*) FROM c) AS users_click_1h,
+           (SELECT COUNT(*) FROM p) AS users_purchase_1h
+    """,
+)
+def q_funnel_time_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: like q_funnel_conversion but each step
+    must land within 1 hour of the previous step — the form real
+    funnel analysis uses (an unbounded funnel counts a purchase a month
+    after the click as converted).
+
+    Same single-scan / single-exchange spine as q_funnel_conversion:
+    the window constraint is one extra predicate inside each
+    conditional window MIN, so tightening or widening the conversion
+    window never changes the plan shape. The oracle runs the textbook
+    6-scan aggregate-and-join-back chain for the same answer."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    hour_us = 3600 * 1_000_000
+
+    def us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    staged = (
+        e.withColumn(
+            "view_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("view_ts"))
+                    & (us(F.col("ts")) <= us(F.col("view_ts")) + hour_us),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "buy_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("click_ts"))
+                    & (us(F.col("ts")) <= us(F.col("click_ts")) + hour_us),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return staged.agg(
+        F.count_distinct(
+            F.when(F.col("view_ts").isNotNull(), F.col("user_id"))
+        ).alias("users_view"),
+        F.count_distinct(
+            F.when(F.col("click_ts").isNotNull(), F.col("user_id"))
+        ).alias("users_click_1h"),
+        F.count_distinct(
+            F.when(F.col("buy_ts").isNotNull(), F.col("user_id"))
+        ).alias("users_purchase_1h"),
+    )
+
+
+@query(
+    "q_survival_km",
+    oracle="""
+    WITH span AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+    u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd, MAX(CAST(ts AS DATE)) AS ld
+          FROM events GROUP BY user_id),
+    obs AS (
+      SELECT datediff('day', fd, ld) AS t,
+             CASE WHEN ld < maxd - 7 THEN 1 ELSE 0 END AS churned
+      FROM u CROSS JOIN span),
+    agg AS (SELECT t, COUNT(*) AS n_t, SUM(churned) AS d FROM obs GROUP BY t),
+    risk AS (SELECT t, d, SUM(n_t) OVER (ORDER BY t DESC) AS n_risk FROM agg),
+    ev AS (SELECT * FROM risk WHERE d > 0 AND d < n_risk)
+    SELECT CAST(t AS INT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT)      AS n_events,
+           ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_risk))
+                     OVER (ORDER BY t)), 6) AS survival
+    FROM ev
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime: t = days between
+    a user's first and last event; users still active in the final
+    week of data are right-CENSORED (they count in the at-risk set but
+    contribute no churn event) — the estimator retention/CLV analysis
+    uses when the observation window cuts lifetimes short.
+
+    Distributed KM: per-user spans are one hash aggregate; the
+    lifetime table collapses to one row per distinct duration (tiny);
+    at-risk counts are a reverse running sum and the survival product
+    is exp(Σ ln(1 - d/n)) — both windows run over the O(#distinct
+    durations) table, so the only single-partition work is
+    curve-length-sized. Times where every remaining user churns are
+    excluded (both engines, identically) because ln(0) diverges —
+    the curve's zero tail carries no information.
+
+    Cross-engine note: survival rides ln/exp whose last-ulp behavior
+    may differ between the JVM and libm; the 6-decimal round absorbs
+    it (same policy as the entropy/TF-IDF queries)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+    )
+    span = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    obs = u.join(F.broadcast(span)).select(
+        F.datediff("ld", "fd").alias("t"),
+        F.when(F.col("ld") < F.date_sub(F.col("maxd"), 7), 1).otherwise(0).alias(
+            "churned"
+        ),
+    )
+    agg = obs.groupBy("t").agg(
+        F.count("*").alias("n_t"), F.sum("churned").alias("d")
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = agg.select(
+        "t", "d", F.sum("n_t").over(w_desc).alias("n_risk")
+    ).filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select(
+        F.col("t").cast("int").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+                ).over(w_asc)
+            ),
+            6,
+        ).alias("survival"),
+    )

@@ -548,3 +548,86 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((ratio < 0.3) | (ratio > 1.0)).alias("flagged"),
         )
     )
+
+
+@query(
+    "text_corpus_overlap",
+    oracle="""
+    WITH w AS (
+      SELECT source, string_split(lower(text), ' ') AS ws
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+    g AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(ws) - 1), i ->
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+      FROM w WHERE len(ws) >= 3),
+    sizes AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source <> b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b,
+           CAST(n_shared AS BIGINT)            AS n_shared,
+           CAST(sa.n AS BIGINT)                AS n_grams_a,
+           ROUND(CAST(n_shared AS DOUBLE) / sa.n, 6) AS overlap_frac
+    FROM inter JOIN sizes sa ON sa.source = inter.src_a
+    """,
+)
+def text_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination matrix: for every ordered pair of
+    sources, the fraction of source A's distinct word-3-grams that also
+    occur in source B — the pre-mixing audit that catches one corpus
+    being a near-copy or superset of another before both are weighted
+    into a training run (text_contamination_ngram is the doc-vs-
+    benchmark form; this is corpus-vs-corpus).
+
+    Scale: grams are deduped per source FIRST (one shuffle on
+    (source, gram) — the big shrink), then the pair counts come from a
+    single self-equi-join on gram: each gram contributes
+    |sources containing it|² pair rows, bounded by the source count,
+    never by corpus size. Per-source gram totals broadcast back. The
+    4-source slice bounds the report, not the algorithm — the same
+    plan runs over any source count, and a real deployment would
+    pre-hash grams to fixed-width ints (dedup.py's shingle hashing)
+    to shrink the shuffle payload."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    ws = F.split(F.lower(F.col("text")), " ")
+    grams = (
+        d.filter(F.size(ws) >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = grams.select(F.col("source").alias("src_a"), "gram")
+    b = grams.select(F.col("source").alias("src_b"), "gram")
+    inter = (
+        a.join(b, ["gram"])
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return inter.join(
+        F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_grams_a"))),
+        "src_a",
+    ).select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        "n_grams_a",
+        F.round(F.col("n_shared").cast("double") / F.col("n_grams_a"), 6).alias(
+            "overlap_frac"
+        ),
+    )

@@ -322,3 +322,116 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@query(
+    "q_decile_lift",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS resp,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS r,
+             COUNT(*) OVER () AS n
+      FROM orders),
+    cells AS (
+      SELECT CAST((r - 1) * 10 // n AS INT) + 1 AS decile,
+             CAST(COUNT(*) AS BIGINT)  AS n_d,
+             CAST(SUM(resp) AS BIGINT) AS resp_d
+      FROM ranked GROUP BY 1),
+    cum AS (
+      SELECT decile, n_d, resp_d,
+             SUM(n_d)    OVER (ORDER BY decile) AS cum_n,
+             SUM(resp_d) OVER (ORDER BY decile) AS cum_resp,
+             SUM(n_d)    OVER () AS tot_n,
+             SUM(resp_d) OVER () AS tot_resp
+      FROM cells)
+    SELECT decile, n_d, resp_d,
+           ROUND(CAST(resp_d AS DOUBLE) / n_d, 6) AS resp_rate,
+           ROUND((CAST(cum_resp AS DOUBLE) / cum_n)
+                 / (CAST(tot_resp AS DOUBLE) / tot_n), 6) AS cum_lift
+    FROM cum
+    """,
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table: rank rows by a model score
+    (o_totalprice as the stand-in propensity), cut into 10 rank
+    deciles, and report per-decile response rate plus cumulative lift
+    over the base rate — the standard campaign-targeting /
+    classifier-eval report.
+
+    Scale: the global ranking reuses the q_global_ranks_scalable
+    two-phase pattern — repartitionByRange on (score DESC, key) for a
+    distributed sort, row_number within each range partition, then a
+    broadcast O(#partitions) offset table; no whole-table
+    SinglePartition window. Deciles are rank arithmetic
+    ((r-1)·10 div n), NOT NTILE, so the bucket rule is identical in
+    both engines; the cumulative window runs on the 10-row decile
+    table. All inputs to every double are exact integers."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("resp"),
+        "o_totalprice",
+    )
+    # persist() pins the range partitioning: the offsets branch (a
+    # broadcast subtree, executed as its own job) would otherwise prune
+    # to a NARROWER schema than the probe branch, defeating exchange
+    # reuse — and RangePartitioner re-samples per exchange instance, so
+    # the two branches could disagree on boundaries and corrupt the
+    # offsets. (q_global_ranks_scalable dodges this only because both
+    # of its branches prune to the identical 2-column schema.)
+    ranged = (
+        o.repartitionByRange(32, F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    local = ranged.withColumn(
+        "lr",
+        F.row_number().over(
+            W.partitionBy("pid").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        ),
+    )
+    counts = local.groupBy("pid").agg(F.count("*").alias("c"))
+    offsets = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("c").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("n", F.sum("c").over(W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    ranked = local.join(F.broadcast(offsets.select("pid", "off", "n")), "pid").select(
+        "resp", (F.col("lr") + F.col("off")).alias("r"), "n"
+    )
+    cells = (
+        ranked.withColumn(
+            "decile", (((F.col("r") - 1) * 10) / F.col("n")).cast("int") + 1
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_d"),
+            F.sum("resp").cast("long").alias("resp_d"),
+        )
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    wt = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = cells.select(
+        "decile",
+        "n_d",
+        "resp_d",
+        F.sum("n_d").over(wc).alias("cum_n"),
+        F.sum("resp_d").over(wc).alias("cum_resp"),
+        F.sum("n_d").over(wt).alias("tot_n"),
+        F.sum("resp_d").over(wt).alias("tot_resp"),
+    )
+    return cum.select(
+        "decile",
+        "n_d",
+        "resp_d",
+        F.round(F.col("resp_d").cast("double") / F.col("n_d"), 6).alias("resp_rate"),
+        F.round(
+            (F.col("cum_resp").cast("double") / F.col("cum_n"))
+            / (F.col("tot_resp").cast("double") / F.col("tot_n")),
+            6,
+        ).alias("cum_lift"),
+    )

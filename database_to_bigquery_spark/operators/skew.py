@@ -158,8 +158,16 @@ def q_global_ranks_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    ranged = o.repartitionByRange(32, "o_totalprice", "o_orderkey").withColumn(
-        "pid", F.spark_partition_id()
+    # persist() pins the range partitioning across the two consumers
+    # (probe + broadcast offsets). The offsets subtree executes as its
+    # own job; without a shared materialization it relies on exchange
+    # reuse, and RangePartitioner re-samples boundaries per exchange
+    # instance — any schema-pruning asymmetry between the branches
+    # would silently corrupt the offsets (bitten in q_decile_lift).
+    ranged = (
+        o.repartitionByRange(32, "o_totalprice", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
     local = ranged.withColumn(
         "rn",

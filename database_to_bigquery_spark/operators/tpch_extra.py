@@ -870,3 +870,97 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         "last_click_ts",
     )
+
+
+@query(
+    "q_asof_nearest",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, ts, event_type
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    w AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click
+      FROM ev),
+    d AS (
+      SELECT event_id, user_id, ts, prev_click, next_click,
+             epoch_us(ts) - epoch_us(prev_click) AS d_prev,
+             epoch_us(next_click) - epoch_us(ts) AS d_next
+      FROM w WHERE event_type = 'purchase')
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN d_prev IS NOT NULL AND d_prev <= 7200000000
+                     AND (d_next IS NULL OR d_next > 7200000000 OR d_prev <= d_next)
+                THEN prev_click
+                WHEN d_next IS NOT NULL AND d_next <= 7200000000
+                THEN next_click END AS nearest_click_ts,
+           CASE WHEN d_prev IS NOT NULL AND d_prev <= 7200000000
+                     AND (d_next IS NULL OR d_next > 7200000000 OR d_prev <= d_next)
+                THEN 'before'
+                WHEN d_next IS NOT NULL AND d_next <= 7200000000
+                THEN 'after' END AS direction
+    FROM d
+    """,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4++: nearest-as-of join with tolerance — for every purchase,
+    the CLOSEST click by the same user in either direction, but only
+    within 2 hours (pandas merge_asof(direction='nearest',
+    tolerance=...)); ties prefer the earlier (backward) click, matching
+    pandas.
+
+    Same single-shuffle spine as q_asof_join: union both event roles,
+    ONE window pass per direction over (user_id, ts, event_id) — the
+    backward MAX and forward MIN ride the same sorted partition, so
+    nearest-in-either-direction costs exactly what backward-only does
+    (no second shuffle, no range join). Distances are exact
+    microseconds on both engines."""
+    tol = 2 * 3600 * 1_000_000  # 2 h in µs
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    carried = ev.withColumn(
+        "prev_click", F.max(click_ts).over(base.rowsBetween(W.unboundedPreceding, -1))
+    ).withColumn(
+        "next_click", F.min(click_ts).over(base.rowsBetween(1, W.unboundedFollowing))
+    )
+
+    def micros(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    d = carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "prev_click",
+        "next_click",
+        (micros("ts") - micros("prev_click")).alias("d_prev"),
+        (micros("next_click") - micros("ts")).alias("d_next"),
+    )
+    prev_wins = (
+        F.col("d_prev").isNotNull()
+        & (F.col("d_prev") <= tol)
+        & (
+            F.col("d_next").isNull()
+            | (F.col("d_next") > tol)
+            | (F.col("d_prev") <= F.col("d_next"))
+        )
+    )
+    next_wins = F.col("d_next").isNotNull() & (F.col("d_next") <= tol)
+    return d.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.when(prev_wins, F.col("prev_click"))
+        .when(next_wins, F.col("next_click"))
+        .alias("nearest_click_ts"),
+        F.when(prev_wins, "before").when(next_wins, "after").alias("direction"),
+    )
