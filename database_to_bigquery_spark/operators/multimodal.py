@@ -272,3 +272,181 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id", F.md5("out_bytes").alias("out_md5"), F.col("out_len")
     )
+
+
+_PH_BITS = 56  # 8 bands x 7 bits; pigeonhole: hamming <= 7 => some band equal
+_PH_BANDS = 8
+
+
+@query(
+    "mm_phash_neardup",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(range(1, 57), i ->
+               ascii(substr(rpad(lower(text), 56, ' '), i, 1))) AS codes
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(1, 57), i ->
+               CASE WHEN codes[i] * 56 > list_sum(codes)
+                    THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS phash
+      FROM px),
+    bands AS (
+      SELECT doc_id, phash, j AS band_idx,
+             (phash >> (7 * j)) & 127 AS band_val
+      FROM h, LATERAL (SELECT unnest(range(0, 8)) AS j)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.phash AS ha, b.phash AS hb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 7
+    """,
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for media payloads —
+    the aHash algorithm (each "pixel" brighter than the image mean →
+    1 bit) with banded pigeonhole blocking, the standard cheap
+    image-dedup tier below embedding similarity.
+
+    Pixels are proxied by the first 56 codepoints of the payload text
+    (the fixture corpus has no real images — same honest stand-in as
+    the rest of this module), which keeps every step a JVM expression
+    and makes the WHOLE pipeline oracle-checkable — unlike
+    dedup_simhash, nothing here is rows-only. The mean-threshold test
+    uses integer cross-multiplication (code·56 > Σcodes), so no
+    division, no floats, no rounding anywhere.
+
+    Scale: hash build is map-only; the 56-bit hash splits into 8
+    bands of 7 bits, so any pair within hamming distance 7 shares at
+    least one identical band (pigeonhole) and is found by the
+    (band_idx, band_val) equi-join — candidates only form within a
+    bucket, never all-pairs. Exact hamming (bit_count of XOR) then
+    filters the candidates. Same banded-join shape as
+    dedup_simhash/dedup_minhash_lsh; at 100 TB the bucket key is
+    already uniform because high bits of real aHashes are balanced."""
+    d = load_table(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.lit(_PH_BITS)),
+        lambda i: F.ascii(
+            F.substring(F.rpad(F.lower(F.col("text")), _PH_BITS, " "), i, 1)
+        ),
+    )
+    px = d.select("doc_id", codes.alias("codes"))
+    total = F.aggregate(F.col("codes"), F.lit(0), lambda a, x: a + x)
+    # bit weights precomputed as Python literals (F.shiftleft takes only
+    # literal shift counts); powers of two stay exact through the fold
+    powers = F.array(*[F.lit(1 << k).cast("long") for k in range(_PH_BITS)])
+    phash = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            powers,
+            lambda c, p: F.when(c * _PH_BITS > F.col("t"), p).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    h = px.withColumn("t", total).select("doc_id", phash.alias("phash"))
+    bands = h.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(_PH_BANDS - 1))).alias("band_idx"),
+    ).withColumn(
+        # SQL form: shiftright accepts a column shift count there
+        "band_val",
+        F.expr("shiftright(phash, band_idx * 7) & 127"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ha"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("hb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 7)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "mm_caption_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id,
+             octet_length(CAST(text AS BLOB))             AS n_bytes,
+             LENGTH(string_split(text, ' '))              AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+               % 8                                        AS shard
+      FROM documents),
+    pos AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY shard
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM pairs)
+    SELECT doc_id,
+           CAST(shard AS INT)            AS shard,
+           CAST((rn - 1) // 16 AS INT)   AS batch_idx,
+           CAST(n_bytes AS BIGINT)       AS n_bytes,
+           CAST(n_tokens AS BIGINT)      AS n_tokens
+    FROM pos
+    """,
+)
+def mm_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text contrastive batch builder (the CLIP training-prep
+    shape): each payload is paired with its caption stats and assigned
+    a reproducible (shard, batch_idx) slot — shard by md5(doc_id),
+    md5-shuffled order within the shard, fixed batch size 16.
+
+    The md5 ordering IS the training shuffle (same idiom as
+    q_deterministic_shuffle): reproducible across engines, reruns, and
+    partitionings, yet uncorrelated with ingestion order — so batch
+    composition is stable for exact training resume. Scale: the only
+    window is partitioned by shard (never global); shards stream as
+    independent tasks and each writes its own batch files. Payload
+    bytes stay opaque (octet_length only) — the decode leg is
+    mm_fake_decode's job, not the batch builder's."""
+    base = load_table(spark, sf_dir, "documents")
+    pairs = base.select(
+        "doc_id",
+        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % 8
+        ).alias("shard"),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("shard").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return pairs.withColumn("rn", rn).select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        (((F.col("rn") - 1) / 16).cast("int")).alias("batch_idx"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "n_tokens",
+    )

@@ -806,3 +806,102 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "term")
         .limit(40)
     )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH t AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+    uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(ws) AS w FROM t)
+      WHERE LENGTH(w) > 0 GROUP BY w),
+    nu AS (SELECT SUM(c) AS n FROM uni),
+    bi AS (
+      SELECT w1, w2, COUNT(*) AS c
+      FROM (SELECT ws[i] AS w1, ws[i+1] AS w2
+            FROM t, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+            WHERE len(ws) >= 2)
+      WHERE LENGTH(w1) > 0 AND LENGTH(w2) > 0
+      GROUP BY w1, w2),
+    nb AS (SELECT SUM(c) AS n FROM bi)
+    SELECT w1, w2, CAST(bi.c AS BIGINT) AS pair_count,
+           ROUND(LN((bi.c * 1.0 / nb.n)
+                    / ((ua.c * 1.0 / nu.n) * (ub.c * 1.0 / nu.n))), 4) AS pmi
+    FROM bi
+    JOIN uni ua ON ua.w = bi.w1
+    JOIN uni ub ON ub.w = bi.w2
+    CROSS JOIN nb CROSS JOIN nu
+    WHERE bi.c >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 30
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-30 word bigrams by pointwise mutual
+    information (PMI = ln p(ab) / p(a)p(b), count ≥ 5) — the classic
+    multi-word-expression detector behind tokenizer vocab curation and
+    phrase-aware dedup.
+
+    Scale: unigram and bigram counts are each one partial-aggregated
+    shuffle; the unigram table is vocabulary-sized and joins back
+    through maybe_broadcast (the TF-IDF size-guard pattern — falls
+    back to a shuffle join for web-scale vocabularies); totals are
+    1-row broadcasts. The min-count floor prunes the hapax tail before
+    the joins, exactly where a 100 TB run needs it. Ordering is on the
+    ROUNDED pmi with a word tie-break, so the top-30 cut is stable
+    across engines despite ln's last-ulp wiggle."""
+    from ..data import maybe_broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.col("text")), " ")
+    toks = d.select(ws.alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    nu = uni.agg(F.sum("c").alias("n_uni"))
+    pairs = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), i).alias("w1"),
+                        F.element_at(F.col("ws"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+    bi_all = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    nb = bi_all.agg(F.sum("c").alias("n_bi"))  # normalizer over ALL bigrams
+    bi = bi_all.filter(F.col("c") >= 5)  # floor applies to candidates only
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    scored = (
+        bi.join(maybe_broadcast(ua), "w1")
+        .join(maybe_broadcast(ub), "w2")
+        .join(F.broadcast(nb))
+        .join(F.broadcast(nu))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c") * 1.0 / F.col("n_bi"))
+                    / (
+                        (F.col("ca") * 1.0 / F.col("n_uni"))
+                        * (F.col("cb") * 1.0 / F.col("n_uni"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(30)

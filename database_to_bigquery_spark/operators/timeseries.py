@@ -1037,6 +1037,32 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stl_interior(ev: DataFrame) -> DataFrame:
+    """Shared STL skeleton: hourly counts, centered 25-hour moving SUM
+    and COUNT (kept as exact integers), interior rows only, hour-of-day
+    seasonal means joined back. Columns: hour, y, t_num, s. Every
+    double downstream derives from exact BIGINTs by identical IEEE ops
+    in Spark and DuckDB (see ts_stl_decompose)."""
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    w = Window.orderBy("hour").rowsBetween(-12, 12)
+    tr = hourly.select(
+        "hour",
+        "y",
+        F.sum("y").over(w).alias("t_num"),
+        F.count("y").over(w).alias("t_cnt"),
+    )
+    interior = tr.filter(F.col("t_cnt") == 25)
+    seas = interior.groupBy(F.hour("hour").alias("hod")).agg(
+        (
+            F.sum("y").cast("double") / F.count("*")
+            - F.sum("t_num").cast("double") / (25.0 * F.count("*"))
+        ).alias("s")
+    )
+    return interior.withColumn("hod", F.hour("hour")).join(F.broadcast(seas), "hod")
+
+
 @query(
     "ts_stl_decompose",
     headline=True,
@@ -1086,28 +1112,7 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     add the series key to every PARTITION BY and the same plan
     distributes by key (the q_global_ranks_scalable pattern is NOT
     needed because no window ever spans series)."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
-        F.count("*").cast("long").alias("y")
-    )
-    w = Window.orderBy("hour").rowsBetween(-12, 12)
-    tr = hourly.select(
-        "hour",
-        "y",
-        F.sum("y").over(w).alias("t_num"),
-        F.count("y").over(w).alias("t_cnt"),
-    )
-    interior = tr.filter(F.col("t_cnt") == 25)
-    seas = interior.groupBy(F.hour("hour").alias("hod")).agg(
-        (
-            F.sum("y").cast("double") / F.count("*")
-            - F.sum("t_num").cast("double") / (25.0 * F.count("*"))
-        ).alias("s")
-    )
-    return (
-        interior.withColumn("hod", F.hour("hour"))
-        .join(F.broadcast(seas), "hod")
-        .select(
+    return _stl_interior(load_table(spark, sf_dir, "events")).select(
             "hour",
             "y",
             # + 0.0 canonicalizes IEEE -0.0 to +0.0 (both engines),
@@ -1123,5 +1128,77 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 + 0.0
             ).alias("resid"),
+        )
+
+
+@query(
+    "ts_stl_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT hour, y,
+             SUM(y)   OVER w AS t_num,
+             COUNT(y) OVER w AS t_cnt
+      FROM hourly
+      WINDOW w AS (ORDER BY hour ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    interior AS (SELECT * FROM tr WHERE t_cnt = 25),
+    seas AS (
+      SELECT EXTRACT(hour FROM hour) AS hod,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*)
+             - CAST(SUM(t_num) AS DOUBLE) / (25.0 * COUNT(*)) AS s
+      FROM interior GROUP BY 1),
+    r AS (
+      SELECT i.hour, i.y,
+             CAST(i.y AS DOUBLE) - CAST(i.t_num AS DOUBLE) / 25.0 - s AS resid
+      FROM interior i JOIN seas ON EXTRACT(hour FROM i.hour) = seas.hod),
+    med AS (SELECT quantile_cont(resid, 0.5) AS m FROM r),
+    mad AS (SELECT quantile_cont(ABS(resid - m), 0.5) AS d FROM r CROSS JOIN med)
+    SELECT hour, y,
+           ROUND(resid, 4) + 0.0                  AS resid,
+           ROUND(3 * 1.4826 * d, 4)               AS threshold
+    FROM r CROSS JOIN med CROSS JOIN mad
+    WHERE ABS(resid - m) > 3 * 1.4826 * d
+    """,
+)
+def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition-based anomaly detection: hours whose STL residual
+    deviates from the residual median by more than 3 robust sigmas
+    (1.4826·MAD) — the seasonality-aware upgrade of ts_rolling_zscore
+    (a traffic spike at 3 a.m. is anomalous even if the same count at
+    noon is normal, and a mean/stddev screen would let the outliers
+    inflate their own threshold).
+
+    Reuses _stl_interior: residuals are deterministic doubles derived
+    from exact integer sums, so the exact interpolated median/MAD
+    (percentile ≡ DuckDB quantile_cont, the q_mad_outliers pairing)
+    agree bit-for-bit before the single rounded report. Scale: the
+    curve-sized stats are two 1-row broadcasts; everything heavy is
+    the same hourly hash aggregate the decomposition already pays."""
+    r = _stl_interior(load_table(spark, sf_dir, "events")).select(
+        "hour",
+        "y",
+        (
+            F.col("y").cast("double")
+            - F.col("t_num").cast("double") / 25.0
+            - F.col("s")
+        ).alias("resid"),
+    )
+    med = r.agg(F.expr("percentile(resid, 0.5)").alias("m"))
+    mad = (
+        r.join(F.broadcast(med))
+        .agg(F.expr("percentile(abs(resid - m), 0.5)").alias("d"))
+    )
+    return (
+        r.join(F.broadcast(med))
+        .join(F.broadcast(mad))
+        .filter(F.abs(F.col("resid") - F.col("m")) > 3 * 1.4826 * F.col("d"))
+        .select(
+            "hour",
+            "y",
+            (F.round("resid", 4) + 0.0).alias("resid"),
+            F.round(3 * 1.4826 * F.col("d"), 4).alias("threshold"),
         )
     )
