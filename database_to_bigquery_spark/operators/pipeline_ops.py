@@ -264,3 +264,67 @@ def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.alias("new_price"),
         )
     )
+
+
+@query(
+    "q_compaction_binpack",
+    oracle="""
+    WITH files AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             COUNT(*) * 100 AS est_bytes
+      FROM lineitem GROUP BY 1),
+    packed AS (
+      SELECT day, est_bytes,
+             SUM(est_bytes) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+      FROM files)
+    SELECT CAST(COALESCE(cum_before, 0) // 1000000 AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT)        AS n_files,
+           CAST(SUM(est_bytes) AS BIGINT)  AS total_bytes,
+           MIN(day)                        AS day_from,
+           MAX(day)                        AS day_to
+    FROM packed GROUP BY 1
+    """,
+)
+def q_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: group per-day file fragments
+    into ~1 MB rewrite bins — the maintenance pass every long-running
+    partitioned sink needs (compact_parquet_dir in sinks/writers.py is
+    the executor; this query is the planner that decides WHAT to
+    rewrite together, like Delta OPTIMIZE / Iceberg rewrite_data_files
+    bin-packing). File sizes are estimated at 100 bytes/row from the
+    day's row count — on a real lakehouse this column comes from the
+    manifest, and the plan below is unchanged.
+
+    Packing rule: cumulative next-fit — a file joins bin
+    floor(bytes_before_it / cap), so bins fill to the cap and only
+    the file straddling a boundary overflows (the streaming-friendly
+    rule; true first-fit-decreasing is sequential and buys little for
+    compaction). Integer arithmetic only → identical on both engines.
+
+    Scale: the heavy part is the per-day size rollup (one
+    partial-aggregated shuffle over the fact table / manifest); the
+    ordered cumulative window runs on the FILE-MANIFEST table —
+    metadata-sized, thousands of rows per table at 100 TB — so its
+    single-partition stage is O(#files), never O(rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        (F.count("*") * 100).alias("est_bytes")
+    )
+    from pyspark.sql import Window as W
+
+    cum_before = F.coalesce(
+        F.sum("est_bytes").over(
+            W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    packed = files.withColumn(
+        "bin_id", F.floor(cum_before / 1_000_000).cast("long")
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("est_bytes").cast("long").alias("total_bytes"),
+        F.min("day").alias("day_from"),
+        F.max("day").alias("day_to"),
+    )

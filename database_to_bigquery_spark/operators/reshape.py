@@ -435,3 +435,65 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_lift"),
     )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v, l_quantity AS wt
+      FROM lineitem),
+    ordered AS (
+      SELECT flag, v, wt,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY v, wt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(wt) OVER (PARTITION BY flag) AS tot
+      FROM w),
+    hit AS (
+      SELECT flag, v, cum, tot,
+             ROW_NUMBER() OVER (PARTITION BY flag ORDER BY v, wt) AS rn
+      FROM ordered WHERE cum >= tot / 2)
+    SELECT flag AS l_returnflag,
+           ROUND(v, 2)   AS weighted_median_price,
+           ROUND(tot, 2) AS total_weight
+    FROM hit WHERE rn = 1
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group: the price at which half the
+    total QUANTITY (not half the rows) lies at or below — the
+    inventory-weighted midpoint that an unweighted percentile() gets
+    wrong whenever weights correlate with values.
+
+    Formulation: one window pass per group computes the running weight
+    in (value, weight) order; the first row whose cumulative weight
+    crosses half the total is the weighted median (lower weighted
+    median — no interpolation, so no float averaging). The running sum
+    accumulates in the same deterministic ORDER BY on both engines, so
+    even double weights compare identically at the crossing point.
+
+    Scale: one shuffle on the group key serves both windows and the
+    crossing filter (same-key windows reuse the exchange); nothing is
+    ordered globally. For extreme groups swap the second pass for the
+    two-phase rank pattern (q_global_ranks_scalable)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").alias("wt"),
+    )
+    wo = Window.partitionBy("flag").orderBy("v", "wt")
+    ordered = li.select(
+        "flag",
+        "v",
+        "wt",
+        F.sum("wt").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("wt").over(Window.partitionBy("flag")).alias("tot"),
+    )
+    hit = ordered.filter(F.col("cum") >= F.col("tot") / 2).withColumn(
+        "rn", F.row_number().over(wo)
+    )
+    return hit.filter(F.col("rn") == 1).select(
+        F.col("flag").alias("l_returnflag"),
+        F.round("v", 2).alias("weighted_median_price"),
+        F.round("tot", 2).alias("total_weight"),
+    )

@@ -905,3 +905,77 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(30)
+
+
+@query(
+    "text_sentence_chunk",
+    oracle="""
+    WITH sents AS (
+      SELECT doc_id, i AS sent_idx, s[i] AS sentence,
+             LENGTH(string_split(s[i], ' ')) AS n_tok
+      FROM (SELECT doc_id, string_split_regex(text, '[.!?] ') AS s
+            FROM documents),
+           LATERAL (SELECT unnest(range(1, len(s) + 1)) AS i)
+      WHERE LENGTH(s[i]) > 0),
+    packed AS (
+      SELECT doc_id, sent_idx, sentence, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY sent_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+      FROM sents)
+    SELECT doc_id,
+           CAST(tok_before // 40 AS BIGINT)  AS chunk_id,
+           CAST(COUNT(*) AS BIGINT)          AS n_sentences,
+           CAST(SUM(n_tok) AS BIGINT)        AS n_tokens,
+           md5(string_agg(sentence, ' ' ORDER BY sent_idx)) AS chunk_md5
+    FROM packed GROUP BY doc_id, tok_before // 40
+    """,
+)
+def text_sentence_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary chunking for RAG / embedding prep: split each
+    document into sentences, pack consecutive sentences into ~40-token
+    chunks WITHOUT ever splitting a sentence — the retrieval-friendly
+    upgrade of text_chunk_fixed (which cuts mid-sentence).
+
+    Packing is the same cumulative next-fit as q_compaction_binpack:
+    a sentence joins chunk floor(tokens_before_it / budget), so only
+    the boundary-straddling sentence overflows its chunk (greedy
+    close-on-overflow packing is inherently sequential; the offset
+    rule is one window, parallel per document). The sentence regex
+    ('[.!?] ') is the RE2∩Java-regex subset — same split on both
+    engines (lookbehind, which would keep the delimiter, is not in
+    RE2). Chunk text is md5'd for the oracle compare.
+
+    Scale: map-only explode + ONE window partitioned by doc_id —
+    never a global order; chunks of a document stay adjacent for the
+    downstream embedder."""
+    d = load_table(spark, sf_dir, "documents")
+    s = F.split(F.col("text"), "[.!?] ")
+    sents = (
+        d.select("doc_id", F.posexplode(s).alias("sent_idx", "sentence"))
+        .filter(F.length("sentence") > 0)
+        .withColumn("n_tok", F.size(F.split(F.col("sentence"), " ")))
+    )
+    from pyspark.sql import Window as W
+
+    tok_before = F.coalesce(
+        F.sum("n_tok").over(
+            W.partitionBy("doc_id")
+            .orderBy("sent_idx")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    packed = sents.withColumn("chunk_id", F.floor(tok_before / 40).cast("long"))
+    return packed.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("long").alias("n_sentences"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sent_idx", "sentence"))),
+                    lambda x: x["sentence"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("chunk_md5"),
+    )
