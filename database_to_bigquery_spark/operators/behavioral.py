@@ -668,3 +668,77 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     )
+
+
+@query(
+    "q_change_contribution",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(date_trunc('week', MAX(ts)) AS DATE) AS wk_cur FROM events),
+    weekly AS (
+      SELECT event_type,
+             SUM(CASE WHEN CAST(date_trunc('week', ts) AS DATE) = wk_cur
+                      THEN value END)                               AS cur_val,
+             SUM(CASE WHEN CAST(date_trunc('week', ts) AS DATE)
+                           = wk_cur - 7 THEN value END)             AS prev_val
+      FROM events CROSS JOIN span GROUP BY event_type),
+    d AS (
+      SELECT event_type,
+             COALESCE(cur_val, 0)  AS cur_val,
+             COALESCE(prev_val, 0) AS prev_val,
+             COALESCE(cur_val, 0) - COALESCE(prev_val, 0) AS delta
+      FROM weekly),
+    tot AS (SELECT SUM(delta) AS total_delta FROM d)
+    SELECT event_type,
+           ROUND(cur_val, 2)  AS cur_val,
+           ROUND(prev_val, 2) AS prev_val,
+           ROUND(delta, 2)    AS delta,
+           ROUND(delta / total_delta, 4) AS contribution
+    FROM d CROSS JOIN tot
+    """,
+)
+def q_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-contribution decomposition: the latest full week's value
+    moved vs the week before — WHICH segments moved it? Per event
+    type: both weekly totals, the delta, and its share of the overall
+    delta (shares sum to 1 by construction) — the "why did the metric
+    move" report behind every metrics review.
+
+    One scan: both weeks ride a single conditional aggregate per
+    segment (no per-week subqueries or self-joins); the grand delta is
+    a 1-row broadcast back over the segment table. Adding a second
+    breakdown dimension is one more GROUP BY column, same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("week", F.max("ts")).cast("date").alias("wk_cur")
+    )
+    cur = F.sum(
+        F.when(
+            F.date_trunc("week", F.col("ts")).cast("date") == F.col("wk_cur"),
+            F.col("value"),
+        )
+    )
+    prev = F.sum(
+        F.when(
+            F.date_trunc("week", F.col("ts")).cast("date")
+            == F.date_sub(F.col("wk_cur"), 7),
+            F.col("value"),
+        )
+    )
+    weekly = (
+        ev.join(F.broadcast(span))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(cur, F.lit(0.0)).alias("cur_val"),
+            F.coalesce(prev, F.lit(0.0)).alias("prev_val"),
+        )
+        .withColumn("delta", F.col("cur_val") - F.col("prev_val"))
+    )
+    tot = weekly.agg(F.sum("delta").alias("total_delta"))
+    return weekly.join(F.broadcast(tot)).select(
+        "event_type",
+        F.round("cur_val", 2).alias("cur_val"),
+        F.round("prev_val", 2).alias("prev_val"),
+        F.round("delta", 2).alias("delta"),
+        F.round(F.col("delta") / F.col("total_delta"), 4).alias("contribution"),
+    )

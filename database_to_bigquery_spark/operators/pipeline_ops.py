@@ -328,3 +328,105 @@ def q_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("day_from"),
         F.max("day").alias("day_to"),
     )
+
+
+@query(
+    "q_scd2_apply_changes",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 3),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 7),
+    j AS (
+      SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS k,
+             old.o_totalprice AS op, new.o_totalprice AS np
+      FROM old FULL OUTER JOIN new USING (o_orderkey))
+    -- surviving unchanged current rows
+    SELECT k AS o_orderkey, op AS price,
+           DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+           TRUE AS is_current
+    FROM j WHERE op IS NOT NULL AND np IS NOT NULL AND op = np
+    UNION ALL
+    -- updated: close the old version at the change date
+    SELECT k, op, DATE '2024-01-01', DATE '2024-02-01', FALSE
+    FROM j WHERE op IS NOT NULL AND np IS NOT NULL AND op <> np
+    UNION ALL
+    -- updated: open the new version
+    SELECT k, np, DATE '2024-02-01', NULL, TRUE
+    FROM j WHERE op IS NOT NULL AND np IS NOT NULL AND op <> np
+    UNION ALL
+    -- inserted: brand-new current row
+    SELECT k, np, DATE '2024-02-01', NULL, TRUE
+    FROM j WHERE op IS NULL
+    UNION ALL
+    -- deleted: close with no successor
+    SELECT k, op, DATE '2024-01-01', DATE '2024-02-01', FALSE
+    FROM j WHERE np IS NULL
+    """,
+)
+def q_scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 change application: take the q_snapshot_diff_cdc
+    delta and produce the updated slowly-changing dimension — updates
+    close the old version (valid_to = change date) and open a new
+    current one, inserts open new rows, deletes close rows with no
+    successor, unchanged rows pass through — the WHEN MATCHED /
+    NOT MATCHED merge a warehouse dimension load runs every day
+    (q_merge_upsert is the flat upsert; this keeps full history).
+
+    The old snapshot's rows are dated 2024-01-01 and the batch applies
+    on 2024-02-01 (fixed dates so the oracle reproduces them; in
+    production these are the load dates).
+
+    Scale: ONE full-outer join on the dimension key (bucket both
+    snapshots to make it exchange-free — sinks/layout.py), then the
+    five disposition branches are projections of that single joined
+    relation: Spark computes the join once and fans out map-side;
+    history never rewrites, only closes."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    j = (
+        old.alias("old")
+        .join(new.alias("new"), "o_orderkey", "full_outer")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("old.o_totalprice").alias("op"),
+            F.col("new.o_totalprice").alias("np"),
+        )
+    )
+    d0 = F.to_date(F.lit("2024-01-01"))
+    d1 = F.to_date(F.lit("2024-02-01"))
+    null_date = F.lit(None).cast("date")
+    both = F.col("op").isNotNull() & F.col("np").isNotNull()
+
+    def row(cond, price, vfrom, vto, current):
+        return j.filter(cond).select(
+            F.col("k").alias("o_orderkey"),
+            price.alias("price"),
+            vfrom.alias("valid_from"),
+            vto.alias("valid_to"),
+            F.lit(current).alias("is_current"),
+        )
+
+    unchanged = row(both & (F.col("op") == F.col("np")), F.col("op"), d0, null_date, True)
+    upd_close = row(both & (F.col("op") != F.col("np")), F.col("op"), d0, d1, False)
+    upd_open = row(both & (F.col("op") != F.col("np")), F.col("np"), d1, null_date, True)
+    ins = row(F.col("op").isNull(), F.col("np"), d1, null_date, True)
+    dele = row(F.col("np").isNull(), F.col("op"), d0, d1, False)
+    return (
+        unchanged.unionByName(upd_close)
+        .unionByName(upd_open)
+        .unionByName(ins)
+        .unionByName(dele)
+    )

@@ -979,3 +979,65 @@ def text_sentence_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("chunk_md5"),
     )
+
+
+@query(
+    "text_paragraph_dedup",
+    oracle="""
+    WITH paras AS (
+      SELECT doc_id, i AS para_idx, s[i] AS para
+      FROM (SELECT doc_id, string_split_regex(text, '[.!?] ') AS s
+            FROM documents),
+           LATERAL (SELECT unnest(range(1, len(s) + 1)) AS i)
+      WHERE LENGTH(s[i]) > 0),
+    keeper AS (
+      SELECT para, MIN(doc_id * 100000 + para_idx) AS keep_slot,
+             COUNT(*) AS n_occurrences
+      FROM paras GROUP BY para),
+    marked AS (
+      SELECT p.doc_id,
+             CASE WHEN p.doc_id * 100000 + p.para_idx = k.keep_slot
+                  THEN 1 ELSE 0 END AS kept
+      FROM paras p JOIN keeper k USING (para))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)        AS n_paras,
+           CAST(SUM(kept) AS BIGINT)       AS n_kept,
+           CAST(SUM(1 - kept) AS BIGINT)   AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the C4/RefinedWeb line-level
+    rule at paragraph granularity): every repeated paragraph keeps ONE
+    canonical occurrence — the earliest (doc_id, position) slot — and
+    all other copies are dropped; the report counts kept/removed per
+    document. Boilerplate (headers, licenses, navigation) dies here
+    before any fuzzy dedup runs.
+
+    Scale: explode is map-only; the keeper election is one shuffle on
+    the paragraph (hash the paragraph to 128 bits at real scale —
+    dedup_exact_text's trick — so the shuffle ships 16-byte keys, not
+    text); the min-slot rule makes the winner deterministic under any
+    partitioning, and the per-doc rollup co-partitions on doc_id.
+    Deleting instead of counting is the same plan with a filter."""
+    d = load_table(spark, sf_dir, "documents")
+    paras = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "[.!?] ")).alias("para_idx", "para"),
+    ).filter(F.length("para") > 0)
+    # DuckDB's unnest index is 1-based; align slot arithmetic
+    paras = paras.withColumn("para_idx", F.col("para_idx") + 1)
+    keeper = paras.groupBy("para").agg(
+        F.min(F.col("doc_id") * 100000 + F.col("para_idx")).alias("keep_slot")
+    )
+    marked = paras.join(keeper, "para").withColumn(
+        "kept",
+        F.when(
+            F.col("doc_id") * 100000 + F.col("para_idx") == F.col("keep_slot"), 1
+        ).otherwise(0),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum(1 - F.col("kept")).cast("long").alias("n_removed"),
+    )

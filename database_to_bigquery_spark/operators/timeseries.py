@@ -1202,3 +1202,84 @@ def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(3 * 1.4826 * F.col("d"), 4).alias("threshold"),
         )
     )
+
+
+@query(
+    "ts_forecast_backtest",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    x AS (SELECT hour, y,
+                 LAG(y, 24)  OVER (ORDER BY hour) AS f_seasonal,
+                 LAG(y, 1)   OVER (ORDER BY hour) AS f_naive,
+                 (LAG(y, 1) OVER (ORDER BY hour)
+                  + LAG(y, 2) OVER (ORDER BY hour)
+                  + LAG(y, 3) OVER (ORDER BY hour)) AS ma3_sum
+          FROM hourly),
+    t AS (SELECT * FROM x
+          WHERE f_seasonal IS NOT NULL AND ma3_sum IS NOT NULL)
+    SELECT 'naive' AS method,
+           ROUND(AVG(ABS(CAST(y - f_naive AS DOUBLE))), 4)          AS mae,
+           ROUND(SQRT(AVG(CAST((y - f_naive) * (y - f_naive) AS DOUBLE))), 4) AS rmse,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM t
+    UNION ALL
+    SELECT 'seasonal_24h',
+           ROUND(AVG(ABS(CAST(y - f_seasonal AS DOUBLE))), 4),
+           ROUND(SQRT(AVG(CAST((y - f_seasonal) * (y - f_seasonal) AS DOUBLE))), 4),
+           CAST(COUNT(*) AS BIGINT)
+    FROM t
+    UNION ALL
+    SELECT 'ma3',
+           ROUND(AVG(ABS(y - ma3_sum / 3.0)), 4),
+           ROUND(SQRT(AVG((y - ma3_sum / 3.0) * (y - ma3_sum / 3.0))), 4),
+           CAST(COUNT(*) AS BIGINT)
+    FROM t
+    """,
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest: score three one-step-ahead
+    baselines (naive y[t-1], seasonal-naive y[t-24], 3-hour moving
+    average) by MAE and RMSE over every hour where all three are
+    defined — the eval harness any fancier model (ts_holt_winters)
+    must beat before it ships.
+
+    Determinism: forecasts are LAGs of exact integer counts; the MA3
+    forecast is kept as an integer SUM divided at scoring time, so
+    every error term is an identical IEEE double in both engines and
+    the only float aggregation is the final AVG (order-absorbed by the
+    4-decimal round, same policy as the stats family).
+
+    Scale: one hourly rollup shuffle; the lag windows run over the
+    O(#hours) series table (single series — partition by series key
+    for millions, as in ts_stl_decompose); scoring is one aggregate
+    per method over the same tiny table."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    w = Window.orderBy("hour")
+    x = hourly.select(
+        "y",
+        F.lag("y", 24).over(w).alias("f_seasonal"),
+        F.lag("y", 1).over(w).alias("f_naive"),
+        (F.lag("y", 1).over(w) + F.lag("y", 2).over(w) + F.lag("y", 3).over(w)).alias(
+            "ma3_sum"
+        ),
+    )
+    t = x.filter(F.col("f_seasonal").isNotNull() & F.col("ma3_sum").isNotNull())
+
+    def scores(name: str, err):
+        return t.agg(
+            F.lit(name).alias("method"),
+            F.round(F.avg(F.abs(err)), 4).alias("mae"),
+            F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+            F.count("*").cast("long").alias("n_hours"),
+        ).select("method", "mae", "rmse", "n_hours")
+
+    naive = scores("naive", (F.col("y") - F.col("f_naive")).cast("double"))
+    seas = scores("seasonal_24h", (F.col("y") - F.col("f_seasonal")).cast("double"))
+    ma3 = scores("ma3", F.col("y") - F.col("ma3_sum") / 3.0)
+    return naive.unionByName(seas).unionByName(ma3)
