@@ -742,3 +742,202 @@ def q_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("delta", 2).alias("delta"),
         F.round(F.col("delta") / F.col("total_delta"), 4).alias("contribution"),
     )
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH span AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+    u AS (
+      SELECT user_id,
+             datediff('day', MAX(CAST(ts AS DATE)), maxd) AS recency,
+             COUNT(*)                                     AS frequency,
+             ROUND(SUM(value), 2)                         AS monetary
+      FROM events CROSS JOIN span GROUP BY user_id, maxd),
+    th AS (
+      SELECT quantile_cont(recency, 0.2) AS r20, quantile_cont(recency, 0.4) AS r40,
+             quantile_cont(recency, 0.6) AS r60, quantile_cont(recency, 0.8) AS r80,
+             quantile_cont(frequency, 0.2) AS f20, quantile_cont(frequency, 0.4) AS f40,
+             quantile_cont(frequency, 0.6) AS f60, quantile_cont(frequency, 0.8) AS f80,
+             quantile_cont(monetary, 0.2) AS m20, quantile_cont(monetary, 0.4) AS m40,
+             quantile_cont(monetary, 0.6) AS m60, quantile_cont(monetary, 0.8) AS m80
+      FROM u),
+    scored AS (
+      SELECT CASE WHEN recency <= r20 THEN 5 WHEN recency <= r40 THEN 4
+                  WHEN recency <= r60 THEN 3 WHEN recency <= r80 THEN 2
+                  ELSE 1 END AS r_score,
+             CASE WHEN frequency <= f20 THEN 1 WHEN frequency <= f40 THEN 2
+                  WHEN frequency <= f60 THEN 3 WHEN frequency <= f80 THEN 4
+                  ELSE 5 END AS f_score,
+             CASE WHEN monetary <= m20 THEN 1 WHEN monetary <= m40 THEN 2
+                  WHEN monetary <= m60 THEN 3 WHEN monetary <= m80 THEN 4
+                  ELSE 5 END AS m_score
+      FROM u CROSS JOIN th)
+    SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every user scored 1-5 on Recency, Frequency,
+    and Monetary value against the population's exact quintile
+    thresholds, reported as segment counts (5-5-5 = champions,
+    1-1-1 = lost) — the classic lifecycle-marketing cut.
+
+    Scale: one hash aggregate builds the per-user RFM table; the
+    twelve quintile thresholds are ONE exact-percentile aggregate row
+    broadcast back (threshold-compare scoring is map-only — no global
+    rank pass, no per-dimension shuffle; swap in approx_percentile at
+    extreme user counts, same plan). Monetary is rounded before
+    thresholding so the double sum's ulp wiggle can't flip a boundary
+    user between engines."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    u = (
+        ev.join(F.broadcast(span))
+        .groupBy("user_id", "maxd")
+        .agg(
+            F.datediff(F.max(F.col("maxd")), F.max(F.to_date("ts"))).alias("_r"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .select(
+            F.col("_r").alias("recency"), "frequency", "monetary"
+        )
+    )
+    th = u.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{c[0]}{int(q * 100)}")
+            for c in ["recency", "frequency", "monetary"]
+            for q in [0.2, 0.4, 0.6, 0.8]
+        ]
+    )
+
+    def band(col, t, asc):
+        # asc=True: higher value → higher score (freq/monetary);
+        # recency is the reverse
+        c = F.col(col)
+        if asc:
+            return (
+                F.when(c <= F.col(f"{t}20"), 1)
+                .when(c <= F.col(f"{t}40"), 2)
+                .when(c <= F.col(f"{t}60"), 3)
+                .when(c <= F.col(f"{t}80"), 4)
+                .otherwise(5)
+            )
+        return (
+            F.when(c <= F.col(f"{t}20"), 5)
+            .when(c <= F.col(f"{t}40"), 4)
+            .when(c <= F.col(f"{t}60"), 3)
+            .when(c <= F.col(f"{t}80"), 2)
+            .otherwise(1)
+        )
+
+    scored = u.join(F.broadcast(th)).select(
+        band("recency", "r", asc=False).cast("int").alias("r_score"),
+        band("frequency", "f", asc=True).cast("int").alias("f_score"),
+        band("monetary", "m", asc=True).cast("int").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+    WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    firsts AS (SELECT user_id, MIN(day) AS first_day FROM daily GROUP BY user_id)
+    SELECT d.day,
+           CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning
+    FROM daily d JOIN firsts f ON d.user_id = f.user_id
+    GROUP BY d.day
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives split into first-ever-seen vs returning users —
+    the growth-accounting base table (new/retained) that sits under
+    every DAU chart.
+
+    Single-scan: distinct (day, user) once, then each user's first
+    day is a whole-partition window MIN over the SAME user_id
+    partitioning the distinct already created — no second scan, no
+    aggregate-and-join-back (that chain is the oracle's plan); the
+    final day rollup partial-aggregates map-side."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = e.distinct()
+    first_day = F.min("day").over(Window.partitionBy("user_id"))
+    return (
+        daily.withColumn("first_day", first_day)
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+        )
+    )
+
+
+@query(
+    "q_stickiness_dau_wau",
+    oracle="""
+    WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM daily),
+    dau AS (SELECT day, COUNT(*) AS dau FROM daily GROUP BY day),
+    wau AS (
+      SELECT d.day, COUNT(DISTINCT a.user_id) AS wau
+      FROM days d JOIN daily a ON a.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day)
+    SELECT d.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           ROUND(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
+    FROM dau d JOIN wau USING (day)
+    """,
+)
+def q_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (DAU/WAU) per day: what fraction of the week's
+    active users showed up today — the engagement-frequency ratio next
+    to every DAU chart.
+
+    Scale: the oracle's range join (day BETWEEN d-6 AND d) is
+    quadratic-ish per user; the operator instead uses the
+    q_rolling_active_users rewrite — each (day, user) row EXPANDS
+    map-side to the ≤7 trailing days it covers, so WAU is a plain hash
+    aggregate (count_distinct per covered day) and DAU rides the same
+    distinct relation. One distinct shuffle + two hash aggregates,
+    no range join anywhere."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = e.distinct()
+    dau = daily.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    covered = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    days = daily.select("day").distinct()
+    wau = (
+        covered.join(days, "day")  # drop cover-days past the observed range
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+                "stickiness"
+            ),
+        )
+    )

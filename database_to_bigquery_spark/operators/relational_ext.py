@@ -1048,3 +1048,81 @@ def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("mx"), 4).alias("vmax"),
         F.round((s2 - s * s / n) / n, 4).alias("variance"),
     )
+
+
+@query(
+    "q_basket_affinity_lift",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM items),
+    supp AS (SELECT part, COUNT(*) AS s FROM items GROUP BY part),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS n_both
+      FROM items a JOIN items b ON a.ok = b.ok AND a.part < b.part
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT part_a, part_b, n_both, sa.s AS s_a, sb.s AS s_b, n_baskets,
+             ROUND(CAST(n_both AS DOUBLE) / sa.s, 4) AS confidence,
+             ROUND(CAST(n_both AS DOUBLE) * n_baskets / (sa.s * sb.s), 4) AS lift
+      FROM pairs
+      JOIN supp sa ON sa.part = pairs.part_a
+      JOIN supp sb ON sb.part = pairs.part_b
+      CROSS JOIN n
+      WHERE n_both >= 2)
+    SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
+           CAST(s_a AS BIGINT) AS s_a, CAST(s_b AS BIGINT) AS s_b,
+           confidence, lift
+    FROM scored
+    ORDER BY lift DESC, part_a, part_b LIMIT 15
+    """,
+)
+def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over market baskets: for item pairs
+    co-bought in ≥2 orders, support counts, confidence P(b|a) and lift
+    P(ab)/(P(a)P(b)) — the full a-priori rule scoring that
+    q_cooccurrence_pairs' raw support counts feed.
+
+    Scale: same basket-bounded self-join as q_cooccurrence_pairs
+    (fanout ≤ basket size² per order, never |items|²); item supports
+    are one hash aggregate and broadcast back; the basket total is a
+    1-row broadcast. Top-15 is ordered on ROUNDED lift with pair
+    tie-breaks — a cross-engine-stable cut (text_pmi_collocations
+    policy)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n = li.agg(F.count_distinct("ok").alias("n_baskets"))
+    supp = li.groupBy("part").agg(F.count("*").alias("s"))
+    a = li.select("ok", F.col("part").alias("part_a"))
+    b = li.select("ok", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    sa = supp.select(F.col("part").alias("part_a"), F.col("s").alias("s_a"))
+    sb = supp.select(F.col("part").alias("part_b"), F.col("s").alias("s_b"))
+    scored = (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .join(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("s_a").cast("long").alias("s_a"),
+            F.col("s_b").cast("long").alias("s_b"),
+            F.round(F.col("n_both").cast("double") / F.col("s_a"), 4).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_baskets")
+                / (F.col("s_a") * F.col("s_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "part_a", "part_b").limit(15)
