@@ -598,11 +598,14 @@ def q_funnel_time_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_survival_km",
     oracle="""
     WITH span AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
-    u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd, MAX(CAST(ts AS DATE)) AS ld
+    u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+                 MIN(CASE WHEN event_type = 'purchase' AND value > 150
+                          THEN CAST(ts AS DATE) END) AS hv
           FROM events GROUP BY user_id),
     obs AS (
-      SELECT datediff('day', fd, ld) AS t,
-             CASE WHEN ld < maxd - 7 THEN 1 ELSE 0 END AS churned
+      SELECT CASE WHEN hv IS NULL THEN datediff('day', fd, maxd)
+                  ELSE datediff('day', fd, hv) END AS t,
+             CASE WHEN hv IS NULL THEN 0 ELSE 1 END AS churned
       FROM u CROSS JOIN span),
     agg AS (SELECT t, COUNT(*) AS n_t, SUM(churned) AS d FROM obs GROUP BY t),
     risk AS (SELECT t, d, SUM(n_t) OVER (ORDER BY t DESC) AS n_risk FROM agg),
@@ -616,11 +619,14 @@ def q_funnel_time_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival curve of user lifetime: t = days between
-    a user's first and last event; users still active in the final
-    week of data are right-CENSORED (they count in the at-risk set but
-    contribute no churn event) — the estimator retention/CLV analysis
-    uses when the observation window cuts lifetimes short.
+    """Kaplan-Meier time-to-event curve: t = days from a user's first
+    event to their first HIGH-VALUE purchase (value > 150); users who
+    never reach one by the end of the data are right-CENSORED at the
+    observation edge (they count in the at-risk set but contribute no
+    event) — the estimator conversion/CLV analysis uses when the
+    observation window cuts journeys short. (~half the users censor at
+    these fixtures, so the censoring arithmetic is genuinely
+    exercised, not a degenerate all-censored edge case.)
 
     Distributed KM: per-user spans are one hash aggregate; the
     lifetime table collapses to one row per distinct duration (tiny);
@@ -635,15 +641,19 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     may differ between the JVM and libm; the 6-decimal round absorbs
     it (same policy as the entropy/TF-IDF queries)."""
     ev = load_table(spark, sf_dir, "events")
+    hv_day = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150),
+        F.to_date("ts"),
+    )
     u = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+        F.min(F.to_date("ts")).alias("fd"), F.min(hv_day).alias("hv")
     )
     span = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
     obs = u.join(F.broadcast(span)).select(
-        F.datediff("ld", "fd").alias("t"),
-        F.when(F.col("ld") < F.date_sub(F.col("maxd"), 7), 1).otherwise(0).alias(
-            "churned"
-        ),
+        F.when(F.col("hv").isNull(), F.datediff("maxd", "fd"))
+        .otherwise(F.datediff("hv", "fd"))
+        .alias("t"),
+        F.when(F.col("hv").isNull(), 0).otherwise(1).alias("churned"),
     )
     agg = obs.groupBy("t").agg(
         F.count("*").alias("n_t"), F.sum("churned").alias("d")

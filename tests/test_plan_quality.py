@@ -118,7 +118,12 @@ def test_behavioral_funnels_are_single_scan(spark, sf_dir):
     # refactor back to the textbook shape fails loudly.
     import re
 
-    for name in ["q_funnel_conversion", "q_cohort_retention"]:
+    for name in [
+        "q_funnel_conversion",
+        "q_funnel_time_windowed",
+        "q_cohort_retention",
+        "q_new_vs_returning",
+    ]:
         plan = plan_of(spark, sf_dir, name)
         n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
         assert n_scans == 1, f"{name}: expected 1 scan, plan has {n_scans}"

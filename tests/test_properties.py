@@ -237,3 +237,51 @@ def test_item_jaccard_bounds(spark, sf_dir):
         assert r.item_a < r.item_b  # canonical pair orientation, no dups
         assert 0 < r.n_both <= min(r.n_a, r.n_b)
         assert 0.0 < r.jaccard <= 1.0
+
+
+def test_survival_curve_is_monotone_nonincreasing(spark, sf_dir):
+    from database_to_bigquery_spark.registry import all_specs
+
+    out = sorted(
+        all_specs()["q_survival_km"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.t_days,
+    )
+    assert out
+    last = 1.0 + 1e-9
+    for r in out:
+        assert 0.0 <= r.survival <= last + 1e-9, r
+        last = r.survival
+        assert r.n_events <= r.n_risk
+
+
+def test_decile_lift_partitions_the_population(spark, sf_dir):
+    from database_to_bigquery_spark.data import load_table
+    from database_to_bigquery_spark.registry import all_specs
+
+    out = all_specs()["q_decile_lift"].fn(spark, sf_dir).collect()
+    assert sorted(r.decile for r in out) == list(range(1, 11))
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_d for r in out) == total
+    # rank-arithmetic deciles differ by at most 1 in size
+    sizes = [r.n_d for r in out]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_paragraph_dedup_keeps_each_distinct_paragraph_once(spark, sf_dir):
+    from database_to_bigquery_spark.data import load_table
+    from database_to_bigquery_spark.registry import all_specs
+
+    out = all_specs()["text_paragraph_dedup"].fn(spark, sf_dir).collect()
+    kept = sum(r.n_kept for r in out)
+    d = load_table(spark, sf_dir, "documents")
+    n_distinct = (
+        d.select(
+            F.explode(F.split(F.col("text"), "[.!?] ")).alias("p")
+        )
+        .filter(F.length("p") > 0)
+        .select("p")
+        .distinct()
+        .count()
+    )
+    assert kept == n_distinct
+    assert all(r.n_kept + r.n_removed == r.n_paras for r in out)
