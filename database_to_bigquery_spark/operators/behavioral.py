@@ -814,6 +814,10 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("_r").alias("recency"), "frequency", "monetary"
         )
+        # persist: per-user table feeds both the threshold aggregate and
+        # the scoring pass — one events scan instead of two (the user
+        # table is |users|-sized, far below the event log it summarizes)
+        .persist()
     )
     th = u.agg(
         *[
@@ -926,7 +930,9 @@ def q_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
-    daily = e.distinct()
+    # persist: the distinct (day,user) relation feeds DAU, the cover-day
+    # expansion, AND the observed-day list — one distinct shuffle total
+    daily = e.distinct().persist()
     dau = daily.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
     covered = daily.select(
         F.explode(

@@ -1088,9 +1088,14 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast. Top-15 is ordered on ROUNDED lift with pair
     tie-breaks — a cross-engine-stable cut (text_pmi_collocations
     policy)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
-    ).distinct()
+    # persist: the deduped basket-item relation feeds the basket total,
+    # the supports, and both sides of the pair join (4 consumers)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .persist()
+    )
     n = li.agg(F.count_distinct("ok").alias("n_baskets"))
     supp = li.groupBy("part").agg(F.count("*").alias("s"))
     a = li.select("ok", F.col("part").alias("part_a"))

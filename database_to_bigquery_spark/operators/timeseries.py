@@ -1177,14 +1177,21 @@ def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree bit-for-bit before the single rounded report. Scale: the
     curve-sized stats are two 1-row broadcasts; everything heavy is
     the same hourly hash aggregate the decomposition already pays."""
-    r = _stl_interior(load_table(spark, sf_dir, "events")).select(
-        "hour",
-        "y",
-        (
-            F.col("y").cast("double")
-            - F.col("t_num").cast("double") / 25.0
-            - F.col("s")
-        ).alias("resid"),
+    # persist: r is curve-sized (#hours) but its lineage includes the
+    # heavy hourly rollup; three consumers (median, MAD, report) would
+    # otherwise each recompute the full event scan
+    r = (
+        _stl_interior(load_table(spark, sf_dir, "events"))
+        .select(
+            "hour",
+            "y",
+            (
+                F.col("y").cast("double")
+                - F.col("t_num").cast("double") / 25.0
+                - F.col("s")
+            ).alias("resid"),
+        )
+        .persist()
     )
     med = r.agg(F.expr("percentile(resid, 0.5)").alias("m"))
     mad = (
