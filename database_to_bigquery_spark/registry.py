@@ -109,7 +109,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # X14 text analysis + LLM filters
     "text_stats",
     "text_tfidf_top_terms",
-    "text_repetition_filter",
+    # (text_repetition_filter rotated out for the round-2 multimodal
+    # flagship below; X14 keeps two oracle-bearing reps)
+    "mm_phash_neardup",
     # X15 multimodal
     "mm_binary_metadata",
     "q_psi_drift",
@@ -119,7 +121,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_countmin_cells",
     # X17 UDF surface
     "udf_pandas_scalar",
-    "udf_grouped_agg_weighted",
+    # (udf_grouped_agg_weighted rotated out for the round-2 scalable-rank
+    # flagship below; X17 keeps udf_pandas_scalar)
+    "q_decile_lift",
     "sim_power_iteration",
     # behavioral / timeseries / skew representatives
     "q_funnel_conversion",
