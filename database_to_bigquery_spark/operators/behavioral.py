@@ -957,3 +957,48 @@ def q_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_activity_streaks",
+    oracle="""
+    WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) AS island
+      FROM daily),
+    streaks AS (
+      SELECT user_id, MIN(day) AS streak_start, COUNT(*) AS streak_days
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(MAX(streak_days) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT)         AS n_streaks,
+           MIN(streak_start)                AS first_day
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days and how many separate streaks they had — the engagement-streak
+    metric, and the canonical islands idiom (day minus its per-user row
+    number is constant exactly while days are consecutive, so the
+    difference IS the island key — no self-join, no recursion).
+
+    Scale: one distinct shuffle on (user, day); the row_number window,
+    the island rollup, and the per-user summary all partition on
+    user_id, so Catalyst reuses that single exchange end-to-end."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    daily = e.distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    isl = daily.withColumn("island", F.date_sub(F.col("day"), rn))
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.min("day").alias("streak_start"), F.count("*").alias("streak_days")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_days").cast("long").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.min("streak_start").alias("first_day"),
+    )

@@ -450,3 +450,81 @@ def mm_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").cast("long").alias("n_bytes"),
         "n_tokens",
     )
+
+
+_AF_WIN = 16  # samples per frame
+_AF_HOP = 8  # hop size (50% overlap)
+
+
+@query(
+    "mm_audio_frames",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, LEAST(LENGTH(text), 128) + 1),
+               i -> ascii(substr(text, i, 1))) AS samples
+      FROM documents),
+    frames AS (
+      SELECT doc_id, f AS frame_idx,
+             list_slice(samples, f * {_AF_HOP} + 1,
+                        f * {_AF_HOP} + {_AF_WIN}) AS frame
+      FROM px,
+           LATERAL (SELECT unnest(range(0,
+             CASE WHEN len(samples) >= {_AF_WIN}
+                  THEN (len(samples) - {_AF_WIN}) // {_AF_HOP} + 1
+                  ELSE 0 END)) AS f))
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(len(frame) AS INT)        AS n_samples,
+           CAST(list_sum(list_transform(frame, v -> v * v)) AS BIGINT)
+             AS energy,
+           CAST(list_max(frame) AS INT)   AS peak
+    FROM frames
+    """,
+)
+def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style framing of a media payload: slice the sample stream
+    into overlapping fixed windows (16 samples, hop 8 — the 25 ms /
+    10 ms hop shape of every speech front-end) and emit per-frame
+    energy (Σ sample²) and peak — the feature-extraction leg of an
+    audio pipeline, with samples proxied by payload codepoints
+    (first 128) exactly as mm_phash_neardup proxies pixels.
+
+    Everything is JVM array arithmetic over exact integers (energy is
+    an integer sum of squares — no floats at all), so the whole
+    framing pipeline is oracle-checked; a real deployment swaps the
+    proxy for decoded PCM behind the same mapInPandas seam as
+    decode_image_batch and keeps this exact plan. Map-only: each row
+    expands to its ≤15 frames in place, no shuffle anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    # built via expr: the lambda variable indexes substr directly
+    px = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, least(length(text), 128)),"
+            " i -> ascii(substr(text, i, 1)))"
+        ).alias("samples"),
+    )
+    n_frames = F.when(
+        F.size("samples") >= _AF_WIN,
+        F.floor((F.size("samples") - _AF_WIN) / _AF_HOP).cast("int") + 1,
+    ).otherwise(0)
+    frames = px.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        "samples",
+    ).withColumn(
+        "frame",
+        F.expr(f"slice(samples, frame_idx * {_AF_HOP} + 1, {_AF_WIN})"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.size("frame").cast("int").alias("n_samples"),
+        F.aggregate(
+            F.col("frame"),
+            F.lit(0).cast("long"),
+            lambda a, v: a + (v * v).cast("long"),
+        ).alias("energy"),
+        F.array_max("frame").cast("int").alias("peak"),
+    )

@@ -1290,3 +1290,57 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     seas = scores("seasonal_24h", (F.col("y") - F.col("f_seasonal")).cast("double"))
     ma3 = scores("ma3", F.col("y") - F.col("ma3_sum") / 3.0)
     return naive.unionByName(seas).unionByName(ma3)
+
+
+@query(
+    "ts_downsample_m4",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    pts AS (SELECT hour, y, CAST(epoch(hour) AS BIGINT) AS x FROM hourly),
+    span AS (SELECT MIN(x) AS minx, MAX(x) - MIN(x) + 3600 AS w FROM pts),
+    b AS (SELECT hour, y, x, ((x - minx) * 24) // w AS bucket FROM pts, span)
+    SELECT CAST(bucket AS INT)   AS bucket,
+           min_by(hour, x)       AS first_hour,
+           min_by(y, x)          AS first_y,
+           CAST(MIN(y) AS BIGINT) AS min_y,
+           CAST(MAX(y) AS BIGINT) AS max_y,
+           max_by(hour, x)       AS last_hour,
+           max_by(y, x)          AS last_y
+    FROM b GROUP BY bucket
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling: per time bucket keep first, last, min and max —
+    the error-free aggregation for line-chart rendering (every pixel
+    column's drawn segment is exactly reproduced by those 4 values;
+    ts_lttb_downsample is the 1-point-per-bucket alternative when
+    overplotting matters more than pixel exactness).
+
+    Unlike LTTB, M4 is a PLAIN hash aggregate — min/max/min_by/max_by
+    are all algebraic, so partial aggregation combines map-side and
+    there is no per-bucket window at all: strictly cheaper, fully
+    parallel, and the natural first choice at 100 TB. Bucketing is the
+    same integer arithmetic as LTTB (shared determinism argument);
+    min_by/max_by tie-break on the unique epoch x."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    pts = hourly.withColumn("x", F.unix_timestamp("hour"))
+    span = pts.agg(
+        F.min("x").alias("minx"), (F.max("x") - F.min("x") + 3600).alias("w")
+    )
+    b = pts.join(F.broadcast(span)).withColumn(
+        "bucket", F.expr("((x - minx) * 24) div w")
+    )
+    return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.min_by("hour", "x").alias("first_hour"),
+        F.min_by("y", "x").alias("first_y"),
+        F.min("y").cast("long").alias("min_y"),
+        F.max("y").cast("long").alias("max_y"),
+        F.max_by("hour", "x").alias("last_hour"),
+        F.max_by("y", "x").alias("last_y"),
+    )
