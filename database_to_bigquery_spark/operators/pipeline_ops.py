@@ -430,3 +430,83 @@ def q_scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ins)
         .unionByName(dele)
     )
+
+
+@query(
+    "q_ivm_join_maintenance",
+    oracle="""
+    WITH new AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 7)
+    SELECT c_nationkey,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM new JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def q_ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over a JOIN: the view
+    V = revenue per customer nation (orders ⋈ customer, grouped) is
+    maintained from the OLD snapshot plus the CDC delta — deletes
+    subtract their old contribution, inserts add, updates add the
+    difference — never rescanning old orders. The oracle recomputes V
+    directly from the new snapshot, so matching it PROVES the delta
+    algebra (ΔV = Δorders ⋈ customer, then merge) is exact.
+
+    This is q_partial_agg_merge's idea lifted to joins: because the
+    aggregate is algebraic (SUM) and the dimension side is unchanged,
+    ΔV needs only the delta joined to customer. Scale: the delta is
+    tiny in a real daily load (here it's mod-derived so the oracle can
+    reproduce it) — its join broadcasts the dim or probes bucketed
+    files, and V_old merges with ΔV on the group key: total cost is
+    O(|delta| + |V|), independent of the base table size. That
+    independence is the entire point of IVM at 100 TB."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    old = o.filter(F.col("o_orderkey") % 10 != 3)
+    new = o.filter(F.col("o_orderkey") % 10 != 7).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1000.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    # the materialized view as of yesterday
+    v_old = (
+        old.join(F.broadcast(c), old.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum("o_totalprice").alias("v"))
+    )
+    # CDC delta with signed contributions (insert +np, delete -op,
+    # update np-op); unchanged rows contribute 0 and are dropped
+    d = (
+        old.alias("a")
+        .join(new.alias("b"), "o_orderkey", "full_outer")
+        .select(
+            F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+            (
+                F.coalesce(F.col("b.o_totalprice"), F.lit(0.0))
+                - F.coalesce(F.col("a.o_totalprice"), F.lit(0.0))
+            ).alias("contrib"),
+        )
+        .filter(F.col("contrib") != 0.0)
+    )
+    dv = (
+        d.join(F.broadcast(c), d.custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum("contrib").alias("dv"))
+    )
+    return (
+        v_old.join(dv, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.round(
+                F.coalesce(F.col("v"), F.lit(0.0)) + F.coalesce(F.col("dv"), F.lit(0.0)),
+                2,
+            ).alias("revenue"),
+        )
+    )

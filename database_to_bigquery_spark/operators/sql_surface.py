@@ -241,3 +241,55 @@ def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("day")).cast("date").alias("month_start"),
         F.last_day("day").alias("month_end"),
     )
+
+
+@query(
+    "q_sql_udf_library",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS gross_revenue,
+           CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bulk
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_sql_udf_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDFs (Spark 4 `CREATE FUNCTION ... RETURN expr`): a small
+    reusable business-logic library — net price, gross price, bulk
+    flag — declared once and used in a revenue rollup.
+
+    Why this matters at scale: SQL UDFs are INLINED by Catalyst at
+    analysis time, so unlike any Python UDF they cost nothing — the
+    plan below is byte-identical to writing the expressions inline
+    (whole-stage codegen, pushdown, everything) while callers share
+    one definition. This is the right home for shared business logic;
+    the Python UDF surface (operators/udfs.py) is only for logic SQL
+    cannot express. The oracle runs the inlined form — identical
+    results prove the inlining semantics."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_udf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gross_price(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN net_price(p, d) * (1 + t)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_bulk(q DOUBLE) "
+        "RETURNS BOOLEAN RETURN q >= 30"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(net_price(l_extendedprice, l_discount)), 2)
+                 AS net_revenue,
+               ROUND(SUM(gross_price(l_extendedprice, l_discount, l_tax)), 2)
+                 AS gross_revenue,
+               CAST(SUM(CASE WHEN is_bulk(l_quantity) THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bulk
+        FROM _li_udf GROUP BY l_returnflag
+        """
+    )
