@@ -285,3 +285,48 @@ def test_paragraph_dedup_keeps_each_distinct_paragraph_once(spark, sf_dir):
     )
     assert kept == n_distinct
     assert all(r.n_kept + r.n_removed == r.n_paras for r in out)
+
+
+def test_streaks_partition_active_days(spark, sf_dir):
+    from database_to_bigquery_spark.data import load_table
+    from database_to_bigquery_spark.registry import all_specs
+
+    out = all_specs()["q_activity_streaks"].fn(spark, sf_dir).collect()
+    # longest streak is bounded by the user's active-day count, and at
+    # least ceil(active_days / n_streaks) (pigeonhole)
+    e = load_table(spark, sf_dir, "events")
+    active = {
+        r.user_id: r.n
+        for r in e.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.user_id for r in out} == set(active)
+    for r in out:
+        n = active[r.user_id]
+        assert 1 <= r.longest_streak <= n
+        assert r.longest_streak * r.n_streaks >= n  # pigeonhole
+
+
+def test_m4_buckets_bound_the_series(spark, sf_dir):
+    from database_to_bigquery_spark.data import load_table
+    from database_to_bigquery_spark.registry import all_specs
+
+    out = all_specs()["ts_downsample_m4"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.min_y <= r.first_y <= r.max_y
+        assert r.min_y <= r.last_y <= r.max_y
+        assert r.first_hour <= r.last_hour
+    # global extrema survive downsampling exactly
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("y"))
+        .agg(F.min("y").alias("lo"), F.max("y").alias("hi"))
+        .first()
+    )
+    assert min(r.min_y for r in out) == hourly.lo
+    assert max(r.max_y for r in out) == hourly.hi
