@@ -510,3 +510,100 @@ def q_ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "q_table_checksum",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' ||
+                 o_orderstatus || '|' ||
+                 CAST(o_totalprice AS VARCHAR)), 1, 12) AS BIGINT))
+               AS BIGINT) AS content_checksum
+    FROM orders
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content checksum: per-row md5 over a
+    canonical column serialization, truncated to 48 bits and SUMMED —
+    one number that equals iff two copies of the table hold the same
+    rows. This is the integrity check the reference's row-count audit
+    (S14) cannot do: counts match trivially after a corrupt load;
+    checksums don't.
+
+    Addition is commutative, so the checksum is independent of row
+    order and partitioning — each partition sums locally and the
+    merge is one number per partition (the cheapest possible
+    cross-system validation at 100 TB: run the same expression on
+    source and replica, ship back 16 bytes). 48-bit terms keep the
+    sum far from BIGINT overflow (2^48 · rows < 2^63 up to ~32k
+    billion rows).
+
+    Cross-engine canonicalization: both engines print BIGINTs
+    identically and shortest-round-trip doubles below 1e7
+    identically; the '|' separator prevents field-concatenation
+    ambiguity. Real deployments should CAST every column explicitly
+    and pin a NULL sentinel."""
+    o = load_table(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("string"),
+    )
+    term = F.conv(F.substring(F.md5(row_repr), 1, 12), 16, 10).cast("long")
+    return o.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(term).cast("long").alias("content_checksum"),
+    )
+
+
+@query(
+    "q_k_anonymity_audit",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS grp_n
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT)                       AS n_classes,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_k,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS users_at_risk,
+           CAST(MIN(grp_n) AS BIGINT)                     AS min_class_size
+    FROM q
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (nation, market segment, account-balance band): how many
+    equivalence classes exist, how many fall below k, and how many
+    individuals sit in those re-identifiable classes — the governance
+    gate a dataset must pass before leaving the warehouse (a class of
+    1 means those quasi-identifiers pinpoint a person).
+
+    Scale: one partial-aggregated shuffle on the QI tuple, then a
+    1-row summary — the audit costs a groupBy no matter how wide the
+    table is. Generalization (coarser bands) and suppression (drop
+    below-k rows: semi-join this class list back) are both one step
+    from this plan."""
+    c = load_table(spark, sf_dir, "customer")
+    q = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+    ).agg(F.count("*").alias("grp_n"))
+    return q.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_k"),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("users_at_risk"),
+        F.min("grp_n").cast("long").alias("min_class_size"),
+    )
