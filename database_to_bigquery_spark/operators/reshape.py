@@ -497,3 +497,60 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 2).alias("weighted_median_price"),
         F.round("tot", 2).alias("total_weight"),
     )
+
+
+@query(
+    "q_histogram_equi_depth",
+    oracle="""
+    WITH th AS (
+      SELECT quantile_cont(o_totalprice, 0.1) AS t1, quantile_cont(o_totalprice, 0.2) AS t2,
+             quantile_cont(o_totalprice, 0.3) AS t3, quantile_cont(o_totalprice, 0.4) AS t4,
+             quantile_cont(o_totalprice, 0.5) AS t5, quantile_cont(o_totalprice, 0.6) AS t6,
+             quantile_cont(o_totalprice, 0.7) AS t7, quantile_cont(o_totalprice, 0.8) AS t8,
+             quantile_cont(o_totalprice, 0.9) AS t9
+      FROM orders)
+    SELECT CAST(CASE WHEN o_totalprice <= t1 THEN 0 WHEN o_totalprice <= t2 THEN 1
+                WHEN o_totalprice <= t3 THEN 2 WHEN o_totalprice <= t4 THEN 3
+                WHEN o_totalprice <= t5 THEN 4 WHEN o_totalprice <= t6 THEN 5
+                WHEN o_totalprice <= t7 THEN 6 WHEN o_totalprice <= t8 THEN 7
+                WHEN o_totalprice <= t9 THEN 8 ELSE 9 END AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT)     AS n_orders,
+           ROUND(MIN(o_totalprice), 2)  AS lo,
+           ROUND(MAX(o_totalprice), 2)  AS hi
+    FROM orders CROSS JOIN th
+    GROUP BY 1
+    """,
+)
+def q_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram: 10 buckets holding ~10% of
+    rows each, with the realized bucket boundaries — the histogram
+    shape optimizers keep as column statistics (fixed-width
+    q_histogram wastes buckets on sparse tails; equi-depth spends them
+    where the data is).
+
+    Scale: ONE exact-percentile aggregate row (nine thresholds)
+    broadcast back, then bucket assignment is a map-only CASE and the
+    final rollup partial-aggregates — no rank pass over the data, no
+    sort. Swap percentile → approx_percentile at extreme scale; plan
+    unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    th = o.agg(
+        *[
+            F.percentile("o_totalprice", F.lit(q / 10)).alias(f"t{q}")
+            for q in range(1, 10)
+        ]
+    )
+    bucket = F.lit(9)
+    for q in range(9, 0, -1):
+        bucket = F.when(
+            F.col("o_totalprice") <= F.col(f"t{q}"), q - 1
+        ).otherwise(bucket)
+    return (
+        o.join(F.broadcast(th))
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

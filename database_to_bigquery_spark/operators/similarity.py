@@ -711,3 +711,127 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+_MMR_LAMBDA = 0.7
+
+
+@query(
+    "sim_mmr_rerank",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    r AS (
+      SELECT c.vec_id, c.v,
+             list_dot_product(qv, c.v)
+             / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(c.v, c.v)))
+               AS rel
+      FROM e c CROSS JOIN q WHERE c.vec_id <> 0),
+    s1 AS (SELECT * FROM r ORDER BY rel DESC, vec_id LIMIT 1),
+    r2 AS (
+      SELECT r.vec_id, r.v, r.rel,
+             {_MMR_LAMBDA} * r.rel - {1 - _MMR_LAMBDA:.1f} *
+               (list_dot_product(r.v, s1.v)
+                / (SQRT(list_dot_product(r.v, r.v)) * SQRT(list_dot_product(s1.v, s1.v))))
+               AS score
+      FROM r CROSS JOIN s1 WHERE r.vec_id <> s1.vec_id),
+    s2 AS (SELECT * FROM r2 ORDER BY score DESC, vec_id LIMIT 1),
+    r3 AS (
+      SELECT r.vec_id, r.rel,
+             {_MMR_LAMBDA} * r.rel - {1 - _MMR_LAMBDA:.1f} * GREATEST(
+               list_dot_product(r.v, s1.v)
+               / (SQRT(list_dot_product(r.v, r.v)) * SQRT(list_dot_product(s1.v, s1.v))),
+               list_dot_product(r.v, s2.v)
+               / (SQRT(list_dot_product(r.v, r.v)) * SQRT(list_dot_product(s2.v, s2.v))))
+               AS score
+      FROM r CROSS JOIN s1 CROSS JOIN s2
+      WHERE r.vec_id <> s1.vec_id AND r.vec_id <> s2.vec_id),
+    s3 AS (SELECT * FROM r3 ORDER BY score DESC, vec_id LIMIT 1)
+    SELECT 1 AS rnk, vec_id, ROUND(rel, 4) AS relevance, ROUND(rel, 4) AS mmr_score
+    FROM s1
+    UNION ALL
+    SELECT 2, vec_id, ROUND(rel, 4), ROUND(score, 4) FROM s2
+    UNION ALL
+    SELECT 3, vec_id, ROUND(rel, 4), ROUND(score, 4) FROM s3
+    """,
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (λ=0.7, 3 picks unrolled):
+    select results that are relevant to the query vector (vec_id 0)
+    but DIVERSE from what's already selected — the standard fix for
+    near-duplicate-saturated retrieval results, and the
+    diversity-aware sampling primitive for training-batch curation.
+
+    Greedy MMR is inherently sequential in k; like sim_kmeans_2iter,
+    the loop is UNROLLED (3 picks) so each step is a plain plan:
+    score every candidate against the selected set (broadcast — the
+    selected set is k rows) and take the argmax with TakeOrdered.
+    Per step: one broadcast join + one top-1, so k picks over n
+    candidates cost O(k·n) dot products with k plans — no driver-side
+    iteration over candidates. Determinism: every cosine folds in
+    index order (the sim_topk argument), and every argmax tie-breaks
+    on vec_id."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    rel = _dot("v", "qv") / (F.sqrt(_dot("v", "v")) * F.sqrt(_dot("qv", "qv")))
+    r = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", "v", rel.alias("rel"))
+    )
+
+    def sim_to(sel_v: str):
+        return _dot("v", sel_v) / (
+            F.sqrt(_dot("v", "v")) * F.sqrt(_dot(sel_v, sel_v))
+        )
+
+    s1 = r.orderBy(F.col("rel").desc(), "vec_id").limit(1)
+    s1b = s1.select(
+        F.col("vec_id").alias("s1_id"), F.col("v").alias("s1_v")
+    )
+    r2 = (
+        r.join(F.broadcast(s1b))
+        .filter(F.col("vec_id") != F.col("s1_id"))
+        .withColumn(
+            "score",
+            _MMR_LAMBDA * F.col("rel") - (1 - _MMR_LAMBDA) * sim_to("s1_v"),
+        )
+    )
+    s2 = r2.orderBy(F.col("score").desc(), "vec_id").limit(1)
+    s2b = s2.select(
+        F.col("vec_id").alias("s2_id"), F.col("v").alias("s2_v")
+    )
+    r3 = (
+        r.join(F.broadcast(s1b))
+        .join(F.broadcast(s2b))
+        .filter((F.col("vec_id") != F.col("s1_id")) & (F.col("vec_id") != F.col("s2_id")))
+        .withColumn(
+            "score",
+            _MMR_LAMBDA * F.col("rel")
+            - (1 - _MMR_LAMBDA) * F.greatest(sim_to("s1_v"), sim_to("s2_v")),
+        )
+    )
+    s3 = r3.orderBy(F.col("score").desc(), "vec_id").limit(1)
+    out1 = s1.select(
+        F.lit(1).alias("rnk"),
+        "vec_id",
+        F.round("rel", 4).alias("relevance"),
+        F.round("rel", 4).alias("mmr_score"),
+    )
+    out2 = s2.select(
+        F.lit(2).alias("rnk"),
+        "vec_id",
+        F.round("rel", 4).alias("relevance"),
+        F.round("score", 4).alias("mmr_score"),
+    )
+    out3 = s3.select(
+        F.lit(3).alias("rnk"),
+        "vec_id",
+        F.round("rel", 4).alias("relevance"),
+        F.round("score", 4).alias("mmr_score"),
+    )
+    return out1.unionByName(out2).unionByName(out3)

@@ -1344,3 +1344,33 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("hour", "x").alias("last_hour"),
         F.max_by("y", "x").alias("last_y"),
     )
+
+
+@query(
+    "ts_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS INT)        AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT)    AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT)              AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (events and distinct
+    users per cell) — the weekly seasonality fingerprint behind
+    staffing, anomaly baselines, and ts_stl_decompose's hour-of-day
+    seasonal assumption.
+
+    One shuffle on the 168-cell key with map-side partial aggregation;
+    the distinct-user count shuffles (cell, user) pairs once. Both
+    engines: Sunday=1 dayofweek convention (Spark dayofweek ≡ DuckDB
+    dayofweek + 1 shift checked in the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
