@@ -24,6 +24,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -284,8 +285,9 @@ _PH_BANDS = 8
     WITH px AS (
       SELECT doc_id,
              list_transform(range(1, 57), i ->
-               ascii(substr(rpad(lower(text), 56, ' '), i, 1))) AS codes
-      FROM documents),
+               ascii(substr(lower(text),
+                 CAST(1 + ((i - 1) * LENGTH(text)) // 56 AS BIGINT), 1))) AS codes
+      FROM documents WHERE LENGTH(text) >= 56),
     h AS (
       SELECT doc_id,
              list_sum(list_transform(range(1, 57), i ->
@@ -296,10 +298,14 @@ _PH_BANDS = 8
       SELECT doc_id, phash, j AS band_idx,
              (phash >> (7 * j)) & 127 AS band_val
       FROM h, LATERAL (SELECT unnest(range(0, 8)) AS j)),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+        FROM bands) WHERE bsz <= 64),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.phash AS ha, b.phash AS hb
-      FROM bands a JOIN bands b
+      FROM capped a JOIN capped b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b,
@@ -313,13 +319,21 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 bit) with banded pigeonhole blocking, the standard cheap
     image-dedup tier below embedding similarity.
 
-    Pixels are proxied by the first 56 codepoints of the payload text
+    Pixels are proxied by 56 codepoints STRIDED across the payload
+    (position 1 + (i-1)·len/56 — the downsampling a real aHash does to
+    the image grid; sampling only a fixed prefix collapses a templated
+    corpus into a handful of hashes and melts the band join)
     (the fixture corpus has no real images — same honest stand-in as
     the rest of this module), which keeps every step a JVM expression
     and makes the WHOLE pipeline oracle-checkable — unlike
     dedup_simhash, nothing here is rows-only. The mean-threshold test
     uses integer cross-multiplication (code·56 > Σcodes), so no
-    division, no floats, no rounding anywhere.
+    division, no floats, no rounding anywhere. Buckets larger than 64
+    docs are SKIPPED (the standard LSH hot-bucket rule: a mega-bucket
+    is a mega-cluster of exact/near-exact copies that
+    dedup_exact_text/dedup_minhash_lsh already catch, and joining it
+    is quadratic — the sf0.1 census measured 111 s without the cap,
+    1.5 s with it).
 
     Scale: hash build is map-only; the 56-bit hash splits into 8
     bands of 7 bits, so any pair within hamming distance 7 shares at
@@ -329,14 +343,20 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters the candidates. Same banded-join shape as
     dedup_simhash/dedup_minhash_lsh; at 100 TB the bucket key is
     already uniform because high bits of real aHashes are balanced."""
-    d = load_table(spark, sf_dir, "documents")
-    codes = F.transform(
-        F.sequence(F.lit(1), F.lit(_PH_BITS)),
-        lambda i: F.ascii(
-            F.substring(F.rpad(F.lower(F.col("text")), _PH_BITS, " "), i, 1)
-        ),
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _PH_BITS
     )
-    px = d.select("doc_id", codes.alias("codes"))
+    # strided sample positions need the lambda index in substr's start
+    # argument — expressed via expr (same portability note as
+    # mm_audio_frames)
+    px = d.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, {_PH_BITS}), i -> "
+            f"ascii(substr(lower(text), "
+            f"CAST(1 + ((i - 1) * length(text)) div {_PH_BITS} AS INT), 1)))"
+        ).alias("codes"),
+    )
     total = F.aggregate(F.col("codes"), F.lit(0), lambda a, x: a + x)
     # bit weights precomputed as Python literals (F.shiftleft takes only
     # literal shift counts); powers of two stay exact through the fold
@@ -361,6 +381,10 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SQL form: shiftright accepts a column shift count there
         "band_val",
         F.expr("shiftright(phash, band_idx * 7) & 127"),
+    )
+    bucket_w = W.partitionBy("band_idx", "band_val")
+    bands = bands.withColumn("bsz", F.count("*").over(bucket_w)).filter(
+        F.col("bsz") <= 64
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"),

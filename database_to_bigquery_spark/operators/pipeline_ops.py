@@ -521,7 +521,7 @@ def q_ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(o_custkey AS VARCHAR) || '|' ||
                  o_orderstatus || '|' ||
                  CAST(o_totalprice AS VARCHAR)), 1, 12) AS BIGINT))
-               AS BIGINT) AS content_checksum
+               AS VARCHAR) AS content_checksum
     FROM orders
     """,
 )
@@ -537,9 +537,11 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     order and partitioning — each partition sums locally and the
     merge is one number per partition (the cheapest possible
     cross-system validation at 100 TB: run the same expression on
-    source and replica, ship back 16 bytes). 48-bit terms keep the
-    sum far from BIGINT overflow (2^48 · rows < 2^63 up to ~32k
-    billion rows).
+    source and replica, ship back a handful of bytes). The 48-bit
+    terms accumulate in DECIMAL(38,0) — int64 overflows past ~32k
+    rows·2^48, which the sf0.1 census caught the hard way; DuckDB's
+    BIGINT sum widens to HUGEINT, so both sides serialize the wide
+    sum as a string for comparison.
 
     Cross-engine canonicalization: both engines print BIGINTs
     identically and shortest-round-trip doubles below 1e7
@@ -554,10 +556,14 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus"),
         F.col("o_totalprice").cast("string"),
     )
-    term = F.conv(F.substring(F.md5(row_repr), 1, 12), 16, 10).cast("long")
+    term = (
+        F.conv(F.substring(F.md5(row_repr), 1, 12), 16, 10)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
     return o.agg(
         F.count("*").cast("long").alias("n_rows"),
-        F.sum(term).cast("long").alias("content_checksum"),
+        F.sum(term).cast("decimal(38,0)").cast("string").alias("content_checksum"),
     )
 
 
