@@ -101,6 +101,42 @@ def char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(grams).alias("g"))
 
 
+def _tagged_shingle_blocks(spark: SparkSession, sf_dir: str, n_blocks: int = 8) -> DataFrame:
+    """Shared prep for the blocked all-pairs intersection operators
+    (exact Jaccard / containment): dictionary-encode each document's
+    distinct shingles to a gid array, split docs into ``n_blocks``
+    hash blocks, and replicate each doc to every block-pair group it
+    participates in, tagged with its side.
+
+    B(B+1)/2 = 36 block-pair tasks (enough to saturate 32 cores since
+    same-block pairs are ~half-size); each doc's gid array ships to
+    B+1 = 9 groups, so replication — the dominant Arrow-transfer
+    cost — stays modest. Larger B shrinks per-task matmuls (already
+    far from the FLOP bound) while inflating transfer linearly.
+    The gram dictionary is vocabulary-sized (tiny here; at scale a
+    shuffle over |vocab|, never over docs²)."""
+    sh = char_shingles(spark, sf_dir)  # (doc_id, g) distinct
+    gram_ids = sh.select("g").distinct().withColumn("gid", F.monotonically_increasing_id())
+    vecs = (
+        sh.join(F.broadcast(gram_ids), "g")
+        .groupBy("doc_id")
+        .agg(F.collect_list("gid").alias("gids"))
+        .withColumn("blk", (F.col("doc_id") % n_blocks).cast("int"))
+    )
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    )
+    return (
+        vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("bi"))
+        .select("bi", "bj", "doc_id", "gids", F.lit("a").alias("side"))
+        .unionByName(
+            vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("bj")).select(
+                "bi", "bj", "doc_id", "gids", F.lit("b").alias("side")
+            )
+        )
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     headline=True,
@@ -150,37 +186,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash LSH (dedup_minhash_lsh) remains the sub-quadratic
     approximate path for corpora where n²/P itself is too big.
     """
-    import pandas as pd  # noqa: F401 — applyInPandas ships these to workers
-
     t = 0.6
-    # B(B+1)/2 = 36 block-pair tasks (enough to saturate 32 cores since
-    # same-block pairs are ~half-size); each doc's gid array ships to
-    # B+1 = 9 groups, so replication — the dominant Arrow-transfer
-    # cost — stays modest. Larger B shrinks per-task matmuls (already
-    # far from the FLOP bound) while inflating transfer linearly.
-    n_blocks = 8
-    sh = char_shingles(spark, sf_dir)  # (doc_id, g) distinct
-    # dictionary-encode grams: vocabulary-sized distinct (tiny here;
-    # at scale this is a shuffle over |vocab|, never over docs²)
-    gram_ids = sh.select("g").distinct().withColumn("gid", F.monotonically_increasing_id())
-    vecs = (
-        sh.join(F.broadcast(gram_ids), "g")
-        .groupBy("doc_id")
-        .agg(F.collect_list("gid").alias("gids"))
-        .withColumn("blk", (F.col("doc_id") % n_blocks).cast("int"))
-    )
-    block_pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
-    )
-    tagged = (
-        vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("bi"))
-        .select("bi", "bj", "doc_id", "gids", F.lit("a").alias("side"))
-        .unionByName(
-            vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("bj")).select(
-                "bi", "bj", "doc_id", "gids", F.lit("b").alias("side")
-            )
-        )
-    )
+    tagged = _tagged_shingle_blocks(spark, sf_dir)
 
     def block_intersections(pdf):
         import numpy as np
@@ -469,30 +476,102 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brute-force O(n²) pair generation is correct at this candidate
     scale; the 100 TB path replaces pair generation with
     sim_topk_lsh's bucketing and keeps this exact cosine as the
-    verification stage. All vector math is F.zip_with/F.aggregate —
-    codegen, no UDF, double accumulation in index order (bit-identical
-    to the oracle). The two self-norms are folded ONCE per row before
-    the pair join (identical expression → identical doubles), so each
-    of the n² pairs pays one 64-element fold, not three.
+    verification stage. The dot product is UNROLLED into a flat
+    element_at sum over the (fixed, schema-probed) dimensionality:
+    Spark's higher-order aggregate/zip_with fold is interpreted
+    per-element — measured 26 s for the 2 M-pair sf0.1 join — while
+    the unrolled sum runs inside WholeStageCodegen at ~10× less.
+    Left-to-right addition from an exact 0.0+t1 first step keeps the
+    doubles bit-identical to the sequential fold (and to the
+    oracle's list_dot_product). The two self-norms are folded ONCE
+    per row before the pair join, so each of the n² pairs pays one
+    64-term sum, not three.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    dim_row = e.select(F.size("v").alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
 
     def dot(x: str, y: str):
-        return F.aggregate(
-            F.zip_with(x, y, lambda u, v: u * v), F.lit(0.0), lambda acc, z: acc + z
+        if dim <= 0:
+            return F.aggregate(
+                F.zip_with(x, y, lambda u, v: u * v), F.lit(0.0), lambda acc, z: acc + z
+            )
+        terms = [F.element_at(x, i) * F.element_at(y, i) for i in range(1, dim + 1)]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    e = e.withColumn("nrm", F.sqrt(dot("v", "v"))).persist()
+
+    # Candidate generation: blocked all-pairs numpy matmul (the
+    # dedup_ngram_jaccard pattern) with the threshold relaxed by a
+    # 1e-6 margin — BLAS does the n²·d FLOPs in milliseconds, and the
+    # margin is ~10⁹× the worst-case pairwise-vs-sequential float64
+    # summation divergence, so no true pair can be lost. The exact
+    # fold then re-scores ONLY the surviving candidates, so the
+    # emitted cosine is bit-identical to the oracle's sequential
+    # list_dot_product. (Pure-Spark alternatives measured at sf0.1:
+    # theta-join BNLJ = no codegen, 17 s; block equi-join with a
+    # 64-term unrolled codegen dot = 11 s of element_at overhead;
+    # this = ~2 s.)
+    n_blocks = 8
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    )
+    vecs = e.withColumn("blk", (F.col("vec_id") % n_blocks).cast("int"))
+    tagged = (
+        vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("bi"))
+        .select("bi", "bj", "vec_id", "v", "nrm", F.lit("a").alias("side"))
+        .unionByName(
+            vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("bj")).select(
+                "bi", "bj", "vec_id", "v", "nrm", F.lit("b").alias("side")
+            )
+        )
+    )
+
+    def block_candidates(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a_rows = pdf[pdf["side"] == "a"]
+        b_rows = pdf[pdf["side"] == "b"]
+        if a_rows.empty or b_rows.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in ["vec_a", "vec_b"]})
+        ma = np.stack(list(a_rows["v"])).astype(np.float64)
+        mb = np.stack(list(b_rows["v"])).astype(np.float64)
+        cos = (ma @ mb.T) / np.outer(a_rows["nrm"].to_numpy(), b_rows["nrm"].to_numpy())
+        ids_a = a_rows["vec_id"].to_numpy()
+        ids_b = b_rows["vec_id"].to_numpy()
+        mask = cos >= 0.4 - 1e-6
+        if pdf["bi"].iat[0] == pdf["bj"].iat[0]:
+            mask &= ids_a[:, None] < ids_b[None, :]
+        else:
+            mask &= ids_a[:, None] != ids_b[None, :]
+        ia, ib = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ids_a[ia], ids_b[ib]),
+                "vec_b": np.maximum(ids_a[ia], ids_b[ib]),
+            }
         )
 
-    e = e.withColumn("nrm", F.sqrt(dot("v", "v")))
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    cand = (
+        tagged.groupBy("bi", "bj")
+        .applyInPandas(block_candidates, "vec_a long, vec_b long")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    # exact verification: sequential-fold cosine on candidates only
+    pairs = cand.join(
+        F.broadcast(e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                             F.col("nrm").alias("na"))), "vec_a"
+    ).join(
+        F.broadcast(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                             F.col("nrm").alias("nb"))), "vec_b"
+    )
     cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine_raw", cos)
@@ -756,31 +835,74 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     that symmetric Jaccard structurally under-scores (a small doc
     inside a huge one has tiny Jaccard but containment ≈ 1).
 
-    Scale: same bounded-key (doc, gram) equi-join as the Jaccard twin;
-    the sa.n < sb.n restriction halves the candidate space and breaks
-    the symmetric double-count. At 100 TB the candidate set comes from
-    the MinHash bands instead — containment verification is the same
-    join either way."""
-    sh = char_shingles(spark, sf_dir).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        sh.select(F.col("doc_id").alias("doc_a"), "g")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "g"), "g")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    Scale: the (doc, gram) equi-join form is quadratic in disguise on
+    this dense tiny-vocabulary corpus (hot grams shared by thousands
+    of docs — measured 14 s at sf0.1); like the Jaccard twin, the
+    honest exact algorithm is blocked all-pairs with one numpy
+    boolean matmul per block pair (~2 s). Intersection counts are
+    exact integers; the asymmetric containment mask is evaluated in
+    BOTH directions for cross-block pairs (each unordered pair lands
+    in exactly one group, with arbitrary side assignment). The final
+    ratio is recomputed from the integer counts in Spark SQL —
+    bit-identical to the oracle's DOUBLE division. At 100 TB the
+    candidate set comes from the MinHash bands instead —
+    containment verification is the same exact count either way."""
+    import pandas as pd  # noqa: F401 — applyInPandas ships these to workers
+
+    t = 0.9
+    tagged = _tagged_shingle_blocks(spark, sf_dir)
+
+    def block_containment(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        cols = ["doc_a", "doc_b", "n_common", "na", "nb"]
+        if a.empty or b.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        same_block = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        vocab = np.unique(np.concatenate(list(pdf["gids"])))
+        ids_a = a["doc_id"].to_numpy()
+        ids_b = b["doc_id"].to_numpy()
+
+        def densify(col):
+            m = np.zeros((len(col), len(vocab)), dtype=np.float32)
+            for r, gids in enumerate(col):
+                m[r, np.searchsorted(vocab, gids)] = 1.0
+            return m
+
+        ma, mb = densify(list(a["gids"])), densify(list(b["gids"]))
+        common = (ma @ mb.T).astype(np.int64)  # exact: counts ≤ |vocab| ≪ 2^24
+        na = ma.sum(axis=1).astype(np.int64)
+        nb = mb.sum(axis=1).astype(np.int64)
+        neq = ids_a[:, None] != ids_b[None, :]
+        # containment of the a-side doc in the b-side doc
+        m1 = neq & (na[:, None] < nb[None, :]) & (
+            common.astype(np.float64) / na[:, None] >= t
+        )
+        out = []
+        i1, j1 = np.nonzero(m1)
+        out.append((ids_a[i1], ids_b[j1], common[i1, j1], na[i1], nb[j1]))
+        if not same_block:
+            # a same-block group sees every ORDERED pair, so m1 alone
+            # covers both directions; a cross-block group sees each
+            # unordered pair once — check the reverse direction too
+            m2 = neq & (nb[None, :] < na[:, None]) & (
+                common.astype(np.float64) / nb[None, :] >= t
+            )
+            i2, j2 = np.nonzero(m2)
+            out.append((ids_b[j2], ids_a[i2], common[i2, j2], nb[j2], na[i2]))
+        return pd.DataFrame(
+            {c: np.concatenate([o[k] for o in out]) for k, c in enumerate(cols)}
+        )
+
+    pairs = tagged.groupBy("bi", "bj").applyInPandas(
+        block_containment, "doc_a long, doc_b long, n_common long, na long, nb long"
     )
     return (
-        inter.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
-            "doc_b",
-        )
-        .filter(
-            ((F.col("n_common").cast("double") / F.col("na")) >= 0.9)
+        pairs.filter(
+            ((F.col("n_common").cast("double") / F.col("na")) >= t)
             & (F.col("na") < F.col("nb"))
         )
         .select(

@@ -288,7 +288,13 @@ def text_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join, while the final per-doc aggregation co-partitions on
     doc_id. The C4 paper's remove-the-span variant is this same plan
     with a filter instead of a score."""
-    d = load_table(spark, sf_dir, "documents")
+    # repartition-before-expensive-transform (the char_shingles note):
+    # the raw corpus is a couple of sub-split parquet files, but span
+    # explosion expands it ~wordcount× and is CPU-bound — spread it
+    # over every core before the interpreted HOF work runs.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     ws = F.split(F.col("text"), " ")
     spans = F.transform(
         F.sequence(F.lit(1), F.size(ws) - 9),
