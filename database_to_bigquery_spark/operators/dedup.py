@@ -911,3 +911,188 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_common").cast("double") / F.col("na"), 4).alias("containment"),
         )
     )
+
+
+# ------------------------------------------------------------ SemDeDup ----
+
+_SEM_K = 4  # k-means cells
+_SEM_TAU = 0.4  # dup threshold (fixture cosine range tops out ~0.51)
+
+
+@query(
+    "dedup_semdedup",
+    scale_twin="",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cl, v AS cv FROM e WHERE vec_id < {_SEM_K}),
+    a1 AS (
+      SELECT vec_id, cl FROM (
+        SELECT e.vec_id, c0.cl,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v)
+                 - 2 * list_dot_product(e.v, c0.cv)
+                 + list_dot_product(c0.cv, c0.cv), c0.cl) AS rn
+        FROM e CROSS JOIN c0)
+      WHERE rn = 1),
+    dims AS (
+      SELECT a1.cl, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x
+      FROM e JOIN a1 USING (vec_id)),
+    m AS (
+      SELECT cl, i, CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY cl, i),
+    c1 AS (SELECT cl, list(c ORDER BY i) AS cv FROM m GROUP BY cl),
+    a2 AS (
+      SELECT vec_id, cl, d2 FROM (
+        SELECT e.vec_id, c1.cl,
+               list_dot_product(e.v, e.v)
+               - 2 * list_dot_product(e.v, c1.cv)
+               + list_dot_product(c1.cv, c1.cv) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v)
+                 - 2 * list_dot_product(e.v, c1.cv)
+                 + list_dot_product(c1.cv, c1.cv), c1.cl) AS rn
+        FROM e CROSS JOIN c1)
+      WHERE rn = 1),
+    mem AS (
+      SELECT a2.vec_id, a2.cl, a2.d2, e.v,
+             SQRT(list_dot_product(e.v, e.v)) AS nrm
+      FROM a2 JOIN e USING (vec_id)),
+    p AS (
+      SELECT a.cl AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos,
+             a.d2 AS da, b.d2 AS db
+      FROM mem a JOIN mem b ON a.cl = b.cl AND a.vec_id < b.vec_id)
+    SELECT CAST(cluster AS INT) AS cluster, vec_a, vec_b,
+           ROUND(cos, 4) AS cosine,
+           CASE WHEN da < db THEN vec_a
+                WHEN db < da THEN vec_b
+                ELSE GREATEST(vec_a, vec_b) END AS drop_id
+    FROM p WHERE cos >= {_SEM_TAU}
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    that first partitions embeddings into k-means cells, then finds
+    near-dup pairs ONLY within each cell — the pruning that turns
+    pairwise semantic dedup from O(n²) to O(Σ cell²), the published
+    recipe for LAION/C4-scale corpora. Within a dup pair the member
+    CLOSER to its cluster centroid is dropped (it is the more
+    redundant, prototypical copy; the far member preserves diversity)
+    — ties on distance drop the larger id.
+
+    Clustering is the repo's deterministic Lloyd trainer (seeds =
+    vec_id < k, one iteration, DECIMAL-exact centroid means — the
+    sim_kmeans_2iter machinery), so the cell assignment, the pair
+    set, and every cosine are bit-identical across engines and the
+    whole operator is oracle-checked despite being an "approximate"
+    method: the approximation (missing cross-cell pairs) is in the
+    algorithm, not the arithmetic.
+
+    Scale: assignment is a k-row broadcast join; pair mining runs one
+    numpy matmul per cell via applyInPandas (candidates at threshold
+    minus a 1e-6 margin), then exact sequential-fold cosines re-score
+    the survivors — the dedup_embedding_cosine candidate/verify
+    split. Cells bound the quadratic: at 100 TB, k grows with the
+    corpus so cell size stays fixed."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dim_row = e.select(F.size("v").alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+
+    def dot(x: str, y: str):
+        if dim <= 0:
+            return F.aggregate(
+                F.zip_with(x, y, lambda u, v: u * v), F.lit(0.0), lambda acc, z: acc + z
+            )
+        terms = [F.element_at(x, i) * F.element_at(y, i) for i in range(1, dim + 1)]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    e = e.withColumn("nrm", F.sqrt(dot("v", "v"))).persist()
+    c0 = e.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cl"), F.col("v").alias("cv")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d2 = (
+            dot("v", "v")
+            - 2 * F.aggregate(
+                F.zip_with("v", "cv", lambda u, c: u * c), F.lit(0.0), lambda a, z: a + z
+            )
+            + F.aggregate(
+                F.zip_with("cv", "cv", lambda u, c: u * c), F.lit(0.0), lambda a, z: a + z
+            )
+        )
+        w = W.partitionBy("vec_id").orderBy("d2", "cl")
+        return (
+            e.join(F.broadcast(cents))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cl", "d2")
+        )
+
+    a1 = assign(c0).select("vec_id", "cl")
+    m = (
+        e.join(a1, "vec_id")
+        .select("cl", F.posexplode("v").alias("i", "x"))
+        .groupBy("cl", "i")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count("*")).alias("c")
+        )
+    )
+    c1 = m.groupBy("cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    mem = assign(c1).join(e, "vec_id").persist()
+
+    def cell_candidates(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in ["vec_a", "vec_b"]})
+        mv = np.stack(list(pdf["v"])).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        cos = (mv @ mv.T) / np.outer(nrm, nrm)
+        mask = (cos >= _SEM_TAU - 1e-6) & (ids[:, None] < ids[None, :])
+        ia, ib = np.nonzero(mask)
+        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]})
+
+    cand = mem.select("cl", "vec_id", "v", "nrm").groupBy("cl").applyInPandas(
+        cell_candidates, "vec_a long, vec_b long"
+    )
+    side = lambda suf: F.broadcast(  # noqa: E731
+        mem.select(
+            F.col("vec_id").alias(f"vec_{suf}"),
+            F.col("v").alias(f"v{suf}"),
+            F.col("nrm").alias(f"n{suf}"),
+            F.col("d2").alias(f"d2{suf}"),
+            F.col("cl").alias(f"cl{suf}"),
+        )
+    )
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(side("a"), "vec_a")
+        .join(side("b"), "vec_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _SEM_TAU)
+        .select(
+            F.col("cla").cast("int").alias("cluster"),
+            "vec_a",
+            "vec_b",
+            F.round("cos", 4).alias("cosine"),
+            F.when(F.col("d2a") < F.col("d2b"), F.col("vec_a"))
+            .when(F.col("d2b") < F.col("d2a"), F.col("vec_b"))
+            .otherwise(F.greatest("vec_a", "vec_b"))
+            .alias("drop_id"),
+        )
+    )

@@ -835,3 +835,127 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 4).alias("mmr_score"),
     )
     return out1.unionByName(out2).unionByName(out3)
+
+
+# ------------------------------------------- product quantization ----
+
+_PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+_PQ_SUB = 8  # dims per subspace
+_PQ_K = 16  # codewords per subspace (seeds: vec_id < 16)
+
+
+@query(
+    "sim_topk_pq",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    sub AS (
+      SELECT vec_id, s, list_slice(v, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS xs
+      FROM e CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) t),
+    cb AS (SELECT vec_id AS code, s, xs AS cs FROM sub WHERE vec_id < {_PQ_K}),
+    enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT sub.vec_id, sub.s, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+                 list_dot_product(xs, xs) - 2 * list_dot_product(xs, cs)
+                 + list_dot_product(cs, cs), cb.code) AS rn
+        FROM sub JOIN cb ON sub.s = cb.s)
+      WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.s, cb.code,
+             list_dot_product(q.xs, q.xs) - 2 * list_dot_product(q.xs, cb.cs)
+             + list_dot_product(cb.cs, cb.cs) AS qd2
+      FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT l.query_id, enc.vec_id AS neighbor_id,
+             SUM(CAST(qd2 AS DECIMAL(25,10))) AS score
+      FROM enc JOIN lut l ON enc.s = l.s AND enc.code = l.code
+      WHERE enc.vec_id <> l.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id,
+           ROUND(CAST(score AS DOUBLE), 4) AS approx_d2, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_TOP_K}
+    """,
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011): vectors are
+    split into {_PQ_M} subspaces; each subvector is replaced by the id
+    of its nearest codeword, compressing 64 float dims to 8 codes
+    (64× memory). Queries score candidates with asymmetric distance
+    computation (ADC): one lookup table of query-to-codeword partial
+    d² per subspace, approx distance = Σ_s LUT[s, code_s(x)] — no
+    original vectors touched at query time.
+
+    Codebooks here are the deterministic seed sample (vec_id < 16
+    sliced per subspace) so the whole operator — encoding, LUT,
+    ranking — is oracle-checked; in production the codebooks come
+    from per-subspace Lloyd iterations (the sim_kmeans_2iter
+    machinery applied to each slice).
+
+    Determinism across engines: every partial d² folds in index
+    order (zip_with/aggregate ≡ list_dot_product), and the ADC sum
+    over subspaces runs in DECIMAL(25,10) — order-independent, so
+    ranking ties and near-ties resolve identically.
+
+    Scale: encoding is a {_PQ_K}-row-per-subspace broadcast join +
+    argmin window — map-side, linear in corpus; the code table (n×m
+    smallints) is ~1% of the raw vectors; ADC is a broadcast of the
+    (queries × m × k) LUT against the code table, one narrow
+    aggregation per (query, vector). This is the memory-bound tier
+    between SQ8 (4×) and IVF cell pruning — at 100 TB, IVF picks the
+    cells and PQ scores inside them (IVFADC)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    # one (vec, subspace) row per slice; spread the single-file input
+    sub = (
+        e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"),
+            "v",
+        )
+        .select("vec_id", "s", F.expr(f"slice(v, s * {_PQ_SUB} + 1, {_PQ_SUB})").alias("xs"))
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "s", F.col("xs").alias("cs")
+    )
+    pd2 = _dot("xs", "xs") - 2 * _dot("xs", "cs") + _dot("cs", "cs")
+    ew = W.partitionBy("vec_id", "s").orderBy("pd2", "code")
+    enc = (
+        sub.join(F.broadcast(cb), "s")
+        .withColumn("pd2", pd2)
+        .withColumn("rn", F.row_number().over(ew))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "s", F.col("xs").alias("qs"))
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id", "s", "code",
+            (_dot("qs", "qs") - 2 * _dot("qs", "cs") + _dot("cs", "cs")).alias("qd2"),
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("qd2").cast("decimal(25,10)")).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy("score", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("score").cast("double"), 4).alias("approx_d2"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
