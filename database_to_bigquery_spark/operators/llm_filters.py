@@ -637,3 +637,137 @@ def text_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_frac"
         ),
     )
+
+
+# --------------------------------------- in-engine trained quality probe ----
+
+_PROBE_LR = 0.1
+
+
+@query(
+    "text_quality_linear_probe",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x0,
+             len(string_split(text, ' ')) / 100.0 AS x1,
+             CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) / 10.0 AS x2,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS x3
+      FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM f),
+    g1 AS (SELECT
+        CAST(SUM(CAST((0.0 - y) * x0 AS DECIMAL(30,12))) AS DOUBLE) AS g0,
+        CAST(SUM(CAST((0.0 - y) * x1 AS DECIMAL(30,12))) AS DOUBLE) AS g1,
+        CAST(SUM(CAST((0.0 - y) * x2 AS DECIMAL(30,12))) AS DOUBLE) AS g2,
+        CAST(SUM(CAST((0.0 - y) * x3 AS DECIMAL(30,12))) AS DOUBLE) AS g3
+      FROM f),
+    w1 AS (SELECT
+        0.0 - {_PROBE_LR} * g1.g0 / n.n AS w0,
+        0.0 - {_PROBE_LR} * g1.g1 / n.n AS w1,
+        0.0 - {_PROBE_LR} * g1.g2 / n.n AS w2,
+        0.0 - {_PROBE_LR} * g1.g3 / n.n AS w3
+      FROM g1, n),
+    r2 AS (SELECT f.*,
+             w1.w0 * x0 + w1.w1 * x1 + w1.w2 * x2 + w1.w3 * x3 - y AS r
+           FROM f, w1),
+    g2 AS (SELECT
+        CAST(SUM(CAST(r * x0 AS DECIMAL(30,12))) AS DOUBLE) AS g0,
+        CAST(SUM(CAST(r * x1 AS DECIMAL(30,12))) AS DOUBLE) AS g1,
+        CAST(SUM(CAST(r * x2 AS DECIMAL(30,12))) AS DOUBLE) AS g2,
+        CAST(SUM(CAST(r * x3 AS DECIMAL(30,12))) AS DOUBLE) AS g3
+      FROM r2),
+    w2 AS (SELECT
+        w1.w0 - {_PROBE_LR} * g2.g0 / n.n AS w0,
+        w1.w1 - {_PROBE_LR} * g2.g1 / n.n AS w1,
+        w1.w2 - {_PROBE_LR} * g2.g2 / n.n AS w2,
+        w1.w3 - {_PROBE_LR} * g2.g3 / n.n AS w3
+      FROM w1, g2, n)
+    SELECT 'intercept' AS feature, ROUND(w0, 6) AS weight FROM w2
+    UNION ALL SELECT 'words_per_100', ROUND(w1, 6) FROM w2
+    UNION ALL SELECT 'avg_word_len', ROUND(w2, 6) FROM w2
+    UNION ALL SELECT 'type_token_ratio', ROUND(w3, 6) FROM w2
+    """,
+)
+def text_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier training INSIDE the engine: a linear probe
+    (fastText-style shallow quality filter, squared loss) fit with two
+    unrolled full-batch gradient-descent steps over per-document text
+    features — the CCNet/DCLM pattern of training the filter on the
+    corpus being filtered, expressed as pure aggregations. Label: the
+    doc's lang=='en' flag (stand-in for any weak-supervision signal);
+    features: word count, scaled average word length, type-token ratio.
+
+    Determinism: every gradient component is Σᵢ rᵢ·xᵢⱼ with each term
+    cast to DECIMAL(30,12) before the sum — order-independent, so both
+    engines derive bit-identical weights; all remaining arithmetic is
+    IEEE-deterministic (no exp/log — squared loss, not logistic —
+    precisely so the oracle can check the trained weights).
+
+    Scale: each GD step is ONE full scan producing a 4-number
+    gradient (map-side partial aggregation), and the weight vector
+    stays a 1-row broadcast DataFrame — no driver collect, no
+    per-row Python. At 100 TB a step is a single pass; more features
+    widen the aggregate, not the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    nw = F.size(F.split(F.col("text"), " "))
+    feats = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (nw / F.lit(100.0)).alias("x1"),
+        ((F.length("text") - (nw - F.lit(1))).cast("double") / nw / F.lit(10.0)).alias("x2"),
+        (
+            F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("double") / nw
+        ).alias("x3"),
+    )
+    xs = ["x0", "x1", "x2", "x3"]
+    n1 = feats.agg(F.count("*").alias("n"))
+
+    def grads(df: DataFrame, r) -> DataFrame:
+        return df.agg(
+            *[
+                F.sum((r * F.col(x)).cast("decimal(30,12)"))
+                .cast("double")
+                .alias(f"g{j}")
+                for j, x in enumerate(xs)
+            ]
+        )
+
+    g1 = grads(feats, F.lit(0.0) - F.col("y"))
+    w1 = g1.crossJoin(n1).select(
+        *[
+            (F.lit(0.0) - F.lit(_PROBE_LR) * F.col(f"g{j}") / F.col("n")).alias(f"w{j}")
+            for j in range(4)
+        ]
+    )
+    r = (
+        F.col("w0") * F.col("x0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+        - F.col("y")
+    )
+    g2 = grads(feats.crossJoin(F.broadcast(w1)), r)
+    w2 = (
+        w1.crossJoin(g2)
+        .crossJoin(n1)
+        .select(
+            *[
+                (F.col(f"w{j}") - F.lit(_PROBE_LR) * F.col(f"g{j}") / F.col("n")).alias(
+                    f"w{j}"
+                )
+                for j in range(4)
+            ]
+        )
+    )
+    names = ["intercept", "words_per_100", "avg_word_len", "type_token_ratio"]
+    packed = F.array(
+        *[
+            F.struct(F.lit(names[j]).alias("feature"), F.round(F.col(f"w{j}"), 6).alias("weight"))
+            for j in range(4)
+        ]
+    )
+    return w2.select(F.explode(packed).alias("kv")).select("kv.feature", "kv.weight")

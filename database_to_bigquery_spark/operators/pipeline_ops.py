@@ -613,3 +613,129 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("users_at_risk"),
         F.min("grp_n").cast("long").alias("min_class_size"),
     )
+
+
+# ------------------------------------------------- GDPR erasure cascade ----
+
+
+@query(
+    "q_gdpr_erasure_audit",
+    oracle="""
+    WITH forget AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+    co AS (
+      SELECT COUNT(*) FILTER (WHERE k IS NOT NULL) AS purged, COUNT(*) AS total
+      FROM customer LEFT JOIN forget ON c_custkey = k),
+    oo AS (
+      SELECT COUNT(*) FILTER (WHERE k IS NOT NULL) AS purged, COUNT(*) AS total
+      FROM orders LEFT JOIN forget ON o_custkey = k),
+    li AS (
+      SELECT COUNT(*) FILTER (WHERE f IS NOT NULL) AS purged, COUNT(*) AS total
+      FROM lineitem LEFT JOIN (
+        SELECT DISTINCT o_orderkey AS f FROM orders JOIN forget ON o_custkey = k
+      ) ON l_orderkey = f),
+    ev AS (
+      SELECT COUNT(*) FILTER (WHERE k IS NOT NULL) AS purged, COUNT(*) AS total
+      FROM events LEFT JOIN forget ON user_id = k)
+    SELECT 'customer' AS tbl, CAST(purged AS BIGINT) AS rows_purged,
+           CAST(total - purged AS BIGINT) AS rows_retained FROM co
+    UNION ALL SELECT 'orders', CAST(purged AS BIGINT), CAST(total - purged AS BIGINT) FROM oo
+    UNION ALL SELECT 'lineitem', CAST(purged AS BIGINT), CAST(total - purged AS BIGINT) FROM li
+    UNION ALL SELECT 'events', CAST(purged AS BIGINT), CAST(total - purged AS BIGINT) FROM ev
+    """,
+)
+def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure planning: given a deletion list of
+    subject keys (here: custkey % 97 == 0), walk the foreign-key
+    cascade (customer → orders → lineitem, plus the events stream
+    keyed by user_id) and report per-table purge vs retain counts —
+    the audit artifact a GDPR/CCPA erasure run must produce BEFORE
+    the destructive anti-join delete, and the same joins the delete
+    itself then uses (`df.join(forget, ..., "left_anti")`).
+
+    Scale: the deletion list is small by nature → broadcast semi
+    probes; the one transitive hop (orders of forgotten customers →
+    their lineitems) materializes only the affected orderkey set,
+    itself broadcast-sized. Every table is scanned exactly once and
+    only counts cross the wire."""
+    forget = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+
+    def audit(tbl: str, df: DataFrame, key: str, probe: DataFrame) -> DataFrame:
+        hit = df.join(F.broadcast(probe), F.col(key) == F.col(probe.columns[0]), "left")
+        return hit.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(probe.columns[0]).cast("long").alias("rows_purged"),
+            (F.count("*") - F.count(probe.columns[0])).cast("long").alias("rows_retained"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    forgotten_orders = (
+        orders.join(F.broadcast(forget), F.col("o_custkey") == F.col("k"))
+        .select(F.col("o_orderkey").alias("f"))
+        .distinct()
+    )
+    parts = [
+        audit("customer", load_table(spark, sf_dir, "customer"), "c_custkey", forget),
+        audit("orders", orders, "o_custkey", forget),
+        audit("lineitem", load_table(spark, sf_dir, "lineitem"), "l_orderkey", forgotten_orders),
+        audit("events", load_table(spark, sf_dir, "events"), "user_id", forget),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ------------------------------------------------- partition backfill ----
+
+
+@query(
+    "q_backfill_plan",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS expected_rows
+      FROM events GROUP BY 1),
+    mx AS (SELECT MAX(day) AS max_day FROM src),
+    loaded AS (
+      SELECT day FROM src, mx
+      WHERE day <= max_day - 3 AND day(day) % 7 <> 3)
+    SELECT s.day,
+           CASE WHEN day(s.day) % 7 = 3 AND s.day <= mx.max_day - 3
+                THEN 'failed_load' ELSE 'pending_recent' END AS status,
+           CAST(s.expected_rows AS BIGINT) AS expected_rows
+    FROM src s, mx
+    WHERE s.day NOT IN (SELECT day FROM loaded)
+    """,
+)
+def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner: diff the source's day partitions against the
+    sink's loaded set and emit the days to (re)load, classified as
+    gaps (a load that ran and failed) vs the expected recent lag —
+    the decision table an orchestrator turns into backfill jobs, and
+    the piece the reference's fixed `--daily` window cannot express
+    (it reloads yesterday only; a 3-day outage silently loses days).
+    The sink state is simulated deterministically: loaded = all days
+    older than max-3 except day-of-month % 7 == 3 (planted failures).
+
+    Scale: day-grain aggregates only — the partition manifest, rows
+    ~O(days), joined/anti-joined at metadata size; the source count
+    comes from one scan with map-side combine (on a real lake, from
+    partition statistics without any scan)."""
+    src = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("expected_rows"))
+    )
+    mx = src.agg(F.max("day").alias("max_day"))
+    s = src.crossJoin(F.broadcast(mx))
+    is_failed = (F.dayofmonth("day") % 7 == 3) & (F.col("day") <= F.date_sub("max_day", 3))
+    is_loaded = (F.col("day") <= F.date_sub("max_day", 3)) & (F.dayofmonth("day") % 7 != 3)
+    return s.filter(~is_loaded).select(
+        "day",
+        F.when(is_failed, F.lit("failed_load")).otherwise(F.lit("pending_recent")).alias("status"),
+        F.col("expected_rows").cast("long").alias("expected_rows"),
+    )

@@ -71,24 +71,27 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q_countmin_sketch",
     "q_full_outer_nations",
-    # X3 semi/anti, X4 theta/range/as-of
+    # X3 semi/anti, X4 theta/range/as-of (anti/range rotated out for
+    # round-2 flagships — both driver-green in r01; families keep
+    # q_semi_join / q_asof_join, the as-of being r01-unattested)
     "q_semi_join",
-    "q_anti_join",
-    "q_range_join_bands",
+    "dedup_semdedup",
+    "sim_topk_pq",
     "q_asof_join",
     # X5 hash agg, X6 rollup/cube/grouping sets
     "q_hash_agg_functions",
     "q_rollup",
     # (q_grouping_sets rotated out for round-2 flagship below; X6 keeps q_rollup)
     "q_snapshot_diff_cdc",
-    # X7 approx aggs + sketches (oracle-bearing members)
+    # X7 approx aggs + sketches (bitmap rollup rotated out — X7 keeps
+    # q_percentiles; slot goes to the trained-quality-probe flagship)
     "q_percentiles",
-    "q_bitmap_distinct_rollup",
+    "text_quality_linear_probe",
     # X8 windows, X9 sort/limit/top-k
     "q_window_rank",
     "sim_kmeans_2iter",
     "q_topk_per_group",
-    "q18_large_volume_customers",
+    "q_gdpr_erasure_audit",
     # X10 set ops, X11 scalar function library
     "q_set_ops",
     "text_bpe_merges",
@@ -118,7 +121,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # X16 streaming (batch-equivalence twins)
     "stream_tumbling_hourly",
     "stream_stateful_user_totals",
-    "stream_countmin_cells",
+    "q_backfill_plan",
     # X17 UDF surface
     "udf_pandas_scalar",
     # (udf_grouped_agg_weighted rotated out for the round-2 scalable-rank

@@ -222,3 +222,95 @@ def test_compression_ratio_separates_repetition_from_entropy(spark, sf_dir):
     probe_ratio = len(zlib.compress(probe.encode(), 6)) / len(probe.encode())
     corpus_min = r.agg(F.min("comp_ratio")).first()[0]
     assert probe_ratio < corpus_min
+
+
+def test_semdedup_pairs_are_subset_of_exact_cosine_pairs(spark, sf_dir):
+    """SemDeDup restricts the pair search to k-means cells, so its pair
+    set must be a subset of the unrestricted exact-cosine pair set at
+    the same threshold — and every emitted drop_id must be one of the
+    pair's own members."""
+    from database_to_bigquery_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_semdedup,
+    )
+
+    full = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    sem = dedup_semdedup(spark, sf_dir).collect()
+    assert len(sem) > 0
+    for r in sem:
+        assert (r["vec_a"], r["vec_b"]) in full
+        assert full[(r["vec_a"], r["vec_b"])] == r["cosine"]
+        assert r["drop_id"] in (r["vec_a"], r["vec_b"])
+
+
+def test_pq_approximates_exact_l2_neighbors(spark, sf_dir):
+    """PQ/ADC approximates EUCLIDEAN distance (the metric PQ quantizes),
+    so recall is measured against exact L2 top-k, not the cosine
+    brute-force query. Near-random fixtures are PQ's adversarial
+    case (all pairs nearly equidistant, so quantization noise swamps
+    the neighbor gaps); measured recall is 0.22 at sf0.001 —
+    deterministic (fixed seeds/fixtures) and ~22× the 5/n chance
+    level, which is what the floor asserts. On clustered real
+    embeddings the same operator scores far higher."""
+    import numpy as np
+
+    from database_to_bigquery_spark.data import load_table
+    from database_to_bigquery_spark.operators.similarity import (
+        _N_QUERIES,
+        _TOP_K,
+        sim_topk_pq,
+    )
+
+    rows = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    truth = set()
+    for q in range(_N_QUERIES):
+        qi = int(np.nonzero(ids == q)[0][0])
+        d2 = ((m - m[qi]) ** 2).sum(axis=1)
+        order = sorted((float(d), int(i)) for d, i in zip(d2, ids) if i != q)
+        truth |= {(q, i) for _, i in order[:_TOP_K]}
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_topk_pq(spark, sf_dir).collect()
+    }
+    assert len(approx) == len(truth)
+    recall = len(truth & approx) / len(truth)
+    chance = _TOP_K / (len(ids) - 1)
+    assert recall >= max(0.15, 10 * chance)
+
+
+def test_linear_probe_weights_move_toward_label(spark, sf_dir):
+    """Two GD steps from w=0 on squared loss with a non-negative feature
+    matrix and labels in {0,1} must move the intercept POSITIVE (the
+    first-step gradient is -mean(y)·x̄ for every feature), and produce
+    finite weights for all 4 features."""
+    import math
+
+    from database_to_bigquery_spark.operators.llm_filters import (
+        text_quality_linear_probe,
+    )
+
+    rows = {r["feature"]: r["weight"] for r in text_quality_linear_probe(spark, sf_dir).collect()}
+    assert set(rows) == {"intercept", "words_per_100", "avg_word_len", "type_token_ratio"}
+    assert all(math.isfinite(w) for w in rows.values())
+    assert rows["intercept"] > 0
+
+
+def test_gdpr_erasure_cascade_is_consistent(spark, sf_dir):
+    """Purged+retained must equal each table's row count, and the
+    lineitem purge must be >= the purged-order count (every forgotten
+    order has >=1 line item in TPC-H-shaped data or zero — so just
+    consistency: no negatives, totals exact)."""
+    from database_to_bigquery_spark.data import load_table
+    from database_to_bigquery_spark.operators.pipeline_ops import q_gdpr_erasure_audit
+
+    audit = {r["tbl"]: (r["rows_purged"], r["rows_retained"])
+             for r in q_gdpr_erasure_audit(spark, sf_dir).collect()}
+    for tbl, (p, kept) in audit.items():
+        assert p >= 0 and kept >= 0
+        total = load_table(spark, sf_dir, tbl).count()
+        assert p + kept == total, tbl
+    assert audit["customer"][0] > 0  # the %97 deletion list is non-empty

@@ -36,6 +36,12 @@ FAMILY_REPRESENTATIVES = {
     "X15": ["mm_binary_metadata", "mm_resize"],
     "X16": ["stream_tumbling_hourly", "stream_stateful_user_totals"],
     "X17": ["udf_pandas_scalar", "udf_grouped_agg_weighted", "udtf_word_chunks"],
+    # round-2 flagship families
+    "X12+ semantic dedup": ["dedup_semdedup"],
+    "X13+ PQ compression": ["sim_topk_pq"],
+    "X14+ trained filter": ["text_quality_linear_probe"],
+    "governance": ["q_gdpr_erasure_audit"],
+    "ops/backfill": ["q_backfill_plan"],
 }
 
 DRIVER_SAMPLE = 50
