@@ -72,6 +72,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_table_spread(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """load_table + repartition-before-expensive-transform.
+
+    The fixture tables are single sub-split-size parquet files, so any
+    scan yields ONE input task and per-row CPU-heavy expansions
+    (shingling, n-gram explodes, vector math) run single-threaded no
+    matter the core count. Paying one tiny shuffle of the compressed
+    input spreads the expansion over every core (the char_shingles
+    rule). On a real lake with many files the scan already provides
+    parallelism and the repartition is a cheap no-op-sized shuffle —
+    keep it only ahead of genuinely CPU-bound transforms.
+    """
+    return load_table(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism, key
+    )
+
+
 def _parse_byte_conf(value: str) -> int:
     """Parse Spark size confs like ``10485760b`` / ``10MB`` / ``-1``."""
     v = value.strip().lower()

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import load_table, load_table_spread
 from ..registry import query
 
 
@@ -67,7 +67,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine, then one on doc_id. The join back is doc_id-to-doc_id on
     already co-partitioned aggregates.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     ws = F.split(F.col("text"), " ")
     base = d.select(
         "doc_id",
@@ -140,7 +140,7 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a real benchmark suite (MBs) — the same plan, an even easier
     broadcast.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     ws = F.split(F.col("text"), " ")
     shingles = F.array_distinct(
         F.transform(
@@ -214,7 +214,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the e5-style "train the filter on the data you filter"
     pass, with a real external LM slotting in as a Pandas-UDF scorer
     if desired."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     ws = F.split(F.col("text"), " ")
     bg = (
         d.filter(F.size(ws) >= 2)
@@ -355,7 +355,7 @@ def text_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation (the wire carries per-doc char histograms,
     ≤ ~100 rows/doc regardless of doc length) → per-doc entropy fold.
     Same shape as text_stats: embarrassingly parallel, one shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     chars = d.select(
         "doc_id",
         F.explode(

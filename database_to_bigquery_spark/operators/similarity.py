@@ -538,8 +538,14 @@ def sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is the standard tall-skinny Gramian: one
     groupBy(i, j) shuffle of d² × partitions partials, never the
     n × n route); each iteration shuffles only the d-row vector."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        F.transform("embedding", lambda x: x.cast("double").cast("decimal(11,10)")).alias("v")
+    # repartition-before-expensive-transform: the single-file scan
+    # would otherwise run the d²-per-vector explode on one task
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            F.transform("embedding", lambda x: x.cast("double").cast("decimal(11,10)")).alias("v")
+        )
     )
     pairs = e.select(
         F.explode(
