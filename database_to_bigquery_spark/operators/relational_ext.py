@@ -1131,3 +1131,72 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("lift").desc(), "part_a", "part_b").limit(15)
+
+
+# ------------------------------------------------ space-saving top-k ----
+
+_SS_SHARDS = 8
+_SS_CAPACITY = 16
+
+
+@query("q_spacesaving_topk")  # sequential sketch — no SQL twin (rows-only)
+def q_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-saving heavy hitters (Metwally et al., ICDT 2005): per
+    shard, at most `capacity` counters track candidate frequent
+    users; a new key evicts the minimum counter and inherits its
+    count as its error bound. Guarantees — for ANY arrival order:
+    est ≥ true ≥ est − err, and every key with true shard-count
+    > n_shard/capacity is present. The deterministic replay order
+    (ts, event_id) and smallest-id eviction make the output stable
+    across runs/partitionings; the guarantees are what
+    tests/test_llm_ops.py asserts against exact counts.
+
+    Scale: sharding by key hash bounds per-task state at `capacity`
+    counters regardless of stream size (the whole point vs exact
+    groupBy at 100 TB: counters fit in L1, no per-key state growth);
+    summaries are tiny and merge by union — any global heavy hitter
+    is heavy in its own shard. The streaming twin
+    (streaming/jobs.py:spacesaving_user_counts) maintains the same
+    state across micro-batches via applyInPandasWithState."""
+    import pandas as pd  # noqa: F401
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    def summarize(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        counters: dict[int, list[int]] = {}  # uid -> [count, err]
+        n = 0
+        for uid in pdf["user_id"]:
+            n += 1
+            uid = int(uid)
+            if uid in counters:
+                counters[uid][0] += 1
+            elif len(counters) < _SS_CAPACITY:
+                counters[uid] = [1, 0]
+            else:
+                vid, (vc, _) = min(
+                    counters.items(), key=lambda kv: (kv[1][0], kv[0])
+                )
+                del counters[vid]
+                counters[uid] = [vc + 1, vc]
+        shard = int(pdf["user_id"].iat[0]) % _SS_SHARDS if len(pdf) else 0
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "user_id": list(counters),
+                "est_count": [c for c, _ in counters.values()],
+                "max_err": [e for _, e in counters.values()],
+                "n_shard": n,
+            }
+        )
+
+    return (
+        ev.withColumn("shard", (F.col("user_id") % _SS_SHARDS).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(
+            summarize,
+            "shard int, user_id long, est_count long, max_err long, n_shard long",
+        )
+    )

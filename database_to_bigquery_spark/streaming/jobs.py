@@ -504,3 +504,95 @@ def ols_sufficient_stats(events: DataFrame) -> DataFrame:
         F.round(slope, 6).alias("slope_per_day"),
         F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
     )
+
+
+# ------------------------------------------- space-saving heavy hitters ----
+
+SPACESAVING_OUTPUT = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("est_count", T.LongType()),
+        T.StructField("max_err", T.LongType()),
+        T.StructField("n_shard", T.LongType()),
+    ]
+)
+SPACESAVING_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("errs", T.ArrayType(T.LongType())),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def spacesaving_user_counts(events: DataFrame, capacity: int = 16, shards: int = 8) -> DataFrame:
+    """Streaming space-saving heavy hitters (Metwally et al. 2005):
+    each shard keeps at most `capacity` (user, count, err) counters as
+    keyed state across micro-batches; a new key evicts the minimum
+    counter and inherits its count as the error bound. Every batch
+    re-emits the shard's full summary, so the LAST emission per shard
+    is the final sketch.
+
+    The guarantees (est ≥ true ≥ est − err; any user with true
+    shard-count > n/capacity present) hold for any arrival order —
+    exactly what the batch twin (q_spacesaving_topk) and
+    tests/test_streaming.py assert. State is O(capacity) per shard
+    FOREVER — the point vs exact per-key state at 100 TB: the sketch
+    never grows, no watermark needed, no state eviction policy."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            ids, counts, errs, n = state.get
+            counters = {int(i): [int(c), int(e)] for i, c, e in zip(ids, counts, errs)}
+            n = int(n)
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for uid in pdf["user_id"]:
+                n += 1
+                uid = int(uid)
+                if uid in counters:
+                    counters[uid][0] += 1
+                elif len(counters) < capacity:
+                    counters[uid] = [1, 0]
+                else:
+                    vid, (vc, _) = min(
+                        counters.items(), key=lambda kv: (kv[1][0], kv[0])
+                    )
+                    del counters[vid]
+                    counters[uid] = [vc + 1, vc]
+        state.update(
+            (
+                list(counters),
+                [c for c, _ in counters.values()],
+                [e for _, e in counters.values()],
+                n,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": int(key[0]),
+                "user_id": list(counters),
+                "est_count": [c for c, _ in counters.values()],
+                "max_err": [e for _, e in counters.values()],
+                "n_shard": n,
+            }
+        )
+
+    return (
+        events.withColumn("shard", (F.col("user_id") % shards).cast("int"))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update,
+            SPACESAVING_OUTPUT,
+            SPACESAVING_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

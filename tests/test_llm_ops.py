@@ -314,3 +314,38 @@ def test_gdpr_erasure_cascade_is_consistent(spark, sf_dir):
         total = load_table(spark, sf_dir, tbl).count()
         assert p + kept == total, tbl
     assert audit["customer"][0] > 0  # the %97 deletion list is non-empty
+
+
+def test_spacesaving_batch_invariants_vs_exact(spark, sf_dir):
+    """Batch space-saving sketch: est >= true >= est - err for every
+    reported (shard, user), and every user whose true shard-count
+    exceeds n_shard/capacity must be reported."""
+    from database_to_bigquery_spark.data import load_table
+    from database_to_bigquery_spark.operators.relational_ext import (
+        _SS_CAPACITY,
+        _SS_SHARDS,
+        q_spacesaving_topk,
+    )
+    from pyspark.sql import functions as F
+
+    rows = q_spacesaving_topk(spark, sf_dir).collect()
+    assert rows
+    true = {
+        (int(r["user_id"]) % _SS_SHARDS, int(r["user_id"])): r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    shard_n: dict[int, int] = {}
+    for (s, _), c in true.items():
+        shard_n[s] = shard_n.get(s, 0) + c
+    reported: dict[int, set] = {}
+    for r in rows:
+        t = true[(r["shard"], int(r["user_id"]))]
+        assert r["est_count"] >= t >= r["est_count"] - r["max_err"]
+        assert r["n_shard"] == shard_n[r["shard"]]
+        reported.setdefault(r["shard"], set()).add(int(r["user_id"]))
+    for (s, uid), c in true.items():
+        if c > shard_n[s] / _SS_CAPACITY:
+            assert uid in reported.get(s, set()), (s, uid, c)

@@ -506,3 +506,44 @@ def test_stream_ols_equals_batch(spark, events_dir):
     got = {tuple(r) for r in spark.table("ols_test").collect()}
     want = {tuple(r) for r in jobs.ols_sufficient_stats(spark.read.parquet(events_dir)).collect()}
     assert got == want
+
+
+def test_spacesaving_stream_invariants_vs_exact(spark, events_dir):
+    """Space-saving guarantees hold at the end of the stream for every
+    shard: est >= true >= est - err for all reported users, and every
+    user whose true shard-count exceeds n_shard/capacity is present —
+    for ANY micro-batch arrival order (the sketch's defining
+    property, so no batch==stream equality is needed or asserted)."""
+    stream = jobs.spacesaving_user_counts(jobs.read_events_stream(spark, events_dir))
+    q = jobs.run_to_memory_sink(stream, "spacesaving_test", output_mode="update")
+    q.awaitTermination()
+    emitted = spark.table("spacesaving_test").collect()
+    assert emitted
+    # last full emission per shard = highest n_shard snapshot
+    latest: dict[int, dict] = {}
+    for r in emitted:
+        cur = latest.setdefault(r["shard"], {"n": 0, "rows": []})
+        if r["n_shard"] > cur["n"]:
+            cur["n"] = r["n_shard"]
+            cur["rows"] = []
+        if r["n_shard"] == cur["n"]:
+            cur["rows"].append(r)
+    ev = spark.read.parquet(events_dir)
+    true = {
+        (int(r["user_id"]) % 8, int(r["user_id"])): r["cnt"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    shard_n = {}
+    for (s, _), c in true.items():
+        shard_n[s] = shard_n.get(s, 0) + c
+    capacity = 16
+    for s, snap in latest.items():
+        assert snap["n"] == shard_n[s]
+        reported = set()
+        for r in snap["rows"]:
+            t = true[(s, int(r["user_id"]))]
+            assert r["est_count"] >= t >= r["est_count"] - r["max_err"]
+            reported.add(int(r["user_id"]))
+        for (ss, uid), c in true.items():
+            if ss == s and c > shard_n[s] / capacity:
+                assert uid in reported, (s, uid, c)
