@@ -965,3 +965,182 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ------------------------------------------------- IVFADC composition ----
+
+
+@query(
+    "sim_topk_ivfpq",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    u AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+    dims AS (
+      SELECT label, i, CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+      FROM u GROUP BY label, i),
+    cent AS (SELECT label, list(c ORDER BY i) AS cv FROM dims GROUP BY label),
+    res AS (
+      SELECT e.vec_id, e.label,
+             list_transform(range(1, {_DIM + 1}),
+                            i -> e.v[CAST(i AS INT)] - cent.cv[CAST(i AS INT)]) AS r
+      FROM e JOIN cent USING (label)),
+    sub AS (
+      SELECT vec_id, label, s, list_slice(r, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS xs
+      FROM res CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) t),
+    cb AS (SELECT vec_id AS code, s, xs AS cs FROM sub WHERE vec_id < {_PQ_K}),
+    enc AS (
+      SELECT vec_id, label, s, code FROM (
+        SELECT sub.vec_id, sub.label, sub.s, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+                 list_dot_product(xs, xs) - 2 * list_dot_product(xs, cs)
+                 + list_dot_product(cs, cs), cb.code) AS rn
+        FROM sub JOIN cb ON sub.s = cb.s)
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    probe AS (
+      SELECT query_id, label, qv FROM (
+        SELECT q.query_id, cent.label, q.qv,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qv, cent.cv)
+                 / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(cent.cv, cent.cv)))
+                 DESC, cent.label) AS pr
+        FROM q CROSS JOIN cent)
+      WHERE pr <= {_N_PROBE}),
+    qres AS (
+      SELECT p.query_id, p.label,
+             list_transform(range(1, {_DIM + 1}),
+                            i -> p.qv[CAST(i AS INT)] - cent.cv[CAST(i AS INT)]) AS qr
+      FROM probe p JOIN cent USING (label)),
+    qsub AS (
+      SELECT query_id, label, s, list_slice(qr, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS qs
+      FROM qres CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) t),
+    lut AS (
+      SELECT q.query_id, q.label, q.s, cb.code,
+             list_dot_product(qs, qs) - 2 * list_dot_product(qs, cb.cs)
+             + list_dot_product(cb.cs, cb.cs) AS qd2
+      FROM qsub q JOIN cb ON q.s = cb.s),
+    scored AS (
+      SELECT l.query_id, enc.vec_id AS neighbor_id,
+             SUM(CAST(qd2 AS DECIMAL(25,10))) AS score
+      FROM enc JOIN lut l ON enc.label = l.label AND enc.s = l.s AND enc.code = l.code
+      WHERE enc.vec_id <> l.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id,
+           ROUND(CAST(score AS DOUBLE), 4) AS approx_d2, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_TOP_K}
+    """,
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV) — the faiss production shape
+    composed from this repo's two tiers: IVF coarse cells prune the
+    corpus to nprobe cells per query, then PQ codes of the RESIDUAL
+    (vector − cell centroid) are scored with an asymmetric-distance
+    lookup table. Residual quantization is what makes PQ codes sharp
+    inside a cell (residuals are centered near 0, so the codebook's
+    dynamic range isn't wasted on between-cell offsets).
+
+    Determinism: DECIMAL-exact centroids (the sim_topk_ivf trick) →
+    identical residuals cross-engine; every partial d² folds in index
+    order; ADC sums run in DECIMAL(25,10) — the whole pipeline is
+    oracle-checked, codebooks being the deterministic seed sample
+    (residuals of vec_id < 16).
+
+    Scale: query cost = nprobe/k of the corpus read as 1-byte-per-
+    subspace codes (no raw vectors at query time); encoding is one
+    broadcast join + argmin per subspace; cells can be partition
+    directories (partition pruning = cell probe). This is the
+    architecture that serves billion-vector ANN on disk."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    dims = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count("*")).alias("c")
+        )
+    )
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s.getField("c")
+        ).alias("cv")
+    )
+    res = (
+        e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .join(F.broadcast(cent), "label")
+        .select(
+            "vec_id", "label", F.zip_with("v", "cv", lambda u, c: u - c).alias("r")
+        )
+    )
+    sub = res.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"),
+        "r",
+    ).select("vec_id", "label", "s", F.expr(f"slice(r, s * {_PQ_SUB} + 1, {_PQ_SUB})").alias("xs"))
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "s", F.col("xs").alias("cs")
+    )
+    pd2 = _dot("xs", "xs") - 2 * _dot("xs", "cs") + _dot("cs", "cs")
+    ew = W.partitionBy("vec_id", "s").orderBy("pd2", "code")
+    enc = (
+        sub.join(F.broadcast(cb), "s")
+        .withColumn("pd2", pd2)
+        .withColumn("rn", F.row_number().over(ew))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "s", "code")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cent_cos = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+    pw = W.partitionBy("query_id").orderBy(F.col("cent_cos").desc(), F.col("label"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cent_cos)
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= _N_PROBE)
+        .select("query_id", "qv", "label")
+    )
+    qsub = (
+        probe.join(F.broadcast(cent), "label")
+        .select(
+            "query_id", "label", F.zip_with("qv", "cv", lambda u, c: u - c).alias("qr")
+        )
+        .select(
+            "query_id",
+            "label",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"),
+            "qr",
+        )
+        .select(
+            "query_id", "label", "s",
+            F.expr(f"slice(qr, s * {_PQ_SUB} + 1, {_PQ_SUB})").alias("qs"),
+        )
+    )
+    lut = qsub.join(F.broadcast(cb), "s").select(
+        "query_id", "label", "s", "code",
+        (_dot("qs", "qs") - 2 * _dot("qs", "cs") + _dot("cs", "cs")).alias("qd2"),
+    )
+    scored = (
+        enc.join(F.broadcast(lut), ["label", "s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("qd2").cast("decimal(25,10)")).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy("score", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("score").cast("double"), 4).alias("approx_d2"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

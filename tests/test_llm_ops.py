@@ -349,3 +349,33 @@ def test_spacesaving_batch_invariants_vs_exact(spark, sf_dir):
     for (s, uid), c in true.items():
         if c > shard_n[s] / _SS_CAPACITY:
             assert uid in reported.get(s, set()), (s, uid, c)
+
+
+def test_ivfpq_shape_and_cell_restriction(spark, sf_dir):
+    """IVFADC returns exactly top-k rows per query, every neighbor lies
+    in one of the query's nprobe probed cells (the IVF contract), and
+    the approximate distances are non-negative and rank-consistent."""
+    from database_to_bigquery_spark.data import load_table
+    from database_to_bigquery_spark.operators.similarity import (
+        _N_PROBE,
+        _N_QUERIES,
+        _TOP_K,
+        sim_topk_ivfpq,
+    )
+
+    rows = sim_topk_ivfpq(spark, sf_dir).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == _N_QUERIES
+    for q, rs in by_q.items():
+        assert sorted(r["rnk"] for r in rs) == list(range(1, _TOP_K + 1))
+        cells = {labels[r["neighbor_id"]] for r in rs}
+        assert len(cells) <= _N_PROBE
+        ordered = sorted(rs, key=lambda r: r["rnk"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert (a["approx_d2"], a["neighbor_id"]) <= (b["approx_d2"], b["neighbor_id"])
