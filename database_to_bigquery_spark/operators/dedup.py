@@ -102,11 +102,17 @@ def char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tagged_shingle_blocks(spark: SparkSession, sf_dir: str, n_blocks: int = 8) -> DataFrame:
+    """`_tagged_gid_blocks` over the whole corpus's char shingles."""
+    return _tagged_gid_blocks(spark, char_shingles(spark, sf_dir), n_blocks)
+
+
+def _tagged_gid_blocks(spark: SparkSession, sh: DataFrame, n_blocks: int = 8) -> DataFrame:
     """Shared prep for the blocked all-pairs intersection operators
-    (exact Jaccard / containment): dictionary-encode each document's
-    distinct shingles to a gid array, split docs into ``n_blocks``
-    hash blocks, and replicate each doc to every block-pair group it
-    participates in, tagged with its side.
+    (exact Jaccard / containment / corpus-prep dedup): dictionary-
+    encode each document's distinct shingles to a gid array, split
+    docs into ``n_blocks`` hash blocks, and replicate each doc to
+    every block-pair group it participates in, tagged with its side.
+    ``sh`` is any (doc_id, g)-distinct relation.
 
     B(B+1)/2 = 36 block-pair tasks (enough to saturate 32 cores since
     same-block pairs are ~half-size); each doc's gid array ships to
@@ -115,7 +121,6 @@ def _tagged_shingle_blocks(spark: SparkSession, sf_dir: str, n_blocks: int = 8) 
     far from the FLOP bound) while inflating transfer linearly.
     The gram dictionary is vocabulary-sized (tiny here; at scale a
     shuffle over |vocab|, never over docs²)."""
-    sh = char_shingles(spark, sf_dir)  # (doc_id, g) distinct
     gram_ids = sh.select("g").distinct().withColumn("gid", F.monotonically_increasing_id())
     vecs = (
         sh.join(F.broadcast(gram_ids), "g")
@@ -186,8 +191,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash LSH (dedup_minhash_lsh) remains the sub-quadratic
     approximate path for corpora where n²/P itself is too big.
     """
-    t = 0.6
-    tagged = _tagged_shingle_blocks(spark, sf_dir)
+    pairs = blocked_jaccard_pairs(spark, char_shingles(spark, sf_dir), 0.6)
+    # final Jaccard from integer counts in Spark SQL — bit-identical to
+    # the oracle's DOUBLE division
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return pairs.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+
+
+def blocked_jaccard_pairs(
+    spark: SparkSession, sh: DataFrame, threshold: float, n_blocks: int = 8
+) -> DataFrame:
+    """Exact Jaccard pairs ≥ threshold over any (doc_id, g)-distinct
+    relation via blocked all-pairs numpy matmul (see
+    dedup_ngram_jaccard's design note). Returns (doc_a < doc_b,
+    n_common, na, nb) with exact integer counts — callers derive
+    ratios in Spark SQL for bit-identical oracle semantics."""
 
     def block_intersections(pdf):
         import numpy as np
@@ -215,7 +233,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         na = ma.sum(axis=1)
         nb = mb.sum(axis=1)
         jac = common.astype(np.float64) / (na[:, None] + nb[None, :] - common)
-        mask = jac >= t
+        mask = jac >= threshold
         if same_block:
             mask &= ids_a[:, None] < ids_b[None, :]
         else:
@@ -231,13 +249,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    pairs = tagged.groupBy("bi", "bj").applyInPandas(
+    tagged = _tagged_gid_blocks(spark, sh, n_blocks)
+    return tagged.groupBy("bi", "bj").applyInPandas(
         block_intersections, "doc_a long, doc_b long, n_common long, na long, nb long"
     )
-    # final Jaccard from integer counts in Spark SQL — bit-identical to
-    # the oracle's DOUBLE division
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return pairs.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
 
 
 # ------------------------------------------------------- minhash LSH ----

@@ -461,33 +461,17 @@ def llm_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.col("text").substr(i, F.lit(5)),
         )
     )
-    sh = (
-        kept_q.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(grams).alias("g"))
-        .persist()
+    sh = kept_q.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id", F.explode(grams).alias("g")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pairs = (
-        sh.select(F.col("doc_id").alias("doc_a"), "g")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "g"), "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    # blocked-matmul exact Jaccard (the dedup_ngram_jaccard machinery —
+    # the (doc, gram) equi-join it replaces is quadratic in disguise on
+    # this dense corpus); ratio re-derived from integer counts in SQL
+    from .dedup import blocked_jaccard_pairs
+
+    pairs = blocked_jaccard_pairs(spark, sh, 0.6)
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    dups = (
-        pairs.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
-            "doc_b",
-        )
-        .filter(jac >= 0.6)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    dups = pairs.filter(jac >= 0.6).select(F.col("doc_b").alias("doc_id")).distinct()
     final = kept_q.join(dups, "doc_id", "left_anti")
 
     report = (
