@@ -598,10 +598,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- duplicate clustering (CC) ----
 
 
-@query(
-    "dedup_clusters",
-    headline=True,
-    oracle=f"""
+# Shared by dedup_clusters and graph.graph_cc_pointer_jumping — two
+# different distributed CC algorithms over the SAME near-dup pair
+# graph, checked against the same recursive-CTE fixpoint.
+CLUSTERS_ORACLE = f"""
     WITH RECURSIVE
     idx AS (
       SELECT doc_id, text,
@@ -629,8 +629,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node)
     SELECT component, COUNT(*) AS cluster_size
     FROM comp GROUP BY component
-    """,
-)
+    """
+
+
+def dup_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized near-dup edge list (src, dst) from the exact pair
+    mining. Symmetrize in ONE pass over the pair-mining result: a
+    unionByName of two selects would splice the (expensive) mining DAG
+    into the plan twice and run it twice — explode(array(fwd, rev))
+    reads it once. The checkpoint then pins the edge list for the
+    iterative consumers (label propagation / pointer jumping)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    return (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=True)
+    )
+
+
+@query("dedup_clusters", headline=True, oracle=CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components over the near-dup
     pair graph (Jaccard >= 0.6 from dedup_ngram_jaccard; the same
@@ -648,23 +672,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream pair mining per round). Oracle: the same fixpoint via
     DuckDB\'s recursive CTE over the identical pair set.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir)
-    # Symmetrize in ONE pass over the pair-mining result: a unionByName
-    # of two selects would splice the (expensive) mining DAG into the
-    # plan twice and run it twice — explode(array(fwd, rev)) reads it
-    # once. The checkpoint then pins the edge list for the loop.
-    e = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .localCheckpoint(eager=True)
-    )
+    e = dup_graph_edges(spark, sf_dir)
     labels = e.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
