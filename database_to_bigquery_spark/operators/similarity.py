@@ -1144,3 +1144,70 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ------------------------------------------- semantic decontamination ----
+
+
+@query(
+    "sim_semantic_decontamination",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
+    bench AS (SELECT * FROM n WHERE vec_id % 37 = 0),
+    corpus AS (SELECT * FROM n WHERE vec_id % 37 <> 0),
+    hits AS (
+      SELECT c.vec_id,
+             MAX(list_dot_product(c.v, b.v) / (c.nrm * b.nrm)) AS max_cos,
+             COUNT(*) FILTER (
+               WHERE list_dot_product(c.v, b.v) / (c.nrm * b.nrm) >= 0.35
+             ) AS n_hits
+      FROM corpus c CROSS JOIN bench b
+      GROUP BY c.vec_id)
+    SELECT vec_id, ROUND(max_cos, 4) AS max_eval_cosine,
+           CAST(n_hits AS BIGINT) AS n_eval_hits,
+           max_cos >= 0.35 AS contaminated
+    FROM hits
+    """,
+)
+def sim_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: the semantic
+    complement to text_contamination_ngram's lexical 5-gram probe —
+    paraphrased or translated eval leakage shares no n-grams but
+    lands close in embedding space. Vectors with vec_id % 37 == 0
+    stand in for the embedded eval set; every corpus vector is
+    scored by its maximum cosine to ANY eval vector and flagged
+    above the threshold (0.35 — the fixture's cosine range tops out
+    ~0.51, so the flag set is non-trivial but small).
+
+    Scale: the eval side is benchmark-sized (MBs of vectors) →
+    broadcast; the corpus streams through one nested-loop pass with
+    a per-vector running max — cost O(corpus × |eval|) FLOPs,
+    map-side, no shuffle of the corpus. With a large eval suite the
+    same contract runs on sim_topk_lsh buckets (probe only colliding
+    eval vectors); the exact form here is the oracle twin. Norms
+    fold once per row; cosines fold in index order (≡ the oracle's
+    list_dot_product)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    bench = n.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("v").alias("bv"), F.col("nrm").alias("bnrm")
+    )
+    corpus = n.filter(F.col("vec_id") % 37 != 0).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    cos = _dot("v", "bv") / (F.col("nrm") * F.col("bnrm"))
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.max("cos"), 4).alias("max_eval_cosine"),
+            F.count_if(F.col("cos") >= 0.35).cast("long").alias("n_eval_hits"),
+            (F.max("cos") >= 0.35).alias("contaminated"),
+        )
+    )
