@@ -552,3 +552,107 @@ def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("energy"),
         F.array_max("frame").cast("int").alias("peak"),
     )
+
+
+# ------------------------------------------------- scene splitting ----
+
+_SCENE_FRAME = 32  # bytes per frame
+_SCENE_T = 120  # boundary when |sig diff| >= T
+
+
+@query(
+    "mm_scene_split",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, CAST(i AS INT) / {_SCENE_FRAME} AS frame_idx,
+             substr(text, CAST(i AS INT) + 1, {_SCENE_FRAME}) AS fb
+      FROM documents
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(0, LENGTH(text) - {_SCENE_FRAME - 1}, {_SCENE_FRAME})) AS i)),
+    sig AS (
+      SELECT doc_id, frame_idx,
+             list_sum(list_transform(range(1, LENGTH(fb) + 1),
+                                     j -> ord(substr(fb, CAST(j AS INT), 1)))) AS s
+      FROM f),
+    d AS (
+      SELECT doc_id, frame_idx, s,
+             ABS(s - LAG(s) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS diff
+      FROM sig),
+    b AS (
+      SELECT doc_id, frame_idx,
+             SUM(CASE WHEN diff IS NULL OR diff >= {_SCENE_T} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY frame_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
+      FROM d)
+    SELECT doc_id, CAST(scene_id AS INT) AS scene_id,
+           CAST(MIN(frame_idx) AS INT) AS start_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM b GROUP BY doc_id, scene_id
+    """,
+)
+def mm_scene_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene splitting over the frame sequence: consecutive-frame
+    signature differences above a threshold open a new scene (the
+    shot-boundary heuristic every keyframe-selection pipeline starts
+    from); scenes come out as gaps-and-islands over the boundary
+    flags. The frame signature here is the exact integer byte sum per
+    {_SCENE_FRAME}-byte frame — a real pipeline swaps in a per-frame
+    color histogram or pHash from the decoded stream (the
+    frame_sample_batch seam); everything downstream of the signature
+    — lag, threshold, island numbering, per-scene rollup — is the
+    production plan and is oracle-checked exactly.
+
+    Scale: signature extraction is a map-only Arrow pass (one row per
+    frame, linear); scene assembly is ONE shuffle on doc_id shared by
+    the lag window, the island cumsum, and the final rollup —
+    Catalyst reuses the single sort."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def frame_sigs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "s": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_frames = len(raw) // _SCENE_FRAME
+                if n_frames == 0:
+                    continue
+                sums = (
+                    raw[: n_frames * _SCENE_FRAME]
+                    .reshape(n_frames, _SCENE_FRAME)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                out["doc_id"].extend([doc_id] * n_frames)
+                out["frame_idx"].extend(range(n_frames))
+                out["s"].extend(sums.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "s": pd.Series(out["s"], dtype="int64"),
+                }
+            )
+
+    sig = (
+        with_payload(d)
+        .select("doc_id", "payload")
+        .mapInPandas(frame_sigs, schema="doc_id long, frame_idx int, s long")
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    diff = F.abs(F.col("s") - F.lag("s").over(w))
+    boundary = F.when(diff.isNull() | (diff >= _SCENE_T), 1).otherwise(0)
+    scenes = sig.withColumn(
+        "scene_id",
+        F.sum(boundary).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return scenes.groupBy("doc_id", "scene_id").agg(
+        F.min("frame_idx").cast("int").alias("start_frame"),
+        F.count("*").alias("n_frames"),
+    ).select(
+        "doc_id",
+        F.col("scene_id").cast("int").alias("scene_id"),
+        "start_frame",
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )

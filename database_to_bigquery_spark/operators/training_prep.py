@@ -276,3 +276,46 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt("tokens") / F.col("z") * F.col("total") / F.col("tokens"), 4
         ).alias("epochs"),
     )
+
+
+# ------------------------------------------------ class balancing ----
+
+
+@query(
+    "q_class_balanced_sample",
+    oracle="""
+    WITH m AS (
+      SELECT MIN(cnt) AS floor_n
+      FROM (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang)),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM ranked, m
+    WHERE rk <= m.floor_n
+    """,
+)
+def q_class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every class (here `lang`) is cut
+    to the size of the SMALLEST class, members chosen by md5-of-id
+    rank — the classifier-training prep that stops a 4:1 majority
+    class from dominating the loss, with a selection that is
+    reproducible across engines, runs, and partitionings (unlike
+    sampleBy, whose keep-set is partition-order dependent).
+
+    Scale: one shuffle on the class key for the ranking window (class
+    cardinality bounds skew; a 100-class corpus gets 100 partitions of
+    work), and the per-class floor is a 1-row broadcast — no driver
+    round-trip. Swap the md5 rank key for a quality score descending
+    and this same plan becomes 'keep the best N per class'."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("lang").count().agg(F.min("count").alias("floor_n"))
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select("doc_id", "lang").withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(F.col("rk") <= F.col("floor_n"))
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
