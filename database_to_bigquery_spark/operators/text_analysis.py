@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..data import load_table, maybe_broadcast
+from ..data import load_table, load_table_spread, maybe_broadcast
 from ..registry import query
 
 
@@ -1040,4 +1040,54 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_paras"),
         F.sum("kept").cast("long").alias("n_kept"),
         F.sum(1 - F.col("kept")).cast("long").alias("n_removed"),
+    )
+
+
+# ------------------------------------------------ vocabulary growth ----
+
+
+@query(
+    "text_vocab_growth",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents),
+    first_seen AS (SELECT word, MIN(doc_id) AS d FROM w GROUP BY word),
+    new_per_doc AS (SELECT d AS doc_id, COUNT(*) AS new_words FROM first_seen GROUP BY d),
+    docs AS (SELECT doc_id FROM documents)
+    SELECT doc_id,
+           CAST(SUM(COALESCE(new_words, 0)) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab_size
+    FROM docs LEFT JOIN new_per_doc USING (doc_id)
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): cumulative distinct word
+    count as the corpus is ingested in doc_id order — the curve that
+    sizes tokenizer vocabularies and detects corpus drift (a slope
+    change means the incoming data distribution changed). Naively this
+    is an order-dependent running DISTINCT; expressing each word as
+    born at its MIN(doc_id) turns it into ONE shuffle on word +
+    a day-table-sized cumulative window — no stateful scan.
+
+    Scale: the word shuffle is vocabulary-bounded; the cumulative
+    window runs over docs only after reduction to (doc, new_words) —
+    the single-partition window is over an already-aggregated
+    O(#docs-with-new-words) relation, and at 100 TB you'd bucket it
+    by corpus shard first (the q_global_ranks_scalable pattern)."""
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word")
+    )
+    first_seen = words.groupBy("word").agg(F.min("doc_id").alias("d"))
+    new_per_doc = first_seen.groupBy(F.col("d").alias("doc_id")).agg(
+        F.count("*").alias("new_words")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        docs.join(new_per_doc, "doc_id", "left")
+        .withColumn("vocab_size", F.sum(F.coalesce("new_words", F.lit(0))).over(w))
+        .select("doc_id", F.col("vocab_size").cast("long").alias("vocab_size"))
     )

@@ -1374,3 +1374,50 @@ def ts_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+# ------------------------------------------------ decayed engagement ----
+
+
+@query(
+    "ts_decayed_engagement",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS ref FROM events),
+    w AS (
+      SELECT user_id, value,
+             POWER(2.0, -CAST(ref - CAST(ts AS DATE) AS INT)) AS wt
+      FROM events, mx)
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(wt AS DECIMAL(30,15))) AS DOUBLE), 6) AS decayed_events,
+           ROUND(CAST(SUM(CAST(value * wt AS DECIMAL(30,15))) AS DOUBLE), 6)
+             AS decayed_value
+    FROM w GROUP BY user_id
+    """,
+)
+def ts_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user (half-life
+    = 1 day against the corpus's max date): the recency-weighted
+    counter behind trending/ranking features, computed in one scan —
+    no per-day state, no backfill loop, because exp decay folds into
+    a weighted sum.
+
+    Determinism scheme: the decay weight is 2^(-age_days) — an EXACT
+    power of two, so value·wt is an exact IEEE scaling of value (no
+    transcendental pow differences between engines) — and the sums
+    run in DECIMAL(30,15), order-independent. At 100 TB this is one
+    map-side-combined shuffle on user_id; refreshing tomorrow just
+    multiplies yesterday's score by ½ and adds the new day (the
+    q_partial_agg_merge incremental pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("ref"))
+    w = ev.crossJoin(F.broadcast(mx)).withColumn(
+        "wt", F.pow(F.lit(2.0), -F.datediff("ref", F.to_date("ts")).cast("int"))
+    )
+    return w.groupBy("user_id").agg(
+        F.round(F.sum(F.col("wt").cast("decimal(30,15)")).cast("double"), 6).alias(
+            "decayed_events"
+        ),
+        F.round(
+            F.sum((F.col("value") * F.col("wt")).cast("decimal(30,15)")).cast("double"), 6
+        ).alias("decayed_value"),
+    )
