@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..data import load_table, load_table_spread
+from ..data import load_table, load_table_spread, maybe_broadcast
 from ..registry import query
 
 
@@ -755,3 +755,98 @@ def text_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return w2.select(F.explode(packed).alias("kv")).select("kv.feature", "kv.weight")
+
+
+# ------------------------------------------- Kneser-Ney bigram LM ----
+
+_KN_D = 0.75  # absolute discount
+
+
+@query(
+    "text_bigram_kn_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM w CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+      WHERE len(ws) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c) AS n, COUNT(*) AS types_fw FROM c12 GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS types_bw FROM c12 GROUP BY w2),
+    npairs AS (SELECT COUNT(*) AS n_types FROM c12),
+    p AS (
+      SELECT c12.w1, c12.w2,
+             (GREATEST(c12.c - {_KN_D}, 0.0)
+              + {_KN_D} * c1.types_fw * (CAST(cont.types_bw AS DOUBLE) / npairs.n_types))
+             / c1.n AS pkn
+      FROM c12
+      JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN npairs)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN(pkn)), 4) AS avg_logp_kn,
+           AVG(LN(pkn)) < -6.0 AS low_quality
+    FROM bg JOIN p USING (w1, w2)
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999 — the smoothing KenLM implements and every
+    CCNet-style perplexity filter depends on): absolute-discount the
+    bigram count and back off to the CONTINUATION unigram — how many
+    distinct contexts a word follows, not how often it occurs — the
+    correction that stops high-frequency-but-fixed-context words
+    ('Francisco') from inflating backoff mass. Trained on the corpus
+    being scored, like text_bigram_lm_score's add-one model; the two
+    scores side by side show the smoothing choice is orthogonal to
+    the plan shape.
+
+    Scale: counts are vocabulary-bounded aggregates; the model tables
+    (bigram types, first-word totals, continuation counts) broadcast
+    via maybe_broadcast — at web scale the bigram-type table outgrows
+    broadcast and the same joins run shuffled on the word keys. One
+    (doc, bigram) stream pass scores the corpus."""
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    ws = F.split(F.col("text"), " ")
+    bg = (
+        d.filter(F.size(ws) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        F.element_at(ws, i).alias("w1"),
+                        F.element_at(ws, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+        .persist()
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("n"), F.count("*").alias("types_fw"))
+    cont = c12.groupBy("w2").agg(F.count("*").alias("types_bw"))
+    npairs = c12.agg(F.count("*").alias("n_types"))
+    pkn = (
+        F.greatest(F.col("c") - _KN_D, F.lit(0.0))
+        + _KN_D
+        * F.col("types_fw")
+        * (F.col("types_bw").cast("double") / F.col("n_types"))
+    ) / F.col("n")
+    p = (
+        c12.join(maybe_broadcast(c1), "w1")
+        .join(maybe_broadcast(cont), "w2")
+        .join(F.broadcast(npairs))
+        .select("w1", "w2", pkn.alias("pkn"))
+    )
+    return (
+        bg.join(maybe_broadcast(p), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log("pkn")), 4).alias("avg_logp_kn"),
+            (F.avg(F.log("pkn")) < -6.0).alias("low_quality"),
+        )
+    )
