@@ -739,3 +739,147 @@ def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_failed, F.lit("failed_load")).otherwise(F.lit("pending_recent")).alias("status"),
         F.col("expected_rows").cast("long").alias("expected_rows"),
     )
+
+
+# ------------------------------------------------- Merkle bucket diff ----
+
+
+@query(
+    "q_merkle_bucket_diff",
+    oracle="""
+    WITH canon AS (
+      SELECT o_orderkey % 64 AS bucket,
+             CAST('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(o_totalprice AS VARCHAR)), 1, 12) AS BIGINT) AS h,
+             o_orderkey % 101 = 0 AS corrupt
+      FROM orders),
+    src AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS cs
+      FROM canon GROUP BY bucket),
+    dst AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS cs
+      FROM canon WHERE NOT corrupt GROUP BY bucket)
+    SELECT s.bucket,
+           s.n AS src_rows, COALESCE(d.n, 0) AS dst_rows,
+           s.cs = COALESCE(d.cs, '') AS checksums_match
+    FROM src s LEFT JOIN dst d USING (bucket)
+    WHERE s.cs IS DISTINCT FROM d.cs OR d.bucket IS NULL
+    """,
+)
+def q_merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed anti-entropy diff (the Merkle-tree repair pattern of
+    Dynamo/Cassandra, flattened to one level): both replicas compute
+    per-bucket (hash-range) row counts and commutative content
+    checksums — the q_table_checksum primitive, 64× — and only
+    MISMATCHED buckets come back. Repair then re-ships 1/64th of the
+    table per divergent bucket instead of re-comparing every row:
+    cross-system reconciliation bandwidth drops from O(rows) to
+    O(buckets + damaged/64). The "replica" here is simulated by
+    deterministically dropping o_orderkey % 101 rows — the planted
+    corruption the diff must localize.
+
+    Scale: each side is one scan with map-side partial aggregation to
+    64 rows; the diff joins two 64-row relations. Deepening to a real
+    Merkle TREE is bucketing the buckets — same plan, log depth."""
+    o = load_table(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("string"),
+    )
+    canon = o.select(
+        (F.col("o_orderkey") % 64).alias("bucket"),
+        F.conv(F.substring(F.md5(row_repr.cast("binary")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+        (F.col("o_orderkey") % 101 == 0).alias("corrupt"),
+    )
+
+    def side(df):
+        return df.groupBy("bucket").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("cs"),
+        )
+
+    src = side(canon)
+    dst = side(canon.filter(~F.col("corrupt")))
+    d = dst.select(
+        F.col("bucket"), F.col("n").alias("dn"), F.col("cs").alias("dcs")
+    )
+    return (
+        src.join(d, "bucket", "left")
+        .filter(
+            ~F.col("cs").eqNullSafe(F.col("dcs")) | F.col("dn").isNull()
+        )
+        .select(
+            "bucket",
+            F.col("n").alias("src_rows"),
+            F.coalesce("dn", F.lit(0)).alias("dst_rows"),
+            (F.col("cs") == F.coalesce(F.col("dcs"), F.lit(""))).alias("checksums_match"),
+        )
+    )
+
+
+# --------------------------------------------- join-size estimation ----
+
+
+@query(
+    "q_join_cardinality_estimate",
+    oracle="""
+    WITH ck AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    ek AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+    est AS (
+      SELECT CAST(SUM(ck.c * ek.c) AS BIGINT) AS predicted_rows,
+             CAST(COUNT(*) AS BIGINT) AS matching_keys,
+             CAST(MAX(ck.c * ek.c) AS BIGINT) AS hottest_key_output
+      FROM ck JOIN ek USING (k))
+    SELECT predicted_rows, matching_keys, hottest_key_output,
+           ROUND(CAST(hottest_key_output AS DOUBLE) / predicted_rows, 4)
+             AS hot_key_share
+    FROM est
+    """,
+)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size prediction from per-key histograms — the estimate a
+    cost-based optimizer needs BEFORE committing to a join strategy:
+    |A ⋈ B| = Σ_k cA(k)·cB(k), computed from two key-count aggregates
+    joined on the key, never by running the join. Also surfaces the
+    hottest key's share of the output — the number that says 'salt
+    this key' (q_salted_hot_key_join) before the shuffle falls over.
+
+    Scale: each histogram is a map-side-combined aggregate to
+    |distinct keys| rows; their join shuffles key counts, not rows.
+    On real lakes this reads from column statistics without any scan;
+    here it IS the statistics computation. Exact, so oracle-checked —
+    and on TPC-H-shaped data it exactly predicts the join size the
+    executor would produce."""
+    ck = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("ca"))
+    )
+    ek = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count("*").alias("cb"))
+    )
+    est = ck.join(ek, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("predicted_rows"),
+        F.count("*").cast("long").alias("matching_keys"),
+        F.max(F.col("ca") * F.col("cb")).cast("long").alias("hottest_key_output"),
+    )
+    return est.select(
+        "predicted_rows",
+        "matching_keys",
+        "hottest_key_output",
+        F.round(
+            F.col("hottest_key_output").cast("double") / F.col("predicted_rows"), 4
+        ).alias("hot_key_share"),
+    )
