@@ -293,3 +293,41 @@ def q_sql_udf_library(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _li_udf GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "q_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    """,
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / GoogleSQL 2024 `|>` operators): the
+    same filtered aggregation as classic SQL, written as a linear
+    pipeline — FROM … |> WHERE … |> AGGREGATE … GROUP BY … |> WHERE.
+    Each pipe stage parses to exactly the Catalyst operators the
+    classic form produces (one logical plan, identical physical
+    strategies — the post-aggregation |> WHERE is the HAVING), so
+    this is a front-end surface guarantee: a user migrating pipe-
+    syntax queries keeps plan parity, proven by the classic-SQL
+    oracle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS revenue,
+                     ROUND(AVG(o_totalprice), 2) AS avg_price
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> SELECT o_orderpriority, n_orders, revenue, avg_price
+        """
+    )
