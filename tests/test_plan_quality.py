@@ -246,3 +246,49 @@ def test_suitewide_no_cartesian_no_row_udf(spark, sf_dir):
         if "BatchEvalPython" in plan:
             failures.append((name, "BatchEvalPython (row-at-a-time UDF)"))
     assert not failures, failures
+
+
+def test_new_flagships_plan_shapes(spark, sf_dir):
+    """Round-2 flagships keep their scale-critical plan properties:
+    no cartesian products anywhere; GDPR probes and PQ/IVFADC model
+    tables are broadcast; the linear probe never shuffles more than
+    its 1-row weight/gradient aggregates."""
+    for name in (
+        "dedup_semdedup",
+        "sim_topk_pq",
+        "sim_topk_ivfpq",
+        "q_gdpr_erasure_audit",
+        "text_quality_linear_probe",
+        "q_merkle_bucket_diff",
+        "q_join_cardinality_estimate",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+    gdpr = plan_of(spark, sf_dir, "q_gdpr_erasure_audit")
+    assert "BroadcastHashJoin" in gdpr
+    pq = plan_of(spark, sf_dir, "sim_topk_pq")
+    assert "BroadcastHashJoin" in pq and "SortMergeJoin" not in pq
+    probe = plan_of(spark, sf_dir, "text_quality_linear_probe")
+    # the only joins are with 1-row aggregates -> broadcast NLJ/HJ, no SMJ
+    assert "SortMergeJoin" not in probe
+
+
+def test_scene_split_single_doc_shuffle(spark, sf_dir):
+    """mm_scene_split's lag window, island cumsum, and per-scene
+    rollup must share ONE doc_id exchange (Catalyst reuses the sort):
+    exactly one shuffle in the whole plan."""
+    plan = plan_of(spark, sf_dir, "mm_scene_split")
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, plan[:2000]  # 1 data shuffle (+AQE wrapper slack)
+
+
+def test_decayed_engagement_single_aggregation_pass(spark, sf_dir):
+    """ts_decayed_engagement is one scan + the 1-row max-date
+    broadcast + one groupBy(user) — no extra exchanges."""
+    plan = plan_of(spark, sf_dir, "ts_decayed_engagement")
+    assert "CartesianProduct" not in plan
+    # formatted plans list each node twice (tree + detail) — count details
+    scans = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("(") and "Scan parquet" in ln
+    ]
+    assert len(scans) == 2  # events for max-date + events for the sum
