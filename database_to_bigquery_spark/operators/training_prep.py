@@ -319,3 +319,63 @@ def q_class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("floor_n"))
         .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ------------------------------------------------ shard planning ----
+
+_SHARD_BYTES = 4096
+
+
+@query(
+    "q_webdataset_shard_plan",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_bytes
+      FROM documents),
+    assigned AS (
+      SELECT source, doc_id, n_chars,
+             CAST(FLOOR(prev_bytes / {_SHARD_BYTES}.0) AS INT) AS shard_id
+      FROM sized)
+    SELECT source, shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM assigned GROUP BY source, shard_id
+    """,
+)
+def q_webdataset_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset/tar-shard planning: assign documents to fixed-byte-
+    budget shards in deterministic doc_id order within each source —
+    the manifest a shard writer consumes to build the tar files
+    training loaders stream. Assignment is running-bytes-before-me
+    integer-divided by the budget, so a shard closes as soon as it
+    overflows (next-fit, the WebDataset convention — shards are
+    *approximately* the target size, never split a sample).
+
+    Scale: the cumulative window partitions by source, so parallelism
+    is the source count and no global SinglePartition stage exists;
+    for one giant source, pre-split by a hash prefix and offset shard
+    ids per split (the q_global_ranks_scalable two-phase pattern).
+    The rollup reuses the window's (source) partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.floor(F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / _SHARD_BYTES)
+        .cast("int")
+        .alias("shard_id"),
+    )
+    return assigned.groupBy("source", "shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
