@@ -1091,3 +1091,70 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vocab_size", F.sum(F.coalesce("new_words", F.lit(0))).over(w))
         .select("doc_id", F.col("vocab_size").cast("long").alias("vocab_size"))
     )
+
+
+# ------------------------------------------------ corpus health report ----
+
+
+@query(
+    "q_corpus_quality_report",
+    oracle="""
+    WITH f AS (
+      SELECT source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_types,
+             LENGTH(text) = n_chars AS len_consistent
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(CAST(n_words AS DOUBLE)), 4) AS avg_words,
+           ROUND(AVG(CAST(n_types AS DOUBLE) / n_words), 4) AS avg_type_token_ratio,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(CAST(COUNT(*) FILTER (WHERE lang = 'en') AS DOUBLE) / COUNT(*), 4)
+             AS en_share,
+           CAST(COUNT(*) FILTER (WHERE NOT len_consistent) AS BIGINT)
+             AS metadata_inconsistencies
+    FROM f GROUP BY source
+    """,
+)
+def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report: the one-scan dashboard a data
+    curator reads before accepting a crawl drop — volume, mean length,
+    lexical diversity (type-token ratio), language mix, and a
+    metadata-consistency audit (declared n_chars vs actual text
+    length, the kind of silent upstream corruption row counts never
+    catch). Composes the signals the standalone filters act on into
+    the per-source rollup that decides mixture weights
+    (q_dataset_mixture) and source-level quarantines.
+
+    Scale: ONE scan, all signals row-local until a single
+    groupBy(source) with map-side partial aggregation — the report
+    costs the same as counting rows. avg of per-row DOUBLE ratios is
+    order-dependent in the last ulp, hence the 4-decimal round (the
+    SCALE.md §10 rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    f = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_types"),
+        (F.length("text") == F.col("n_chars")).alias("len_consistent"),
+    )
+    return f.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg(F.col("n_words").cast("double")), 4).alias("avg_words"),
+        F.round(F.avg(F.col("n_types").cast("double") / F.col("n_words")), 4).alias(
+            "avg_type_token_ratio"
+        ),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.round(
+            F.count(F.when(F.col("lang") == "en", 1)).cast("double") / F.count("*"), 4
+        ).alias("en_share"),
+        F.count(F.when(~F.col("len_consistent"), 1)).cast("long").alias(
+            "metadata_inconsistencies"
+        ),
+    )
