@@ -208,3 +208,54 @@ def udf_arrow_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     return e.mapInArrow(batch_norms, "vec_id long, l2_norm double")
+
+
+@query(
+    "udf_arrow_grouped_span",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(value) - MIN(value), 4) AS value_span
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udf_arrow_grouped_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInArrow (Spark 4) — the zero-copy grouped-map
+    surface: each group arrives as ONE pyarrow.Table (no pandas
+    conversion, no copy into numpy unless asked), the function
+    returns a pyarrow.Table. This completes the X17 matrix
+    (row-pandas < grouped-pandas < mapInArrow < applyInArrow); the
+    computation itself (per-type count and value span) is
+    deliberately oracle-trivial so the check pins the Arrow
+    plumbing, not the math.
+
+    Scale: one shuffle on the group key; group payloads stream
+    through Arrow record batches — for skewed groups prefer the
+    mergeable-aggregate form (this surface is for semantics that
+    genuinely need the whole group, e.g. per-group model fits)."""
+    import pyarrow as pa
+
+    def span(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = table.column("value")
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": pa.array([table.num_rows], type=pa.int64()),
+                "value_span": pa.array(
+                    [
+                        round(
+                            pc.max(v).as_py() - pc.min(v).as_py(), 4
+                        )
+                    ],
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInArrow(
+        span, "event_type string, n long, value_span double"
+    )
