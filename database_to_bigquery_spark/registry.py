@@ -56,6 +56,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # second representatives of already-attested families — every family
 # keeps at least one pinned oracle-bearing query. Keep at exactly <=50
 # names.
+#
+# Round-3 rotation candidates (added after the r02 pin, all
+# oracle-bearing, no driver attestation yet): sim_topk_ivfpq,
+# graph_cc_pointer_jumping, sim_semantic_decontamination,
+# text_bigram_kn_score, ts_decayed_engagement, text_vocab_growth,
+# q_class_balanced_sample, mm_scene_split, q_merkle_bucket_diff,
+# q_join_cardinality_estimate, q_webdataset_shard_plan,
+# q_corpus_quality_report, q_pipe_syntax, udf_arrow_grouped_span.
+# Swap them in for entries that go driver-green in CORRECTNESS_r02.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # S-family (reference ETL surface)
     "s1_catalog_allowlist",      # S1
