@@ -1200,3 +1200,70 @@ def q_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard int, user_id long, est_count long, max_err long, n_shard long",
         )
     )
+
+
+@query(
+    "q_merge_with_delete",
+    oracle="""
+    WITH delta AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 50 = 0 THEN 'D'
+                  ELSE 'U' END AS op,
+             ROUND(c_acctbal + 100.0, 2) AS new_balance
+      FROM customer WHERE c_custkey % 5 = 0),
+    base AS (SELECT c_custkey AS k, c_name AS name,
+                    ROUND(c_acctbal, 2) AS balance
+             FROM customer)
+    SELECT b.k AS custkey, b.name,
+           CASE WHEN d.op = 'U' THEN d.new_balance ELSE b.balance END AS balance,
+           CASE WHEN d.op = 'D' THEN 'delete'
+                WHEN d.op = 'U' THEN 'update'
+                ELSE 'keep' END AS action
+    FROM base b LEFT JOIN delta d ON b.k = d.k
+    WHERE d.op IS DISTINCT FROM 'D'
+    """,
+)
+def q_merge_with_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with the full disposition set — WHEN MATCHED AND
+    op = 'D' THEN DELETE, WHEN MATCHED THEN UPDATE, ELSE keep —
+    applying a CDC delta (every 5th customer changed, every 50th
+    tombstoned) to a type-1 dimension. Completes q_merge_upsert's
+    insert/update surface with the delete branch every CDC consumer
+    needs: deleted rows vanish from the output (the filter IS the
+    delete), surviving rows carry their disposition for audit. The
+    +100.0 balance update is exact float arithmetic (the SCALE.md
+    ROUND-tie rule).
+
+    Scale: the delta is small by nature → broadcast left join; the
+    delete is a predicate, not a rewrite — at file-format level this
+    is what Delta/Iceberg MERGE's delete branch lowers to before
+    file rewriting."""
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("balance"),
+    )
+    delta = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when(F.col("c_custkey") % 50 == 0, "D").otherwise("U").alias("op"),
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("new_balance"),
+        )
+    )
+    j = base.join(F.broadcast(delta), base.custkey == delta.k, "left")
+    return (
+        j.filter(~F.col("op").eqNullSafe("D"))
+        .select(
+            "custkey",
+            "name",
+            F.when(F.col("op") == "U", F.col("new_balance"))
+            .otherwise(F.col("balance"))
+            .alias("balance"),
+            F.when(F.col("op") == "D", "delete")
+            .when(F.col("op") == "U", "update")
+            .otherwise("keep")
+            .alias("action"),
+        )
+    )
