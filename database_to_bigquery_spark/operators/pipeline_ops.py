@@ -883,3 +883,50 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hottest_key_output").cast("double") / F.col("predicted_rows"), 4
         ).alias("hot_key_share"),
     )
+
+
+# ------------------------------------------------- freshness audit ----
+
+
+@query(
+    "q_freshness_sla_audit",
+    oracle="""
+    WITH marks AS (
+      SELECT 'events' AS tbl, MAX(ts) AS latest FROM events
+      UNION ALL
+      SELECT 'orders', MAX(o_orderdate) FROM orders),
+    ref AS (SELECT MAX(latest) AS now_mark FROM marks)
+    SELECT tbl, latest,
+           CAST(date_diff('day', CAST(latest AS DATE), CAST(now_mark AS DATE))
+                AS BIGINT) AS lag_days,
+           date_diff('day', CAST(latest AS DATE), CAST(now_mark AS DATE)) <= 2
+             AS within_sla
+    FROM marks, ref
+    """,
+)
+def q_freshness_sla_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table freshness SLA audit: each source's high-water mark
+    against the freshest table's mark (the wall-clock stand-in the
+    fixtures allow), with per-table staleness lag and an SLA verdict —
+    the monitor that catches a silently-stuck incremental feed days
+    before consumers notice, and the gap in the reference's audit
+    surface (it counts rows, never checks recency).
+
+    Scale: MAX per table is a metadata-cheap scan (parquet max
+    statistics at file level); the audit joins a handful of 1-row
+    aggregates — cost is independent of table size."""
+    ev = load_table(spark, sf_dir, "events").agg(
+        F.lit("events").alias("tbl"), F.max("ts").alias("latest")
+    )
+    od = load_table(spark, sf_dir, "orders").agg(
+        F.lit("orders").alias("tbl"), F.max("o_orderdate").alias("latest")
+    )
+    marks = ev.unionByName(od)
+    ref = marks.agg(F.max("latest").alias("now_mark"))
+    lag = F.datediff(F.to_date("now_mark"), F.to_date("latest"))
+    return marks.crossJoin(F.broadcast(ref)).select(
+        "tbl",
+        "latest",
+        lag.cast("long").alias("lag_days"),
+        (lag <= 2).alias("within_sla"),
+    )

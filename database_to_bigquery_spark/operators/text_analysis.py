@@ -1158,3 +1158,51 @@ def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metadata_inconsistencies"
         ),
     )
+
+
+# ------------------------------------------------ length outlier filter ----
+
+
+@query(
+    "text_length_outlier_filter",
+    oracle="""
+    WITH t AS (
+      SELECT ROUND(quantile_cont(n_chars, 0.05), 4) AS p05,
+             ROUND(quantile_cont(n_chars, 0.95), 4) AS p95
+      FROM documents)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CASE WHEN n_chars < p05 THEN 'too_short'
+                WHEN n_chars > p95 THEN 'too_long'
+                ELSE 'keep' END AS verdict
+    FROM documents, t
+    WHERE n_chars < p05 OR n_chars > p95
+    """,
+)
+def text_length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative length-outlier filter (the Dolma/RefinedWeb tail
+    cut): instead of fixed byte bounds, documents outside the corpus's
+    OWN [p5, p95] length band are flagged — robust to the corpus
+    shifting (a code corpus and a news corpus get different bands from
+    the same operator). Emits only the flagged tails with their
+    verdict; exact interpolated percentiles, so fully oracle-checked.
+
+    Scale: ONE exact-percentile aggregate row broadcasts back over
+    the scan (the q_rfm_segmentation shape) — two passes over a
+    metadata column, no shuffle of documents."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.agg(
+        F.round(F.percentile("n_chars", F.lit(0.05)), 4).alias("p05"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 4).alias("p95"),
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .filter((F.col("n_chars") < F.col("p05")) | (F.col("n_chars") > F.col("p95")))
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.when(F.col("n_chars") < F.col("p05"), "too_short")
+            .when(F.col("n_chars") > F.col("p95"), "too_long")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
