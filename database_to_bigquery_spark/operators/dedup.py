@@ -121,7 +121,20 @@ def _tagged_gid_blocks(spark: SparkSession, sh: DataFrame, n_blocks: int = 8) ->
     far from the FLOP bound) while inflating transfer linearly.
     The gram dictionary is vocabulary-sized (tiny here; at scale a
     shuffle over |vocab|, never over docs²)."""
-    gram_ids = sh.select("g").distinct().withColumn("gid", F.monotonically_increasing_id())
+    # The gid assignment uses monotonically_increasing_id AFTER a
+    # distinct() shuffle, and the dictionary feeds BOTH union branches
+    # (side a and side b): if the branches ever recomputed the shuffle
+    # (plan change, AQE edge case) the two sides could encode the same
+    # gram under different ids and corrupt intersection counts. Pin the
+    # dictionary with an eager localCheckpoint so both branches read
+    # the one materialized assignment instead of relying on Catalyst
+    # exchange reuse. (Vocabulary-sized — cheap to materialize.)
+    gram_ids = (
+        sh.select("g")
+        .distinct()
+        .withColumn("gid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
     vecs = (
         sh.join(F.broadcast(gram_ids), "g")
         .groupBy("doc_id")
@@ -469,10 +482,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ embedding near-dup ----
 
 
+# Single source of truth for the semantic near-dup cosine threshold:
+# the numpy candidate mask, the exact-verify filter, and the oracle all
+# derive from this one constant (editing one literal without the others
+# would silently drop true pairs below the candidate cut).
+_COS_T = 0.4
+
 @query(
     "dedup_embedding_cosine",
     scale_twin="sim_topk_lsh",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings)
@@ -481,7 +500,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 4) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v)
-          / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.4
+          / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= {_COS_T}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,7 +579,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos = (ma @ mb.T) / np.outer(a_rows["nrm"].to_numpy(), b_rows["nrm"].to_numpy())
         ids_a = a_rows["vec_id"].to_numpy()
         ids_b = b_rows["vec_id"].to_numpy()
-        mask = cos >= 0.4 - 1e-6
+        mask = cos >= _COS_T - 1e-6
         if pdf["bi"].iat[0] == pdf["bj"].iat[0]:
             mask &= ids_a[:, None] < ids_b[None, :]
         else:
@@ -590,7 +609,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine_raw", cos)
-        .filter(F.col("cosine_raw") >= 0.4)
+        .filter(F.col("cosine_raw") >= _COS_T)
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
     )
 

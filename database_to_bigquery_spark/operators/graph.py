@@ -289,14 +289,22 @@ def graph_cc_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the jump step is a self-join of the label table on the
     label key — O(V) rows, co-partitioned with the propagation's
     groupBy(node) output; the driver sees only a 0/1 convergence
-    count per round; localCheckpoint truncates the growing lineage."""
+    count per round; localCheckpoint truncates the growing lineage.
+
+    The round cap is a lineage/runaway guard, not a semantic limit:
+    if the fixpoint is not reached within it (pathological graph, or
+    a bug in the monotonicity argument) the loop RAISES instead of
+    returning silently-unconverged labels — wrong components must
+    never come out looking like an answer."""
     from .dedup import dup_graph_edges
 
+    _MAX_ROUNDS = 20  # log2(diameter) rounds suffice; exits at fixpoint
     e = dup_graph_edges(spark, sf_dir)
     labels = (
         e.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
-    for _ in range(20):  # log2(diameter) rounds suffice; exits at fixpoint
+    converged = False
+    for _ in range(_MAX_ROUNDS):
         prop = (
             e.join(labels, e.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
@@ -325,7 +333,15 @@ def graph_cc_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = jumped
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"graph_cc_pointer_jumping: no fixpoint after {_MAX_ROUNDS} "
+            "pointer-jumping rounds — labels would be unconverged; refusing "
+            "to return possibly-wrong components (raise the cap for graphs "
+            "with diameter > 2^20)"
+        )
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count("*").alias("cluster_size")
     )

@@ -562,17 +562,25 @@ _SCENE_T = 120  # boundary when |sig diff| >= T
 
 @query(
     "mm_scene_split",
+    # Oracle is BYTE-based to match the Spark path exactly: the payload
+    # is text.cast(binary) = UTF-8 bytes, so framing/signatures must use
+    # octet semantics, not characters (a char oracle only agrees on pure
+    # ASCII). DuckDB can't slice BLOBs, so bytes go through hex(): two
+    # hex chars per byte, each parsed back via strpos on the hex
+    # alphabet — bit-identical to numpy's uint8 frame sums.
     oracle=f"""
     WITH f AS (
       SELECT doc_id, CAST(i AS INT) / {_SCENE_FRAME} AS frame_idx,
-             substr(text, CAST(i AS INT) + 1, {_SCENE_FRAME}) AS fb
+             substr(hex(encode(text)), CAST(i AS INT) * 2 + 1, {_SCENE_FRAME * 2}) AS fh
       FROM documents
       CROSS JOIN LATERAL (
-        SELECT unnest(range(0, LENGTH(text) - {_SCENE_FRAME - 1}, {_SCENE_FRAME})) AS i)),
+        SELECT unnest(range(0, octet_length(encode(text)) - {_SCENE_FRAME - 1},
+                            {_SCENE_FRAME})) AS i)),
     sig AS (
       SELECT doc_id, frame_idx,
-             list_sum(list_transform(range(1, LENGTH(fb) + 1),
-                                     j -> ord(substr(fb, CAST(j AS INT), 1)))) AS s
+             list_sum(list_transform(range(0, {_SCENE_FRAME}),
+               k -> (strpos('0123456789ABCDEF', substr(fh, CAST(2*k+1 AS INT), 1)) - 1) * 16
+                  + strpos('0123456789ABCDEF', substr(fh, CAST(2*k+2 AS INT), 1)) - 1)) AS s
       FROM f),
     d AS (
       SELECT doc_id, frame_idx, s,
