@@ -755,6 +755,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_triangle_count",
+    scale_twin="dedup_triangle_count_lsh",
     oracle=f"""
     WITH idx AS (
       SELECT doc_id, text,
@@ -783,25 +784,86 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chains of borderline pairs before committing to a keeper
     policy.
 
-    Implementation is the standard two-join oriented-edge plan: edges
-    are kept a<b only, so each triangle is counted exactly once and
-    the join fan-out is bounded by the out-degree of the lower
-    endpoint. At scale the classic refinement (orient edges by degree
-    so hubs get low out-degree) drops in front of the same two joins.
-    The edge list is checkpointed once — the expensive pair mining
-    must not re-run per join input."""
+    Uses the degree-oriented two-join plan (`count_triangles`) so the
+    wedge fan-out is bounded by O(√E) out-degree even on hub-heavy
+    graphs. The triangle COUNT is orientation-invariant, so the exact
+    oracle is unchanged. This exact variant inherits its quadratic
+    edge SOURCE (`dedup_ngram_jaccard`, all-pairs); the scale twin
+    `dedup_triangle_count_lsh` feeds the same counting plan from the
+    banded-MinHash pair miner instead."""
     pairs = dedup_ngram_jaccard(spark, sf_dir)
-    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).localCheckpoint(
-        eager=True
+    return count_triangles(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
-        F.count("*").alias("n_triangles")
+
+
+def count_triangles(e: DataFrame) -> DataFrame:
+    """Triangle + edge count over an undirected edge list (a<b,
+    distinct) via DEGREE ORIENTATION: each edge is re-oriented from its
+    lower-(degree, id) endpoint to its higher one, so every triangle
+    has exactly one "apex" vertex with two out-edges and the wedge join
+    fan-out is bounded by the maximum OUT-degree — O(√E) after
+    orientation even if the raw graph has million-degree hubs (the
+    standard refinement that keeps the two-join plan viable at 100 TB;
+    id-ordering alone lets one hub produce deg² wedges).
+
+    Plan: degree agg (one shuffle of 2E rows) → two joins to attach
+    endpoint degrees → wedge self-join on the apex → closing-edge join.
+    The oriented edge list is checkpointed once so the (possibly
+    expensive) upstream pair mining never re-runs per join input; the
+    degree join is left un-hinted so AQE broadcasts the degree table
+    when small and shuffles it when not."""
+    e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    # wedge (x→y, x→z) with rank(y) < rank(z); close with oriented y→z
+    w1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    w2 = o.select(F.col("u").alias("x"), F.col("v").alias("z"), F.col("dv").alias("dz"))
+    y_first = (F.col("dy") < F.col("dz")) | (
+        (F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z"))
+    )
+    closing = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = (
+        w1.join(w2, "x")
+        .filter(y_first)
+        .join(closing, ["y", "z"])
+        .agg(F.count("*").alias("n_triangles"))
     )
     edges = e.agg(F.count("*").alias("n_edges"))
     return tri.crossJoin(edges)
+
+
+@query("dedup_triangle_count_lsh")  # approximate edge source → rows-only
+def dedup_triangle_count_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of `dedup_triangle_count`: the SAME degree-oriented
+    counting plan fed by `dedup_minhash_lsh`'s banded-candidate pairs
+    (exact-verified J ≥ 0.6) instead of the all-pairs exact miner — end
+    to end sub-quadratic: O(docs × bands) candidate shuffle upstream,
+    O(E^1.5) triangle work downstream. Edges are exact-verified so
+    precision is 1.0; recall follows the LSH recall (≥ 0.7 enforced in
+    tests), hence rows-only in the driver gate — the local test
+    additionally checks it agrees exactly with the exact variant on the
+    fixture, where LSH recall is 1.0."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return count_triangles(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
 
 
 @query(

@@ -390,3 +390,24 @@ def test_pointer_jumping_cc_equals_label_propagation(spark, sf_dir):
     a = {tuple(r) for r in dedup_clusters(spark, sf_dir).collect()}
     b = {tuple(r) for r in graph_cc_pointer_jumping(spark, sf_dir).collect()}
     assert a == b and a
+
+
+def test_triangle_count_lsh_matches_exact_on_fixture(spark, sf_dir):
+    """The LSH-fed triangle counter (sub-quadratic edge source) must
+    agree exactly with the all-pairs exact variant on the fixture,
+    where MinHash recall is 1.0 (test_minhash_finds_all_true_near_dups
+    pins found == truth) — same edges in, same degree-oriented plan,
+    same (n_triangles, n_edges) out. Also a regression guard that the
+    degree-orientation rewrite is count-preserving."""
+    from database_to_bigquery_spark.operators.dedup import (
+        dedup_triangle_count,
+        dedup_triangle_count_lsh,
+    )
+
+    exact = dedup_triangle_count(spark, sf_dir).collect()[0]
+    lsh = dedup_triangle_count_lsh(spark, sf_dir).collect()[0]
+    assert (exact["n_triangles"], exact["n_edges"]) == (
+        lsh["n_triangles"],
+        lsh["n_edges"],
+    )
+    assert exact["n_edges"] > 0
