@@ -292,3 +292,114 @@ def test_decayed_engagement_single_aggregation_pass(spark, sf_dir):
         ln for ln in plan.splitlines() if ln.strip().startswith("(") and "Scan parquet" in ln
     ]
     assert len(scans) == 2  # events for max-date + events for the sum
+
+
+def test_single_partition_stages_are_bounded_or_twinned(spark, sf_dir):
+    """Census-as-CI for the one place a silent scale regression can
+    hide: a SinglePartition exchange. ~70 registered plans legitimately
+    carry one — but only because the collapsing input is an aggregate
+    or limit output (bounded), which tools/plan_audit.py now verifies
+    mechanically by walking each such exchange's input subtree instead
+    of trusting docstrings. Any RAW-relation collapse (the global
+    window/sort that stops scaling) must name an in-repo scale twin;
+    a refactor that moves a single-partition stage onto raw data in
+    an un-twinned query fails here, not in production."""
+    from tools.plan_audit import single_partition_classes
+
+    failures = []
+    raw_twinned = []
+    for name, spec in sorted(SPECS.items()):
+        try:
+            df = spec.fn(spark, sf_dir)
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:
+            failures.append((name, f"plan error: {type(exc).__name__}"))
+            continue
+        classes = single_partition_classes(plan)
+        if "raw" in classes and not spec.scale_twin:
+            failures.append((name, f"RAW single-partition stage ({classes}) with no scale twin"))
+        if "raw" in classes and spec.scale_twin:
+            raw_twinned.append(name)
+    assert not failures, failures
+    # the classifier must stay non-vacuous: the known intentional
+    # raw-collapse exact twin is detected as such
+    assert "q_ntile_stats" in raw_twinned, raw_twinned
+
+
+def test_single_partition_classifier_on_canned_plans():
+    """Pure-text unit test of the subtree walk: a global window over a
+    raw scan is 'raw'; a final aggregate fed by a partial aggregate
+    through the same exchange shape is 'bounded'; non-SinglePartition
+    exchanges are ignored; subquery trees are parsed independently."""
+    from tools.plan_audit import single_partition_classes
+
+    raw_window = """== Physical Plan ==
+AdaptiveSparkPlan (6)
++- Project (5)
+   +- Window (4)
+      +- Sort (3)
+         +- Exchange (2)
+            +- Scan parquet  (1)
+
+
+(2) Exchange
+Input [2]: [a#0L, b#1]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=12]
+"""
+    assert single_partition_classes(raw_window) == ["raw"]
+
+    global_agg = """== Physical Plan ==
+AdaptiveSparkPlan (5)
++- HashAggregate (4)
+   +- Exchange (3)
+      +- HashAggregate (2)
+         +- Scan parquet  (1)
+
+
+(3) Exchange
+Input [1]: [sum#9]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]
+"""
+    assert single_partition_classes(global_agg) == ["bounded"]
+
+    hash_exchange_only = """== Physical Plan ==
+AdaptiveSparkPlan (4)
++- Sort (3)
+   +- Exchange (2)
+      +- Scan parquet  (1)
+
+
+(2) Exchange
+Input [2]: [a#0L, b#1]
+Arguments: hashpartitioning(a#0L, 32), ENSURE_REQUIREMENTS, [plan_id=3]
+"""
+    assert single_partition_classes(hash_exchange_only) == []
+
+    # two trees (main + subquery): the subquery's bounded collapse must
+    # not leak into the main tree's raw one
+    two_trees = """== Physical Plan ==
+AdaptiveSparkPlan (6)
++- Window (5)
+   +- Sort (4)
+      +- Exchange (3)
+         +- Scan parquet  (2)
+
+===== Subqueries =====
+
+Subquery:1 Hosting operator id = 5 Hosting Expression = Subquery subquery#1
+HashAggregate (9)
++- Exchange (8)
+   +- HashAggregate (7)
+
+
+(3) Exchange
+Input [2]: [a#0L, b#1]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=12]
+
+(8) Exchange
+Input [1]: [sum#9]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=13]
+"""
+    assert sorted(single_partition_classes(two_trees)) == ["bounded", "raw"]

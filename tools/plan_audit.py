@@ -21,6 +21,66 @@ from database_to_bigquery_spark.registry import all_specs  # noqa: E402
 from database_to_bigquery_spark.session import get_spark  # noqa: E402
 
 
+# Node names below a SinglePartition exchange that PROVE its input
+# cardinality is bounded before the collapse to one partition: an
+# aggregate (partial or final — either way the exchanged rows are
+# per-partition/grouped aggregates, not the raw relation) or an
+# explicit limit. A single-partition stage fed by anything else is a
+# RAW-relation collapse — the one plan shape that silently stops
+# scaling — and must carry a scale-twin annotation to pass CI.
+_BOUNDED_NODE = re.compile(
+    r"\b(HashAggregate|SortAggregate|ObjectHashAggregate|GlobalLimit|"
+    r"LocalLimit|CollectLimit|TakeOrderedAndProject)\b"
+)
+_TREE_LINE = re.compile(r"^(?P<prefix>[:\s+\-*]*)(?P<name>[A-Za-z][\w ]*?)\s+\((?P<id>\d+)\)\s*$")
+_SP_EXCHANGE = re.compile(r"\((\d+)\) Exchange[^\n]*\nInput[^\n]*\nArguments: SinglePartition")
+
+
+def single_partition_classes(plan: str) -> list[str]:
+    """Classify every SinglePartition exchange in a formatted plan as
+    'bounded' (its input subtree contains an aggregate/limit, so the
+    row count collapsing onto one partition is an aggregate's output,
+    not the raw relation) or 'raw' (nothing bounds it — a scale
+    smell that the census and the CI gate surface explicitly instead
+    of leaving the adjudication to docstrings).
+
+    Works on the text of `.explain("formatted")`: the tree section
+    gives parent/child structure by indentation; the details section
+    identifies which Exchange nodes are SinglePartition. Subquery
+    trees are parsed the same way (each contiguous run of tree lines
+    is its own tree)."""
+    sp_ids = {int(m) for m in _SP_EXCHANGE.findall(plan)}
+    if not sp_ids:
+        return []
+    # parse all tree lines (main plan + subquery blocks), keeping run
+    # boundaries so a subtree never leaks across trees
+    lines = plan.splitlines()
+    runs: list[list[tuple[int, str, int]]] = []
+    cur: list[tuple[int, str, int]] = []
+    for ln in lines:
+        m = _TREE_LINE.match(ln)
+        if m and not ln.startswith("("):
+            cur.append((len(m.group("prefix")), m.group("name").strip(), int(m.group("id"))))
+        elif cur:
+            runs.append(cur)
+            cur = []
+    if cur:
+        runs.append(cur)
+    classes: list[str] = []
+    for run in runs:
+        for i, (indent, name, nid) in enumerate(run):
+            if nid not in sp_ids:
+                continue
+            subtree = []
+            for indent2, name2, _ in run[i + 1:]:
+                if indent2 <= indent:
+                    break
+                subtree.append(name2)
+            bounded = any(_BOUNDED_NODE.search(n) for n in subtree)
+            classes.append("bounded" if bounded else "raw")
+    return classes
+
+
 def audit_plan(plan: str) -> dict[str, int | str]:
     def n(pat: str) -> int:
         return len(re.findall(pat, plan))
@@ -38,6 +98,7 @@ def audit_plan(plan: str) -> dict[str, int | str]:
                 r"FlatMapGroupsInPandas|MapInArrow|AggregateInPandas|"
                 r"FlatMapGroupsInPandasWithState|PythonMapInArrow)"),
         "single_part": int("SinglePartition" in plan),
+        "sp_classes": single_partition_classes(plan),
     }
 
 
@@ -64,9 +125,13 @@ def main() -> None:
         f"Input: `{sf_dir}`. Counts are static plan nodes (AQE may further",
         "coalesce/convert at runtime — SMJ→BHJ, skew splits). Columns:",
         "scans = source reads; exch = shuffles; joins by strategy;",
-        "py = Arrow/Python boundaries; 1part = any single-partition stage",
-        "(global window/sort — a scale smell unless the data is provably",
-        "tiny, e.g. already-aggregated output); scale-twin = non-empty for",
+        "py = Arrow/Python boundaries; 1part = single-partition stages,",
+        "CLASSIFIED by walking each SinglePartition exchange's input",
+        "subtree: `agg` = every such stage is fed by an aggregate/limit",
+        "(bounded — an aggregate's output collapses to one partition,",
+        "not the raw relation), `RAW ⚠` = at least one stage collapses",
+        "an unbounded relation (the scale killer; CI requires a",
+        "scale-twin annotation for these); scale-twin = non-empty for",
         "queries that are INTENTIONALLY scale-unsafe (exact oracle twins /",
         "pedagogical stock forms) — the named query is the in-repo",
         "scale-safe alternative to use at 100 TB.",
@@ -78,10 +143,17 @@ def main() -> None:
         if "error" in a:
             out.append(f"| {name} | — plan error: {a['error']} | | | | | | | | | |")
             continue
+        sp = a["sp_classes"]
+        if not sp:
+            sp_cell = "⚠" if a["single_part"] else ""  # 1part outside exchanges (rare)
+        elif "raw" in sp:
+            sp_cell = f"RAW ⚠ ({sp.count('raw')}/{len(sp)})"
+        else:
+            sp_cell = f"agg ({len(sp)})"
         out.append(
             f"| {name} | {a['scans']} | {a['exchanges']} | {a['bhj']} | {a['smj']} "
             f"| {a['shj']} | {a['bnlj']} | {a['cartesian']} | {a['py']} "
-            f"| {'⚠' if a['single_part'] else ''} | {a['twin']} |"
+            f"| {sp_cell} | {a['twin']} |"
         )
 
     totals = [a for _, a in rows if "error" not in a]
@@ -94,7 +166,10 @@ def main() -> None:
         f"{sum(a['shj'] for a in totals)} shuffled-hash joins; "
         f"{sum(a['cartesian'] for a in totals)} cartesian products; "
         f"{sum(1 for a in totals if a['single_part'])} queries with a "
-        "single-partition stage.",
+        "single-partition stage "
+        f"({sum(1 for a in totals if 'raw' in a['sp_classes'])} with a "
+        "RAW-relation collapse, all scale-twin-annotated — gated by "
+        "tests/test_plan_quality.py::test_single_partition_stages_are_bounded_or_twinned).",
         "",
     ]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
