@@ -1,9 +1,15 @@
-"""S1/S2/S3 source surface + sink option mapping (no live DB/BQ in the
-container — the option maps and SQL text are the testable contract)."""
+"""S1/S2/S3 source surface + sink option mapping. No live MySQL/BQ
+server exists in the container, so those engines are tested via their
+option maps and SQL text — but the JDBC reader path itself IS executed
+live against embedded Apache Derby (driver ships in pyspark's jars):
+see TestLiveJdbcDerby for the real read + pushdown + partitioned-scan
+round-trip."""
 
 from __future__ import annotations
 
 import datetime as dt
+
+import pytest
 
 from database_to_bigquery_spark.sources import files
 from database_to_bigquery_spark.sources.catalog import (
@@ -17,6 +23,7 @@ from database_to_bigquery_spark.sources.jdbc import (
     jdbc_reader_options,
     jdbc_spec_from_credentials,
     load_credentials,
+    read_jdbc,
     sqlalchemy_url,
 )
 
@@ -415,3 +422,74 @@ class TestFileSink:
         df = spark.read.parquet(f"{sf_dir}/region.parquet")
         with _pytest.raises(ValueError, match="orc/csv/json"):
             FileSink(path="/tmp/x", format="avro").write(df, WriteMode.TRUNCATE)
+
+
+class TestLiveJdbcDerby:
+    """The reference's core is a LIVE database extract
+    (reference mysql_operations.py:15-41); everything above tests the
+    option/credential plumbing without a server. These tests execute a
+    real `spark.read.jdbc` round-trip against embedded Apache Derby —
+    the one JDBC engine whose driver ships inside pyspark's own jars —
+    proving the `JdbcSourceSpec` path end-to-end: (a) rows match the
+    parquet twin exactly, (b) the S3 incremental day-slice predicate is
+    PUSHED into the source scan (sargable range → PushedFilters), and
+    (c) partition bounds fan the scan out into parallel range queries.
+    MySQL vs Derby changes only url/driver strings — the reader path
+    under test is identical."""
+
+    _PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    @pytest.fixture(scope="class")
+    def derby_url(self, spark, sf_dir, tmp_path_factory):
+        base = tmp_path_factory.mktemp("derby")
+        url = f"jdbc:derby:{base}/db;create=true"
+        spark.read.parquet(f"{sf_dir}/nation.parquet").write.jdbc(
+            url, "nation", mode="overwrite", properties=self._PROPS
+        )
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "user_id", "event_type", "ts"
+        ).write.jdbc(url, "events", mode="overwrite", properties=self._PROPS)
+        return url
+
+    def test_roundtrip_matches_parquet_twin(self, spark, sf_dir, derby_url):
+        spec = JdbcSourceSpec(url=derby_url, table="nation", properties=self._PROPS)
+        got = {tuple(r) for r in read_jdbc(spark, spec).collect()}
+        want = {
+            tuple(r) for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+        }
+        assert got == want and len(want) == 25
+
+    def test_incremental_day_slice_is_pushed_to_source(self, spark, sf_dir, derby_url):
+        import re
+
+        day = dt.date(2024, 1, 5)
+        spec = JdbcSourceSpec(url=derby_url, table="events", properties=self._PROPS)
+        df = read_jdbc(spark, spec, where=incremental_predicate("ts", day))
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert pushed, plan
+        assert re.search(r"GreaterThanOrEqual\(ts,2024-01-05", pushed[0]), pushed
+        assert re.search(r"LessThan\(ts,2024-01-06", pushed[0]), pushed
+        # the pushed read returns exactly the parquet twin's day slice
+        twin = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .where(incremental_predicate("ts", day))
+            .count()
+        )
+        assert df.count() == twin > 0  # fixture plants events on this day
+
+    def test_partitioned_parallel_read(self, spark, derby_url):
+        spec = JdbcSourceSpec(
+            url=derby_url,
+            table="nation",
+            partition_column="n_nationkey",
+            lower_bound="0",
+            upper_bound="25",
+            num_partitions=4,
+            properties=self._PROPS,
+        )
+        df = read_jdbc(spark, spec)
+        assert df.rdd.getNumPartitions() == 4
+        assert df.count() == 25
