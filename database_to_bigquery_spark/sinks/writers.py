@@ -130,30 +130,46 @@ class BigQuerySink(Sink):
     """Production sink via the public spark-bigquery-connector.
 
     Equivalent option mapping to the reference's load-job config
-    (bigquery_operations.py:26-36):
+    (bigquery_operations.py:26-44):
       WRITE_TRUNCATE/WRITE_APPEND → .mode('overwrite'/'append')
+        (reference :36 — write_disposition from ``is_daily``)
       TimePartitioning(DAY, field) → partitionField/partitionType options
+        (reference :30-34 — only ``daily_log`` is partitioned)
       declared schema             → enforced by prepare() before write
+        (reference :27 — job_config.schema)
+      NDJSON staging (reference :28) → writeMethod: 'direct' (Storage
+        Write API) when no staging bucket is given, else 'indirect'
+        via temporaryGcsBucket — the connector's two load paths.
+
+    The option dict is exposed as :meth:`writer_options` so the exact
+    connector handoff is unit-testable without the jar; :meth:`write`
+    is the same dict applied to a real ``df.write.format('bigquery')``.
     """
 
     table: str = ""  # project.dataset.table
     temporary_gcs_bucket: str | None = None
 
+    def writer_options(self) -> dict[str, str]:
+        """The exact option map handed to the connector — the testable
+        contract mirroring reference bigquery_operations.py:26-44."""
+        opts: dict[str, str] = {"table": self.table}
+        if self.temporary_gcs_bucket:
+            opts["writeMethod"] = "indirect"
+            opts["temporaryGcsBucket"] = self.temporary_gcs_bucket
+        else:
+            opts["writeMethod"] = "direct"
+        if self.partition_field:
+            opts["partitionField"] = self.partition_field
+            opts["partitionType"] = "DAY"
+        return opts
+
     def write(self, df: DataFrame, mode: WriteMode) -> int:
         df, obs = _observed(self.prepare(df))  # S14 audit rides the write pass
-        writer = (
-            df.write.format("bigquery")
-            .mode(mode.value)
-            .option("table", self.table)
-        )
-        if self.temporary_gcs_bucket:
-            writer = writer.option("temporaryGcsBucket", self.temporary_gcs_bucket)
-        if self.partition_field:
-            writer = writer.option("partitionField", self.partition_field).option(
-                "partitionType", "DAY"
-            )
+        writer = df.write.format("bigquery").mode(mode.value)
+        for k, v in self.writer_options().items():
+            writer = writer.option(k, v)
         try:
-            writer.save()
+            self._save(writer, df)
         except Exception as exc:  # connector jar not present in this container
             raise RuntimeError(
                 "BigQuerySink requires the spark-bigquery-connector jar "
@@ -161,6 +177,43 @@ class BigQuerySink(Sink):
                 "Use ParquetSink for local runs."
             ) from exc
         return int(obs.get["rows"])
+
+    def _save(self, writer, df: DataFrame) -> None:
+        """Seam for contract tests: a recording fake overrides this to
+        capture the configured writer instead of needing the jar. The
+        observed ``df`` is passed alongside because the S14 audit
+        observation only yields once SOME action executes the plan —
+        the real path's load job here, a stand-in action in a fake."""
+        writer.save()
+
+
+# Reference bigquery_operations.py:30-34 — of the three inventory
+# tables only ``daily_log`` is DAY-partitioned, on its BackupDate
+# column. (backup_log / servers_temp load unpartitioned.)
+REFERENCE_PARTITIONED_TABLES: dict[str, str] = {"daily_log": "BackupDate"}
+
+
+def bigquery_sink_for_reference_table(
+    table_name: str,
+    *,
+    project_id: str,
+    dataset_id: str,
+    declared_schema: T.StructType | None = None,
+    temporary_gcs_bucket: str | None = None,
+) -> BigQuerySink:
+    """Build the sink exactly as the reference's ``load_to_bigquery``
+    configures its load job (bigquery_operations.py:21-44): table ref
+    ``project.dataset.table`` (:24), DAY partitioning on BackupDate for
+    ``daily_log`` only (:30-34), declared schema enforced (:27). The
+    truncate-vs-append disposition (:36, from ``is_daily``) is the
+    ``WriteMode`` passed to :meth:`BigQuerySink.write` — same split as
+    the reference, where dispositions are per-run, not per-table."""
+    return BigQuerySink(
+        declared_schema=declared_schema,
+        partition_field=REFERENCE_PARTITIONED_TABLES.get(table_name),
+        table=f"{project_id}.{dataset_id}.{table_name}",
+        temporary_gcs_bucket=temporary_gcs_bucket,
+    )
 
 
 def compact_parquet_dir(

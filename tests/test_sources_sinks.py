@@ -493,3 +493,91 @@ class TestLiveJdbcDerby:
         df = read_jdbc(spark, spec)
         assert df.rdd.getNumPartitions() == 4
         assert df.count() == 25
+
+
+class TestBigQuerySinkContract:
+    """The BigQuery handoff as code, not prose: the exact connector
+    option dict for each of the three reference tables (reference
+    bigquery_operations.py:21-44), and the write() flow exercised
+    against a recording fake standing in for the absent connector jar.
+    `is_daily` maps to WriteMode exactly as the reference maps it to
+    write_disposition (APPEND when daily, TRUNCATE on full refresh)."""
+
+    def test_option_dict_for_all_three_reference_tables(self):
+        from database_to_bigquery_spark.sinks.writers import (
+            bigquery_sink_for_reference_table,
+        )
+
+        opts = {
+            t: bigquery_sink_for_reference_table(
+                t, project_id="example-project", dataset_id="inventory"
+            ).writer_options()
+            for t in ("backup_log", "daily_log", "servers_temp")
+        }
+        # only daily_log is DAY-partitioned, on BackupDate (reference :30-34)
+        assert opts["daily_log"] == {
+            "table": "example-project.inventory.daily_log",
+            "writeMethod": "direct",
+            "partitionField": "BackupDate",
+            "partitionType": "DAY",
+        }
+        for t in ("backup_log", "servers_temp"):
+            assert opts[t] == {
+                "table": f"example-project.inventory.{t}",
+                "writeMethod": "direct",
+            }
+
+    def test_staging_bucket_switches_to_indirect_write(self):
+        from database_to_bigquery_spark.sinks.writers import (
+            bigquery_sink_for_reference_table,
+        )
+
+        sink = bigquery_sink_for_reference_table(
+            "daily_log",
+            project_id="example-project",
+            dataset_id="inventory",
+            temporary_gcs_bucket="staging-bucket",
+        )
+        o = sink.writer_options()
+        assert o["writeMethod"] == "indirect"
+        assert o["temporaryGcsBucket"] == "staging-bucket"
+
+    def test_write_flow_against_recording_fake(self, spark, sf_dir):
+        from database_to_bigquery_spark.sinks.writers import (
+            BigQuerySink,
+            WriteMode,
+        )
+
+        class RecordingSink(BigQuerySink):
+            def __init__(self, **kw):
+                super().__init__(**kw)
+                self.saved = []
+
+            def _save(self, writer, df):
+                self.saved.append(writer)
+                # stand-in for the connector's load job: execute the
+                # plan so the S14 observation yields (obs.get blocks
+                # until an action runs — by design, the audit count is
+                # the rows the WRITE actually processed)
+                df.count()
+
+        sink = RecordingSink(
+            table="example-project.inventory.daily_log",
+            partition_field="ts",
+        )
+        df = spark.read.parquet(f"{sf_dir}/events.parquet").limit(100)
+        # is_daily=True → APPEND, exactly the reference's disposition split
+        rows = sink.write(df, WriteMode.APPEND)
+        assert rows == 100  # S14 audit count rode the (fake) write pass
+        assert len(sink.saved) == 1  # one load job per table, as reference
+
+    def test_missing_jar_raises_actionable_error(self, spark, sf_dir):
+        from database_to_bigquery_spark.sinks.writers import (
+            BigQuerySink,
+            WriteMode,
+        )
+
+        sink = BigQuerySink(table="p.d.t")
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        with pytest.raises(RuntimeError, match="spark-bigquery-connector"):
+            sink.write(df, WriteMode.TRUNCATE)
