@@ -547,3 +547,96 @@ def test_spacesaving_stream_invariants_vs_exact(spark, events_dir):
         for (ss, uid), c in true.items():
             if ss == s and c > shard_n[s] / capacity:
                 assert uid in reported, (s, uid, c)
+
+
+def test_stateful_user_totals_survive_restart(spark, events_dir, tmp_path):
+    """Kill-and-resume for the applyInPandasWithState operator: run to
+    completion, add a new source file touching EXISTING users, restart
+    from the SAME checkpoint. The per-user running totals must come
+    back from the state store — post-restart snapshots continue from
+    the pre-restart counts (initial+new), never reset to the new file
+    alone and never double-count the initial data. The foreachBatch
+    twin of this test covers sink exactly-once; this one proves the
+    OPERATOR STATE itself is durable across restarts."""
+    import pathlib
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for p in sorted(pathlib.Path(events_dir).glob("part-*.parquet")):
+        shutil.copy(p, src / p.name)
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    def run_once():
+        stream = jobs.stateful_user_totals(jobs.read_events_stream(spark, str(src)))
+
+        def write_batch(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(str(out))
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first_max_batch = (
+        spark.read.parquet(str(out)).agg(F.max("batch_id")).collect()[0][0]
+    )
+
+    # new file: 50 fresh event_ids over EXISTING users — accumulation,
+    # not fresh keys, is what exercises state recovery
+    late = (
+        spark.read.parquet(events_dir)
+        .orderBy("event_id")
+        .limit(50)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "late"))
+    for i, p in enumerate((tmp_path / "late").glob("part-*.parquet")):
+        shutil.copy(p, src / f"zzz-late-{i}.parquet")
+
+    run_once()
+    snaps = spark.read.parquet(str(out))
+    # restart actually produced new micro-batches from the checkpointed
+    # offset (not a full replay: batch ids continue, and no snapshot in
+    # the resumed run can have LOWER totals than the first run's final)
+    assert snaps.agg(F.max("batch_id")).collect()[0][0] > first_max_batch
+
+    got = {
+        (r.user_id, r.n_events, round(r.total_value, 2))
+        for r in snaps.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .collect()
+    }
+    want = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in spark.read.parquet(str(src))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    # equality against the FULL batch aggregate proves continuation:
+    # a state reset would leave updated users at new-file-only counts
+    # (below batch), a replay would overshoot (above batch)
+    assert got == want
+    # non-vacuous: the late file did update at least one existing user
+    updated = {
+        r.user_id
+        for r in spark.read.parquet(str(tmp_path / "late"))
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert updated & {u for u, _, _ in got}
