@@ -57,14 +57,24 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # keeps at least one pinned oracle-bearing query. Keep at exactly <=50
 # names.
 #
-# Round-3 rotation candidates (added after the r02 pin, all
-# oracle-bearing, no driver attestation yet): sim_topk_ivfpq,
-# graph_cc_pointer_jumping, sim_semantic_decontamination,
-# text_bigram_kn_score, ts_decayed_engagement, text_vocab_growth,
-# q_class_balanced_sample, mm_scene_split, q_merkle_bucket_diff,
-# q_join_cardinality_estimate, q_webdataset_shard_plan,
-# q_corpus_quality_report, q_pipe_syntax, udf_arrow_grouped_span.
-# Swap them in for entries that go driver-green in CORRECTNESS_r02.
+# Round-3 rotation (this pin): every r02-attested non-family-critical
+# entry swapped for a still-unattested oracle-bearing flagship — the
+# registry-noted candidates (sim_topk_ivfpq, graph_cc_pointer_jumping,
+# sim_semantic_decontamination, text_bigram_kn_score,
+# ts_decayed_engagement, text_vocab_growth, q_class_balanced_sample,
+# mm_scene_split, q_merkle_bucket_diff, q_join_cardinality_estimate,
+# q_webdataset_shard_plan, q_corpus_quality_report, q_pipe_syntax,
+# udf_arrow_grouped_span) plus the VERDICT-named q_merge_with_delete,
+# text_length_outlier_filter, q_freshness_sla_audit,
+# stream_session_windows. Every §2 family keeps at least one
+# oracle-bearing representative in the window (gated by
+# tests/test_registry_order.py). Rotated-out r02-green entries:
+# q_countmin_sketch, dedup_semdedup, sim_topk_pq, q_snapshot_diff_cdc,
+# text_quality_linear_probe, sim_kmeans_2iter, q_gdpr_erasure_audit,
+# text_bpe_merges, llm_corpus_prepare, q_bloom_filter_membership,
+# dedup_clusters, ts_stl_decompose, mm_phash_neardup, q_psi_drift,
+# stream_stateful_user_totals, q_decile_lift, sim_power_iteration,
+# ts_sessionize.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # S-family (reference ETL surface)
     "s1_catalog_allowlist",      # S1
@@ -78,68 +88,61 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s14_audit_counts",          # S14
     # X1 projection/filter, X2 equi-joins
     "q1_pricing_summary",
-    "q_countmin_sketch",
+    "q_merkle_bucket_diff",
     "q_full_outer_nations",
-    # X3 semi/anti, X4 theta/range/as-of (anti/range rotated out for
-    # round-2 flagships — both driver-green in r01; families keep
-    # q_semi_join / q_asof_join, the as-of being r01-unattested)
+    # X3 semi/anti, X4 theta/range/as-of; semantic-dedup tier keeps a
+    # rep via sim_semantic_decontamination (dedup_semdedup r02-green)
     "q_semi_join",
-    "dedup_semdedup",
-    "sim_topk_pq",
+    "sim_semantic_decontamination",
+    "sim_topk_ivfpq",
     "q_asof_join",
     # X5 hash agg, X6 rollup/cube/grouping sets
     "q_hash_agg_functions",
     "q_rollup",
-    # (q_grouping_sets rotated out for round-2 flagship below; X6 keeps q_rollup)
-    "q_snapshot_diff_cdc",
-    # X7 approx aggs + sketches (bitmap rollup rotated out — X7 keeps
-    # q_percentiles; slot goes to the trained-quality-probe flagship)
+    # CDC/merge family: delete-branch MERGE (r03 flagship, unattested)
+    "q_merge_with_delete",
+    # X7 approx aggs + sketches
     "q_percentiles",
-    "text_quality_linear_probe",
+    "text_bigram_kn_score",
     # X8 windows, X9 sort/limit/top-k
     "q_window_rank",
-    "sim_kmeans_2iter",
+    "q_join_cardinality_estimate",
     "q_topk_per_group",
-    "q_gdpr_erasure_audit",
+    "q_freshness_sla_audit",
     # X10 set ops, X11 scalar function library
     "q_set_ops",
-    "text_bpe_merges",
+    "text_vocab_growth",
     "q_json_extract",
-    "llm_corpus_prepare",
-    "q_bloom_filter_membership",
-    # X12 dedup (exact, clustered, banded-LSH scale path)
+    "q_corpus_quality_report",
+    "q_class_balanced_sample",
+    # X12 dedup (exact, banded-LSH scale path; CC family now attested
+    # via the pointer-jumping variant — dedup_clusters r02-green)
     "dedup_exact_text",
-    "dedup_clusters",
+    "graph_cc_pointer_jumping",
     "dedup_minhash_lsh",
-    # X13 similarity / ANN (sq8 rotated out in round 2 for the new
-    # layout family below; still covered by the local oracle suite)
+    # X13 similarity / ANN
     "sim_topk_bruteforce",
-    # (sim_topk_ivf rotated out for round-2 flagship below; X13 keeps bruteforce)
-    "ts_stl_decompose",
-    # data layout (round-2 family): Z-order zone map, oracle-bearing
+    "ts_decayed_engagement",
+    # data layout family: Z-order zone map, oracle-bearing
     "q_zorder_layout",
     # X14 text analysis + LLM filters
     "text_stats",
     "text_tfidf_top_terms",
-    # (text_repetition_filter rotated out for the round-2 multimodal
-    # flagship below; X14 keeps two oracle-bearing reps)
-    "mm_phash_neardup",
+    "mm_scene_split",
     # X15 multimodal
     "mm_binary_metadata",
-    "q_psi_drift",
+    "text_length_outlier_filter",
     # X16 streaming (batch-equivalence twins)
     "stream_tumbling_hourly",
-    "stream_stateful_user_totals",
+    "stream_session_windows",
     "q_backfill_plan",
     # X17 UDF surface
     "udf_pandas_scalar",
-    # (udf_grouped_agg_weighted rotated out for the round-2 scalable-rank
-    # flagship below; X17 keeps udf_pandas_scalar)
-    "q_decile_lift",
-    "sim_power_iteration",
-    # behavioral / timeseries / skew representatives
+    "q_pipe_syntax",
+    "udf_arrow_grouped_span",
+    # behavioral / training-prep / skew representatives
     "q_funnel_conversion",
-    "ts_sessionize",
+    "q_webdataset_shard_plan",
     "q_salted_hot_key_join",
 )
 

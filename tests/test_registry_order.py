@@ -36,12 +36,14 @@ FAMILY_REPRESENTATIVES = {
     "X15": ["mm_binary_metadata", "mm_resize"],
     "X16": ["stream_tumbling_hourly", "stream_stateful_user_totals"],
     "X17": ["udf_pandas_scalar", "udf_grouped_agg_weighted", "udtf_word_chunks"],
-    # round-2 flagship families
-    "X12+ semantic dedup": ["dedup_semdedup"],
-    "X13+ PQ compression": ["sim_topk_pq"],
-    "X14+ trained filter": ["text_quality_linear_probe"],
-    "governance": ["q_gdpr_erasure_audit"],
+    # round-2/3 flagship families — each lists the attested r02 member
+    # AND the round-3 rotation partner, either of which attests it
+    "X12+ semantic dedup": ["dedup_semdedup", "sim_semantic_decontamination"],
+    "X13+ PQ compression": ["sim_topk_pq", "sim_topk_ivfpq"],
+    "X14+ trained filter": ["text_quality_linear_probe", "text_bigram_kn_score"],
+    "governance": ["q_gdpr_erasure_audit", "q_freshness_sla_audit"],
     "ops/backfill": ["q_backfill_plan"],
+    "CDC/merge": ["q_snapshot_diff_cdc", "q_merge_with_delete"],
 }
 
 DRIVER_SAMPLE = 50
