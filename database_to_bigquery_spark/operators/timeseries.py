@@ -57,7 +57,12 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: hourly agg (one shuffle) + dense grid (spine × types,
     both tiny) left-joined back — the grid side broadcasts, so
-    gap-filling adds no extra shuffle over the bare rollup."""
+    gap-filling adds no extra shuffle over the bare rollup.
+
+    Scale note: the dense hours × event_types output grid is the
+    operator's inherent cost — fine while the type dimension is small,
+    but see ts_forward_fill's scale note before swapping in a
+    high-cardinality entity column."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
@@ -103,7 +108,17 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     F.last(ignorenulls=True) over an unbounded-preceding frame is the
     idiomatic Spark ffill: one shuffle on user_id, then a streaming
-    frame scan per partition — no self-join, no driver loop."""
+    frame scan per partition — no self-join, no driver loop.
+
+    Scale note — the OUTPUT is the cost here, not the plan: dense
+    resampling materializes the full days × users grid by definition,
+    so at 100 TB the result size is set by the entity set, not the
+    input. Bound the entity set before calling (filter to the cohort
+    you actually need, or cap the spine window); an unfiltered
+    all-users × multi-year grid is a deliberate choice, not a free
+    transform. The same applies to ts_gapfill_hourly's
+    hours × event_types grid (smaller only because event_type has
+    low cardinality)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day"), "user_id").agg(
         F.round(F.sum("value"), 2).alias("day_value")
