@@ -187,6 +187,34 @@ class BigQuerySink(Sink):
         writer.save()
 
 
+@dataclass
+class JdbcSink(Sink):
+    """Warehouse sink over plain JDBC — the same Sink contract
+    (schema-enforce → write → observed audit count) pointed at any
+    JDBC-speaking warehouse instead of BigQuery. WriteMode maps to
+    Spark's JDBC save modes exactly as the reference maps is_daily to
+    write_disposition (bigquery_operations.py:36): TRUNCATE →
+    'overwrite' (drop/recreate), APPEND → 'append'. Live-tested
+    against embedded Derby (tests/test_sources_sinks.py) — the one
+    sink in this environment that executes a real out-of-process
+    write, completing the live JDBC round-trip the source side
+    already has.
+
+    Scale: df.write.jdbc opens one connection per partition and
+    inserts in parallel — repartition to the warehouse's acceptable
+    concurrent-writer count first; batch size rides the usual
+    ``batchsize`` property."""
+
+    url: str = ""
+    table: str = ""
+    properties: dict[str, str] | None = None
+
+    def write(self, df: DataFrame, mode: WriteMode) -> int:
+        df, obs = _observed(self.prepare(df))  # S14 audit rides the write pass
+        df.write.jdbc(self.url, self.table, mode=mode.value, properties=self.properties or {})
+        return int(obs.get["rows"])
+
+
 # Reference bigquery_operations.py:30-34 — of the three inventory
 # tables only ``daily_log`` is DAY-partitioned, on its BackupDate
 # column. (backup_log / servers_temp load unpartitioned.)

@@ -22,6 +22,17 @@ BASE_TABLES_QUERY = (
     "WHERE table_type = 'BASE TABLE' AND table_schema = '{schema}'"
 )
 
+#: The same catalog listing for engines without information_schema —
+#: Apache Derby exposes SYS.SYSTABLES (TABLETYPE 'T' = user base
+#: table). Lower-cased so the driver-side allowlist intersection is
+#: case-insensitive like MySQL's default collation. Used by the live
+#: catalog test (Derby ships inside pyspark's jars); a real MySQL
+#: deployment uses BASE_TABLES_QUERY unchanged.
+DERBY_BASE_TABLES_QUERY = (
+    'SELECT LOWER(CAST(tablename AS VARCHAR(128))) AS "table_name" '
+    "FROM SYS.SYSTABLES WHERE tabletype = 'T'"
+)
+
 
 def discover_tables(
     spark: SparkSession, sf_dir: str, allowlist: list[str] | None = None
@@ -46,14 +57,17 @@ def discover_tables_jdbc(
     schema: str,
     allowlist: list[str],
     properties: dict[str, str] | None = None,
+    catalog_query: str | None = None,
 ) -> list[str]:
     """S1 over a live database: push the information_schema query to
     the source, intersect with the allowlist driver-side (the list is
-    tiny — metadata, not data)."""
+    tiny — metadata, not data). ``catalog_query`` overrides the
+    MySQL-shaped default for engines with a different catalog surface
+    (e.g. DERBY_BASE_TABLES_QUERY)."""
     reader = (
         spark.read.format("jdbc")
         .option("url", jdbc_url)
-        .option("query", BASE_TABLES_QUERY.format(schema=schema))
+        .option("query", catalog_query or BASE_TABLES_QUERY.format(schema=schema))
     )
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
