@@ -498,3 +498,43 @@ def test_pq_recall_on_clustered_embeddings(spark, clustered_embeddings_dir, op_n
         len(truth[q] & byq.get(q, set())) / S._TOP_K for q in range(S._N_QUERIES)
     ]
     assert float(np.mean(recalls)) >= 0.7, recalls
+
+
+def test_scene_split_oracle_agrees_on_non_ascii(spark, tmp_path):
+    """The round-3 advisor fix made mm_scene_split's oracle BYTE-based
+    (hex(encode(text)) parsing) so char-vs-byte semantics can't diverge
+    on non-ASCII corpora. Prove it: run the registered Spark query AND
+    its registered DuckDB oracle on a unicode-heavy corpus (multi-byte
+    UTF-8 on frame boundaries) and require identical scene tables —
+    the exact comparison the driver does, on the input the fixture
+    never exercises."""
+    import duckdb
+
+    from database_to_bigquery_spark.registry import all_specs
+
+    texts = [
+        "héllo wörld ünïcode — test ✓ αβγ δεζ ηθι " * 12,
+        "ascii only frames here, plain text padding padding " * 10,
+        "混合中文字符和English词汇的文本内容，用于跨界测试。" * 9,
+        "эюя русский текст с кириллицей для проверки байтов " * 8,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "unicode_docs")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{src}/documents.parquet")
+
+    spec = all_specs()["mm_scene_split"]
+    got = {
+        (r.doc_id, r.scene_id, r.start_frame, r.n_frames)
+        for r in spec.fn(spark, src).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{src}/documents.parquet/*.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
+    assert got == want and len(got) > 4
