@@ -108,43 +108,34 @@ def _tagged_shingle_blocks(spark: SparkSession, sf_dir: str, n_blocks: int = 8) 
 
 def _tagged_gid_blocks(spark: SparkSession, sh: DataFrame, n_blocks: int = 8) -> DataFrame:
     """Shared prep for the blocked all-pairs intersection operators
-    (exact Jaccard / containment / corpus-prep dedup): dictionary-
-    encode each document's distinct shingles to a gid array, split
-    docs into ``n_blocks`` hash blocks, and replicate each doc to
-    every block-pair group it participates in, tagged with its side.
+    (exact Jaccard / containment / corpus-prep dedup): encode each
+    document's distinct shingles to a gid array, split docs into
+    ``n_blocks`` hash blocks, and replicate each doc to every
+    block-pair group it participates in, tagged with its side.
     ``sh`` is any (doc_id, g)-distinct relation.
+
+    Gram ids are ``xxhash64(g)`` — a PURE FUNCTION of the gram, not a
+    dictionary. The earlier dictionary (distinct → monotonically_
+    increasing_id) handed out ids nondeterministically after a
+    shuffle, so the two union branches below could in principle see
+    different encodings if Catalyst ever recomputed the exchange
+    (advisor finding), and pinning it cost an extra materialization
+    pass. A content hash is recomputation-proof by construction,
+    needs no distinct/join/checkpoint (one groupBy(doc) total), and
+    the numpy side never needed dense ids — ``np.unique`` +
+    ``searchsorted`` densify any sortable values per block pair.
+    64-bit collisions would conflate two grams; over a per-corpus
+    vocabulary V the expected collisions are V²/2^65 — ~0.003 even
+    at 10^10 grams, and the fixture gate is deterministic either way.
 
     B(B+1)/2 = 36 block-pair tasks (enough to saturate 32 cores since
     same-block pairs are ~half-size); each doc's gid array ships to
     B+1 = 9 groups, so replication — the dominant Arrow-transfer
     cost — stays modest. Larger B shrinks per-task matmuls (already
-    far from the FLOP bound) while inflating transfer linearly.
-    The gram dictionary is vocabulary-sized (tiny here; at scale a
-    shuffle over |vocab|, never over docs²)."""
-    # The gid assignment uses monotonically_increasing_id AFTER a
-    # distinct() shuffle, and the dictionary feeds BOTH union branches
-    # (side a and side b): if the branches ever recomputed the shuffle
-    # (plan change, AQE edge case) the two sides could encode the same
-    # gram under different ids and corrupt intersection counts. Pin the
-    # dictionary with an eager localCheckpoint so both branches read
-    # the one materialized assignment instead of relying on Catalyst
-    # exchange reuse. (Vocabulary-sized — cheap to materialize.)
-    # The shingle relation feeds BOTH the dictionary job and the vector
-    # build below; the eager checkpoint turns the dictionary into its
-    # own job, so without a persist that job would re-run the full
-    # shingle scan the main job no longer shares with it (measured:
-    # +2.3 s on dedup_clusters at sf0.1 when this persist was missing).
-    sh = sh.persist()
-    gram_ids = (
-        sh.select("g")
-        .distinct()
-        .withColumn("gid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
-    )
+    far from the FLOP bound) while inflating transfer linearly."""
     vecs = (
-        sh.join(F.broadcast(gram_ids), "g")
-        .groupBy("doc_id")
-        .agg(F.collect_list("gid").alias("gids"))
+        sh.groupBy("doc_id")
+        .agg(F.collect_list(F.xxhash64("g")).alias("gids"))
         .withColumn("blk", (F.col("doc_id") % n_blocks).cast("int"))
     )
     block_pairs = spark.createDataFrame(
@@ -691,33 +682,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative label propagation, the scalable CC algorithm for Spark:
     each round joins current labels across edges and keeps the min —
     O(E) shuffle per round, rounds = graph diameter (dup clusters are
-    near-cliques, so 2-3 rounds). The driver loop only checks a
-    0/1-row convergence count, never data; labels localCheckpoint each
-    round to cut the growing lineage (and to stop re-running the
-    upstream pair mining per round). Oracle: the same fixpoint via
-    DuckDB\'s recursive CTE over the identical pair set.
+    near-cliques, so 2-3 rounds). ONE job per round: the changed-label
+    count rides the checkpoint materialization as an observe() metric
+    (comparing against the previous labels via a V-row join inside the
+    same pass), so the driver never launches a separate convergence
+    job and only ever sees a scalar; labels localCheckpoint each round
+    to cut the growing lineage (and to stop re-running the upstream
+    pair mining per round). Oracle: the same fixpoint via DuckDB\'s
+    recursive CTE over the identical pair set.
     """
+    from pyspark.sql import Observation
+
     e = dup_graph_edges(spark, sf_dir)
     labels = e.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
     for _ in range(20):  # >= graph diameter; loop exits at fixpoint
+        obs = Observation()
         prop = (
             e.join(labels, e.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
             .unionByName(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            prop.alias("p")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("p.label") != F.col("l.label"))
-            .limit(1)
-            .count()
+            .join(labels.select("node", F.col("label").alias("old")), "node")
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("old")).cast("long")).alias("changed"),
+            )
+            .select("node", "label")
+            .localCheckpoint(eager=True)
         )
         labels = prop
-        if changed == 0:
+        if int(obs.get["changed"]) == 0:
             break
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count("*").alias("cluster_size")

@@ -303,6 +303,14 @@ def graph_cc_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         e.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
+    # NOTE: dedup_clusters fuses its convergence count into the
+    # checkpoint pass via observe(); doing the same here — observe on
+    # top of the prop self-join (p ⋈ q on label) plus the old-labels
+    # join, all above the union — trips a Catalyst constraint-rewrite
+    # bug in Spark 4.1 (NoSuchElementException in
+    # UnionBase.rewriteConstraints during localCheckpoint analysis),
+    # so this operator keeps the separate (cheap, V-row) convergence
+    # job per round.
     converged = False
     for _ in range(_MAX_ROUNDS):
         prop = (
