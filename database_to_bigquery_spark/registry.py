@@ -178,6 +178,17 @@ def query(
     return deco
 
 
+def production_specs() -> dict[str, QuerySpec]:
+    """The production-profile preset: every registered query EXCEPT the
+    intentionally scale-unsafe exact twins (those carrying a non-empty
+    ``scale_twin``). A 100 TB deployment schedules from this view; the
+    excluded queries exist as oracle twins / pedagogical stock forms,
+    and each names its in-repo scale-safe replacement. The exclusion is
+    the mechanical census rule (PLANS.md scale-twin column), not a
+    hand-maintained list."""
+    return {n: s for n, s in all_specs().items() if not s.scale_twin}
+
+
 def all_specs() -> dict[str, QuerySpec]:
     """Import all operator modules (side-effect: registration) and
     return the full registry."""

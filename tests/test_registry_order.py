@@ -70,3 +70,28 @@ def test_every_family_has_oracle_bearing_representative_in_sample():
         assert any(
             specs[n].oracle is not None for n in in_window
         ), f"family {family} only has rows-only representatives in sample"
+
+
+def test_production_preset_excludes_scale_unsafe_twins():
+    """The production-profile view must exclude exactly the queries the
+    census marks as intentionally scale-unsafe (non-empty scale_twin),
+    and every exclusion's named replacement must itself be a registered
+    PRODUCTION query (a twin pointing at another excluded query would
+    leave no scale-safe path)."""
+    from database_to_bigquery_spark.registry import production_specs
+
+    specs = all_specs()
+    prod = production_specs()
+    excluded = {n for n in specs if n not in prod}
+    assert excluded == {n for n, s in specs.items() if s.scale_twin}
+    # known members: the documented exact twins
+    for name in (
+        "q_ntile_stats",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+        "dedup_triangle_count",
+    ):
+        assert name in excluded, name
+    for n in excluded:
+        twin = specs[n].scale_twin
+        assert twin in prod, f"{n}'s scale twin {twin!r} is not a production query"
