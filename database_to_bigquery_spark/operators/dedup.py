@@ -279,6 +279,57 @@ _MH_A = [_rng.randrange(1, _MH_PRIME) for _ in range(_MH_K)]
 _MH_B = [_rng.randrange(0, _MH_PRIME) for _ in range(_MH_K)]
 
 
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<long>[k]) — one groupBy(doc) over the
+    shingle relation; min((a_i·h+b_i) mod p) per permutation as a
+    single array expression. Shared by the full-corpus miner and the
+    incremental batch-vs-corpus probe (identical permutations, so
+    signatures computed in different runs are comparable — the
+    property that lets production store corpus signatures and only
+    compute the new batch's)."""
+    sh = shingles.withColumn(
+        "h", (F.hash("g").cast("long").bitwiseAND(F.lit((1 << 32) - 1))) % _MH_PRIME
+    )
+    perms = F.array(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_PRIME)
+            for a, b in zip(_MH_A, _MH_B)
+        ]
+    )
+    return sh.groupBy("doc_id").agg(perms.alias("sig"))
+
+
+def signature_bands(sig: DataFrame) -> DataFrame:
+    """Explode signatures into (doc_id, band_idx, band_hash) bucket
+    keys (md5 of each 4-row band) — the LSH bucketing shared by every
+    MinHash consumer."""
+    rows_per_band = _MH_K // _MH_BANDS
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band), "-"
+                        ).cast("binary")
+                    )
+                    for i in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+# signature-agreement estimate: fraction of equal positions
+def _sig_agreement() -> F.Column:
+    return F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda u, v: F.when(u == v, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
 @query("dedup_minhash_lsh", headline=True)  # approximate → rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, exact-verified.
@@ -302,40 +353,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer re-shingles the full corpus (4 scans of the most
     # expensive map stage). MEMORY_AND_DISK default spills at scale.
     shingles = char_shingles(spark, sf_dir).persist()
-    sh = shingles.withColumn(
-        "h", (F.hash("g").cast("long").bitwiseAND(F.lit((1 << 32) - 1))) % _MH_PRIME
-    )
-    # 2: per-doc signature: for each of k permutations, min over grams.
-    perms = F.array(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_PRIME)
-            for a, b in zip(_MH_A, _MH_B)
-        ]
-    )
     # cache: the signature table is tiny (n_docs × 64 longs) but its
     # lineage re-shingles the whole corpus; it feeds three consumers
     # (band explode + both sides of the estimate join), so without a
     # persist Spark recomputes the full shingle scan per consumer. At
     # cluster scale this is the standard "materialize signatures"
     # stage of every LSH pipeline (MEMORY_AND_DISK spills if huge).
-    sig = sh.groupBy("doc_id").agg(perms.alias("sig")).persist()
+    sig = minhash_signatures(shingles).persist()
     # 3: bands → buckets. band_hash = md5 of the 4 joined values.
-    rows_per_band = _MH_K // _MH_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.array_join(
-                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band), "-"
-                        ).cast("binary")
-                    )
-                    for i in range(_MH_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    bands = signature_bands(sig)
     cand = (
         bands.alias("x")
         .join(
@@ -350,11 +376,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4: exact verification restricted to candidates (broadcast: the
     # candidate set is tiny relative to the corpus). est_jaccard =
     # fraction of agreeing signature positions.
-    agree = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda u, v: F.when(u == v, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    agree = _sig_agreement()
     sig_est = (
         cand.join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
         .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
@@ -753,6 +775,88 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         batch.join(corpus.withColumn("hit", F.lit(1)), "h", "left")
         .select("doc_id", F.col("hit").isNotNull().alias("already_in_corpus"))
+    )
+
+
+@query("dedup_incremental_minhash")  # approximate → rows-only check
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY dedup — the production shape when a new crawl
+    batch lands against an already-deduped corpus: find every (batch
+    doc, corpus doc) near-dup pair WITHOUT re-mining corpus × corpus.
+    `dedup_incremental_batch` is this for exact duplicates (hash
+    probe); this is the Jaccard ≥ 0.6 version via the same banded
+    MinHash as `dedup_minhash_lsh`, restricted to the asymmetric
+    batch ⨝ corpus bucket join. Fixture split: doc_id % 10 == 0 is
+    the incoming batch, the rest the standing corpus.
+
+    Scale (the point of the asymmetry): corpus signatures/bands are a
+    pure function of corpus text under FIXED permutation parameters
+    (module constants), so production stores them once and each
+    increment computes only the batch's signatures — per-increment
+    cost O(batch × bands + collisions), independent of corpus size
+    except the bucket join's corpus-side shuffle, which bucketing on
+    (band_idx, band_hash) amortizes across increments. Exact
+    verification touches only candidates. Approximate (LSH recall) →
+    rows-only in the driver gate; the local test pins it equal to the
+    exact batch-vs-corpus pair set on the fixture, where banding
+    recall is 1.0.
+
+    Output: (batch_id, corpus_id, est_jaccard, jaccard) for true
+    pairs ≥ 0.6."""
+    shingles = char_shingles(spark, sf_dir).persist()
+    is_batch = F.col("doc_id") % 10 == 0
+    sig = minhash_signatures(shingles).persist()
+    bands = signature_bands(sig)
+    cand = (
+        bands.filter(is_batch)
+        .alias("x")
+        .join(
+            bands.filter(~is_batch).alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash")),
+        )
+        .select(
+            F.col("x.doc_id").alias("batch_id"), F.col("y.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    sig_est = (
+        cand.join(
+            sig.select(F.col("doc_id").alias("batch_id"), F.col("sig").alias("sig_a")),
+            "batch_id",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_b")),
+            "corpus_id",
+        )
+        .withColumn("est_jaccard", F.round(_sig_agreement().cast("double") / _MH_K, 4))
+        .drop("sig_a", "sig_b")
+        # same 2.5σ signature pre-filter as the full miner: drop the
+        # shared-vocabulary background before the exact (doc, gram) join
+        .filter(F.col("est_jaccard") >= 0.45)
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pair_grams = (
+        sig_est.join(shingles.select(F.col("doc_id").alias("batch_id"), "g"), "batch_id")
+        .join(
+            shingles.select(F.col("doc_id").alias("corpus_id"), F.col("g").alias("g")),
+            ["corpus_id", "g"],
+        )
+        .groupBy("batch_id", "corpus_id", "est_jaccard")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pair_grams.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("batch_id"), F.col("n").alias("na"))),
+            "batch_id",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("corpus_id"), F.col("n").alias("nb"))),
+            "corpus_id",
+        )
+        .filter(jac >= 0.6)
+        .select("batch_id", "corpus_id", "est_jaccard", F.round(jac, 4).alias("jaccard"))
     )
 
 

@@ -538,3 +538,32 @@ def test_scene_split_oracle_agrees_on_non_ascii(spark, tmp_path):
     )
     want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
     assert got == want and len(got) > 4
+
+
+def test_incremental_minhash_equals_exact_batch_vs_corpus(spark, sf_dir):
+    """The asymmetric incremental miner must find exactly the exact
+    Jaccard ≥ 0.6 pairs that straddle the batch/corpus split (batch =
+    doc_id % 10 == 0) — same recall-1.0 argument as the full-corpus
+    MinHash test, restricted to cross-split pairs; and it must emit
+    NO within-batch or within-corpus pair (those are the standing
+    corpus's own dedup problem, already solved)."""
+    from database_to_bigquery_spark.operators.dedup import (
+        dedup_incremental_minhash,
+        dedup_ngram_jaccard,
+    )
+
+    exact_cross = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+        if (r["doc_a"] % 10 == 0) != (r["doc_b"] % 10 == 0)
+    }
+    got_rows = dedup_incremental_minhash(spark, sf_dir).collect()
+    for r in got_rows:
+        assert r["batch_id"] % 10 == 0 and r["corpus_id"] % 10 != 0
+        assert r["jaccard"] >= 0.6
+    got = {
+        (min(r["batch_id"], r["corpus_id"]), max(r["batch_id"], r["corpus_id"]))
+        for r in got_rows
+    }
+    assert got == exact_cross
+    assert got  # fixture plants cross-split near-dups — non-vacuous
