@@ -200,6 +200,18 @@ class JdbcSink(Sink):
     write, completing the live JDBC round-trip the source side
     already has.
 
+    ``staged=True`` (full refreshes only): load into
+    ``<table>_stage`` first, then swap via DROP + RENAME on one JDBC
+    connection. A plain JDBC overwrite drops the live table BEFORE
+    the (possibly minutes-long) reload, so readers see an empty/
+    missing table for the whole load and a failed load loses the old
+    data; the staged swap shrinks the exposure window to two DDL
+    statements and a mid-load failure leaves the previous table
+    intact — the parquet sink's stage-then-swap discipline
+    (compact_parquet_dir) applied to the warehouse. (BigQuery's
+    WRITE_TRUNCATE is atomic server-side, which is why the reference
+    never needed this; plain JDBC warehouses do.)
+
     Scale: df.write.jdbc opens one connection per partition and
     inserts in parallel — repartition to the warehouse's acceptable
     concurrent-writer count first; batch size rides the usual
@@ -208,11 +220,39 @@ class JdbcSink(Sink):
     url: str = ""
     table: str = ""
     properties: dict[str, str] | None = None
+    staged: bool = False
 
     def write(self, df: DataFrame, mode: WriteMode) -> int:
         df, obs = _observed(self.prepare(df))  # S14 audit rides the write pass
-        df.write.jdbc(self.url, self.table, mode=mode.value, properties=self.properties or {})
+        props = self.properties or {}
+        if self.staged and mode is WriteMode.TRUNCATE:
+            stage = f"{self.table}_stage"
+            df.write.jdbc(self.url, stage, mode="overwrite", properties=props)
+            self._swap_stage(df.sparkSession, stage)
+        else:
+            df.write.jdbc(self.url, self.table, mode=mode.value, properties=props)
         return int(obs.get["rows"])
+
+    def _swap_stage(self, spark: SparkSession, stage: str) -> None:
+        """DROP old + RENAME stage→table on one driver-side JDBC
+        connection (DDL is metadata-sized; the bulk load already ran
+        distributed). Missing-table on the DROP (first ever load) is
+        ignored; any other failure propagates with the previous table
+        still intact under its old name or the fresh data under
+        ``_stage`` — nothing is lost either way."""
+        jvm = spark._sc._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            stmt = conn.createStatement()
+            try:
+                stmt.execute(f"DROP TABLE {self.table}")
+            except Exception:
+                pass  # first load: nothing to drop
+            # Derby/standard syntax: new name is unqualified
+            stmt.execute(f"RENAME TABLE {stage} TO {self.table.rsplit('.', 1)[-1]}")
+            stmt.close()
+        finally:
+            conn.close()
 
 
 # Reference bigquery_operations.py:30-34 — of the three inventory

@@ -675,3 +675,50 @@ class TestLiveJdbcPipeline:
             src = spark.read.jdbc(pipeline_db, t, properties=self._PROPS)
             assert {tuple(r) for r in out.collect()} == {tuple(r) for r in src.collect()}
             assert out.count() == n
+
+
+class TestStagedJdbcSwap:
+    """staged=True full refresh: load lands in <table>_stage, then
+    DROP+RENAME swaps it live — the previous table survives a failed
+    load, and the post-swap state has exactly the new data with no
+    stage leftover. Live against embedded Derby."""
+
+    _PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    def test_staged_truncate_swaps_and_cleans_stage(self, spark, sf_dir, tmp_path):
+        from database_to_bigquery_spark.sinks.writers import JdbcSink, WriteMode
+
+        url = f"jdbc:derby:{tmp_path}/db;create=true"
+        sink = JdbcSink(url=url, table="nat", properties=self._PROPS, staged=True)
+        v1 = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        assert sink.write(v1, WriteMode.TRUNCATE) == 25  # first load: no DROP target
+        assert spark.read.jdbc(url, "nat", properties=self._PROPS).count() == 25
+
+        v2 = v1.limit(10)
+        assert sink.write(v2, WriteMode.TRUNCATE) == 10  # swap replaces v1
+        back = spark.read.jdbc(url, "nat", properties=self._PROPS)
+        assert back.count() == 10
+        # stage table is consumed by the rename, not left behind
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            spark.read.jdbc(url, "nat_stage", properties=self._PROPS).count()
+
+    def test_failed_staged_load_preserves_previous_table(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from database_to_bigquery_spark.sinks.writers import JdbcSink, WriteMode
+
+        url = f"jdbc:derby:{tmp_path}/db2;create=true"
+        sink = JdbcSink(url=url, table="nat", properties=self._PROPS, staged=True)
+        v1 = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        sink.write(v1, WriteMode.TRUNCATE)
+
+        # poison load: division blows up mid-write, AFTER the old table
+        # is already live — the staged path must leave it untouched
+        poison = v1.withColumn("boom", F.lit(1) / (F.col("n_nationkey") - F.col("n_nationkey")))
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            sink.write(poison, WriteMode.TRUNCATE)
+        assert spark.read.jdbc(url, "nat", properties=self._PROPS).count() == 25
