@@ -379,3 +379,101 @@ def q_webdataset_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# -------------------------------------------------- shard writing ----
+
+_WDS_SHARDS = 8  # fixture shard count for the writer demo
+
+
+@query(
+    "mm_webdataset_write",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(doc_id % {_WDS_SHARDS} AS INT) AS shard_id,
+             octet_length(encode(text)) AS nb
+      FROM documents),
+    per AS (
+      SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(nb) AS BIGINT) AS payload_bytes,
+             -- exact USTAR size: 512B header + data padded to 512 per
+             -- member, 1024B end-of-archive, whole archive padded to
+             -- the 10240B record size
+             SUM(512 + CAST(CEIL(nb / 512.0) AS BIGINT) * 512) + 1024 AS data_bytes
+      FROM m GROUP BY shard_id)
+    SELECT shard_id, n_members, payload_bytes,
+           CAST(CEIL(data_bytes / 10240.0) AS BIGINT) * 10240 AS tar_bytes
+    FROM per
+    """,
+)
+def mm_webdataset_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard WRITING, not just planning: each shard group
+    builds the actual deterministic USTAR archive bytes executor-side
+    (members ``<doc_id>.txt`` in doc_id order, mtime/uid/gid = 0, mode
+    0644 — byte-reproducible across runs and machines) and reports
+    (n_members, payload_bytes, tar_bytes). The ORACLE checks the
+    writer against tar-format arithmetic exactly: 512-byte header +
+    512-padded data per member + 1024 end-of-archive, padded to the
+    10240 record size — so a writer that mis-pads, drops a member, or
+    double-writes fails the gate, while the archive CONTENTS are
+    verified member-by-member in the local test (DuckDB can't untar).
+
+    Scale: one shuffle on shard_id; each task streams its members
+    into one archive and (in production) uploads it to object storage
+    from the executor — the blob never crosses the driver. Here the
+    stats row is the output and the bytes are hashed away; the
+    `build_tar` helper is the same code path the local test extracts.
+    Shard assignment here is the fixture's simple mod-N; production
+    feeds the q_webdataset_shard_plan manifest through the identical
+    writer."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _WDS_SHARDS).cast("int").alias("shard_id"),
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+    def write_shard(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            (f"{int(i)}.txt", bytes(b)) for i, b in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        blob = build_tar(members)
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iat[0])],
+                "n_members": [len(members)],
+                "payload_bytes": [int(sum(len(b) for _, b in members))],
+                "tar_bytes": [len(blob)],
+            }
+        )
+
+    return d.groupBy("shard_id").applyInPandas(
+        write_shard,
+        "shard_id int, n_members long, payload_bytes long, tar_bytes long",
+    )
+
+
+def build_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Deterministic USTAR archive from (name, payload) members:
+    fixed mtime/uid/gid/mode and caller-fixed member order make the
+    bytes a pure function of the inputs — the property that lets
+    shard-level checksums detect corrupt re-uploads and makes
+    re-built shards cache-identical."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            ti = tarfile.TarInfo(name=name)
+            ti.size = len(data)
+            ti.mtime = 0
+            ti.uid = 0
+            ti.gid = 0
+            ti.uname = ""
+            ti.gname = ""
+            ti.mode = 0o644
+            tf.addfile(ti, io.BytesIO(data))
+    return buf.getvalue()

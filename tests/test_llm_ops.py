@@ -567,3 +567,37 @@ def test_incremental_minhash_equals_exact_batch_vs_corpus(spark, sf_dir):
     }
     assert got == exact_cross
     assert got  # fixture plants cross-split near-dups — non-vacuous
+
+
+def test_webdataset_tar_contents_roundtrip(spark, sf_dir):
+    """The oracle proves the SIZES; this proves the CONTENTS: rebuild
+    one shard's archive via the same build_tar path the operator runs
+    executor-side, extract it with tarfile, and require exactly the
+    shard's documents back — right names, right order, right bytes —
+    plus byte-identical output across two builds (the determinism the
+    shard-checksum story depends on)."""
+    import io
+    import tarfile
+
+    from database_to_bigquery_spark.operators.training_prep import (
+        _WDS_SHARDS,
+        build_tar,
+        mm_webdataset_write,
+    )
+
+    docs = sorted(
+        (r["doc_id"], r["text"].encode("utf-8"))
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r["doc_id"] % _WDS_SHARDS == 3
+    )
+    members = [(f"{i}.txt", b) for i, b in docs]
+    blob = build_tar(members)
+    assert blob == build_tar(members)  # deterministic bytes
+
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        got = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()]
+    assert got == members
+
+    stats = {r["shard_id"]: r for r in mm_webdataset_write(spark, sf_dir).collect()}
+    assert stats[3]["n_members"] == len(members)
+    assert stats[3]["tar_bytes"] == len(blob)
