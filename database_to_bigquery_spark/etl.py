@@ -12,8 +12,12 @@ Differences from the reference, all per SURVEY.md §7:
     yesterday,
   * ``--isolate-errors`` opts into per-table failure isolation
     (reference is fail-fast only; fail-fast remains the default),
-  * source is any parquet directory (the JDBC extract is configured
-    via sources/jdbc.py specs in production).
+  * source is a parquet directory OR a live database:
+    ``--source-jdbc jdbc:...`` (with ``--jdbc-driver``) runs the
+    reference's actual extract shape through the partitioned JDBC
+    reader, and ``--target-jdbc jdbc:...`` loads a JDBC warehouse via
+    the staged-swap sink instead of files — the full live loop is
+    exercised against embedded Derby in tests/test_pipeline.py.
 
 Tables default to the fixture tables with natural incremental/
 partition columns; the reference's own allowlist tables run through
@@ -30,8 +34,9 @@ import os
 from .data import load_table
 from .plans.pipeline import PipelineResult, run_pipeline
 from .plans.table_spec import TableSpec
-from .sinks.writers import FileSink, ParquetSink
+from .sinks.writers import FileSink, JdbcSink, ParquetSink, Sink
 from .session import get_spark
+from .sources.jdbc import JdbcSourceSpec, read_jdbc
 
 #: Fixture-table specs: incremental column = the event-time column the
 #: reference's daily predicate (mysql_operations.py:21-23) would key on.
@@ -71,7 +76,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="day to extract in --daily mode (default: yesterday)")
     ap.add_argument("--source", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
-    ap.add_argument("--target", required=True, help="warehouse output directory")
+    ap.add_argument("--target", default=None,
+                    help="warehouse output directory (required unless --target-jdbc)")
     ap.add_argument("--tables", default="events,orders",
                     help="comma-separated subset of: " + ",".join(FIXTURE_SPECS))
     ap.add_argument("--isolate-errors", action="store_true",
@@ -82,22 +88,42 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["parquet", "orc", "csv", "json"],
                     help="warehouse file format (csv/json callers usually also want "
                          "the reference's S4 datetime->string rendering)")
+    ap.add_argument("--source-jdbc", default=None, metavar="URL",
+                    help="extract from this JDBC url instead of --source parquet "
+                         "(the reference's live-database shape, mysql_operations.py:15-27)")
+    ap.add_argument("--target-jdbc", default=None, metavar="URL",
+                    help="load a JDBC warehouse at this url instead of files "
+                         "(staged-swap full refreshes; --target ignored)")
+    ap.add_argument("--jdbc-driver", default=None,
+                    help="JDBC driver class for --source-jdbc/--target-jdbc "
+                         "(e.g. com.mysql.cj.jdbc.Driver, org.apache.derby.jdbc.EmbeddedDriver)")
     args = ap.parse_args(argv)
+    if not args.target and not args.target_jdbc:
+        ap.error("one of --target / --target-jdbc is required")
 
     configure_run_logging(args.log_dir, day=args.day)
     spark = get_spark("etl-cli")
     jobs = []
     results: list[PipelineResult] = []
+    jdbc_props = {"driver": args.jdbc_driver} if args.jdbc_driver else {}
     for t in args.tables.split(","):
         spec = FIXTURE_SPECS[t.strip()]
-        sink_path = os.path.join(args.target, spec.name)
-        if args.sink_format == "parquet":
-            sink: ParquetSink | FileSink = ParquetSink(
-                path=sink_path, partition_field=spec.partition_field
+        sink: Sink
+        if args.target_jdbc:
+            sink = JdbcSink(
+                url=args.target_jdbc,
+                table=f"{spec.name}_loaded",
+                properties=jdbc_props,
+                staged=True,  # full refreshes swap, never expose a half-load
+            )
+        elif args.sink_format == "parquet":
+            sink = ParquetSink(
+                path=os.path.join(args.target, spec.name),
+                partition_field=spec.partition_field,
             )
         else:
             sink = FileSink(
-                path=sink_path,
+                path=os.path.join(args.target, spec.name),
                 format=args.sink_format,
                 partition_field=spec.partition_field,
             )
@@ -105,7 +131,15 @@ def main(argv: list[str] | None = None) -> int:
             # schema resolution is eager — a missing/corrupt source
             # fails HERE, so isolation has to cover the load too, not
             # just the write loop
-            df = load_table(spark, args.source, spec.name)
+            if args.source_jdbc:
+                df = read_jdbc(
+                    spark,
+                    JdbcSourceSpec(
+                        url=args.source_jdbc, table=spec.name, properties=jdbc_props
+                    ),
+                )
+            else:
+                df = load_table(spark, args.source, spec.name)
         except Exception as exc:
             if not args.isolate_errors:
                 raise

@@ -300,3 +300,47 @@ def test_cli_sink_format_orc(spark, sf_dir, tmp_path):
     want = spark.read.parquet(f"{sf_dir}/customer.parquet")
     assert back.count() == want.count()
     assert set(back.columns) == set(want.columns)
+
+
+def test_etl_cli_live_jdbc_source_and_target(spark, sf_dir, tmp_path, capsys):
+    """The reference's ACTUAL invocation shape end-to-end live: CLI →
+    JDBC extract → transform/empty-guard → staged-swap JDBC warehouse
+    load → audit counts, against embedded Derby on both ends. A
+    migrating user swaps url/driver strings for MySQL/BigQuery and
+    keeps this exact command line."""
+    from database_to_bigquery_spark.etl import main
+
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    url = f"jdbc:derby:{tmp_path}/live;create=true"
+    # seed the "MySQL": the CLI's events fixture table
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src.write.jdbc(url, "events", mode="overwrite", properties=props)
+
+    rc = main([
+        "--tables", "events",
+        "--source-jdbc", url,
+        "--target-jdbc", url,
+        "--jdbc-driver", "org.apache.derby.jdbc.EmbeddedDriver",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"events: {src.count()} rows" in out  # S14 audit over the live write
+    loaded = spark.read.jdbc(url, "events_loaded", properties=props)
+    assert loaded.count() == src.count()
+    # daily mode: the staged APPEND path adds exactly one day's slice
+    rc = main([
+        "--daily", "--day", "2024-01-15",
+        "--tables", "events",
+        "--source-jdbc", url,
+        "--target-jdbc", url,
+        "--jdbc-driver", "org.apache.derby.jdbc.EmbeddedDriver",
+    ])
+    assert rc == 0
+    from pyspark.sql import functions as F
+
+    day_rows = src.filter(F.to_date("ts") == "2024-01-15").count()
+    assert (
+        spark.read.jdbc(url, "events_loaded", properties=props).count()
+        == src.count() + day_rows
+    )
+    assert day_rows > 0
