@@ -79,9 +79,22 @@ def dedup_exact_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_LEN = 5
 
 
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) distinct character 5-grams of any (doc_id, text)
+    relation — sequence/transform/explode, all codegen, no UDF. The
+    DataFrame-level core of `char_shingles`, reused by the streaming
+    fuzzy-dedup path where the documents arrive as micro-batches."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (SHINGLE_LEN - 1), F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(SHINGLE_LEN)),
+        )
+    )
+    return docs.select("doc_id", F.explode(grams).alias("g"))
+
+
 def char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, g): the distinct character 5-grams of each document.
-    Built with sequence/transform/explode — all codegen, no UDF.
+    """`shingles_of` over the fixture documents table.
 
     The repartition is deliberate: the raw documents are KB-to-MB of
     text but shingling expands them ~60× and is CPU-bound, so we pay a
@@ -92,13 +105,7 @@ def char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - (SHINGLE_LEN - 1), F.lit(1))),
-            lambda i: F.col("text").substr(i, F.lit(SHINGLE_LEN)),
-        )
-    )
-    return d.select("doc_id", F.explode(grams).alias("g"))
+    return shingles_of(d)
 
 
 def _tagged_shingle_blocks(spark: SparkSession, sf_dir: str, n_blocks: int = 8) -> DataFrame:
@@ -805,13 +812,25 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs ≥ 0.6."""
     shingles = char_shingles(spark, sf_dir).persist()
     is_batch = F.col("doc_id") % 10 == 0
-    sig = minhash_signatures(shingles).persist()
-    bands = signature_bands(sig)
+    return cross_minhash_pairs(shingles.filter(is_batch), shingles.filter(~is_batch))
+
+
+def cross_minhash_pairs(batch_sh: DataFrame, corpus_sh: DataFrame) -> DataFrame:
+    """Asymmetric banded-MinHash near-dup probe between two (doc_id, g)
+    shingle relations: bucket join batch bands against corpus bands,
+    signature pre-filter, exact Jaccard verification on candidates.
+    The shared core of `dedup_incremental_minhash` (batch split of one
+    table) and the streaming fuzzy-dedup job (micro-batch against a
+    standing corpus); fixed permutation constants make signatures
+    comparable across calls/runs. Returns (batch_id, corpus_id,
+    est_jaccard, jaccard ≥ 0.6)."""
+    sig_b = minhash_signatures(batch_sh)
+    sig_c = minhash_signatures(corpus_sh)
     cand = (
-        bands.filter(is_batch)
+        signature_bands(sig_b)
         .alias("x")
         .join(
-            bands.filter(~is_batch).alias("y"),
+            signature_bands(sig_c).alias("y"),
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_hash") == F.col("y.band_hash")),
         )
@@ -822,11 +841,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig_est = (
         cand.join(
-            sig.select(F.col("doc_id").alias("batch_id"), F.col("sig").alias("sig_a")),
+            sig_b.select(F.col("doc_id").alias("batch_id"), F.col("sig").alias("sig_a")),
             "batch_id",
         )
         .join(
-            sig.select(F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_b")),
+            sig_c.select(F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_b")),
             "corpus_id",
         )
         .withColumn("est_jaccard", F.round(_sig_agreement().cast("double") / _MH_K, 4))
@@ -835,11 +854,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shared-vocabulary background before the exact (doc, gram) join
         .filter(F.col("est_jaccard") >= 0.45)
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes_b = batch_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes_c = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     pair_grams = (
-        sig_est.join(shingles.select(F.col("doc_id").alias("batch_id"), "g"), "batch_id")
+        sig_est.join(batch_sh.select(F.col("doc_id").alias("batch_id"), "g"), "batch_id")
         .join(
-            shingles.select(F.col("doc_id").alias("corpus_id"), F.col("g").alias("g")),
+            corpus_sh.select(F.col("doc_id").alias("corpus_id"), F.col("g").alias("g")),
             ["corpus_id", "g"],
         )
         .groupBy("batch_id", "corpus_id", "est_jaccard")
@@ -848,11 +868,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         pair_grams.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("batch_id"), F.col("n").alias("na"))),
+            F.broadcast(sizes_b.select(F.col("doc_id").alias("batch_id"), F.col("n").alias("na"))),
             "batch_id",
         )
         .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("corpus_id"), F.col("n").alias("nb"))),
+            F.broadcast(sizes_c.select(F.col("doc_id").alias("corpus_id"), F.col("n").alias("nb"))),
             "corpus_id",
         )
         .filter(jac >= 0.6)

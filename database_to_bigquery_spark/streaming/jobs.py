@@ -596,3 +596,49 @@ def spacesaving_user_counts(events: DataFrame, capacity: int = 16, shards: int =
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_fuzzy_dedup_stream(
+    docs_stream: DataFrame,
+    corpus_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming FUZZY dedup against a standing corpus: every incoming
+    document micro-batch is probed through the asymmetric banded-
+    MinHash pipeline (`operators.dedup.cross_minhash_pairs`) against
+    the static corpus, and verified near-dup pairs land as parquet —
+    the running-ingest form of `dedup_incremental_minhash`, X12's
+    scale path composed with X16's delivery semantics.
+
+    foreachBatch (not a stateful operator) because the probe is a
+    batch JOIN against static data per micro-batch — the documented
+    pattern for stream-static work AQE can still optimize. Exactly-
+    once via the idempotent batch_id partition overwrite (same
+    discipline as run_foreach_batch_append). Scale: corpus shingles/
+    signatures are recomputed here from the static DataFrame (fixture
+    sized); production materializes them once (store signatures, see
+    cross_minhash_pairs docstring) — the per-batch cost is then
+    O(batch × bands + collisions), independent of corpus size."""
+    from ..operators.dedup import cross_minhash_pairs, shingles_of
+
+    corpus_sh = shingles_of(corpus_docs)
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matches = cross_minhash_pairs(shingles_of(batch_df), corpus_sh)
+        (
+            # micro_batch_id, NOT batch_id: the probe's own batch_id
+            # column is the matched DOCUMENT id
+            matches.withColumn("micro_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("micro_batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

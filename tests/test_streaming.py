@@ -640,3 +640,42 @@ def test_stateful_user_totals_survive_restart(spark, events_dir, tmp_path):
         .collect()
     }
     assert updated & {u for u, _, _ in got}
+
+
+def test_fuzzy_dedup_stream_equals_incremental_batch(spark, sf_dir, tmp_path):
+    """Streaming fuzzy dedup == its batch twin: stream the batch-side
+    documents (doc_id % 10 == 0) in multiple micro-batches against the
+    static corpus; the union of per-batch verified pairs must equal
+    dedup_incremental_minhash's one-shot answer — delivery semantics
+    change, the dedup answer must not."""
+    from pyspark.sql import functions as F_  # noqa: N812
+
+    from database_to_bigquery_spark.data import load_table as lt
+    from database_to_bigquery_spark.operators.dedup import dedup_incremental_minhash
+    from database_to_bigquery_spark.streaming.jobs import run_fuzzy_dedup_stream
+
+    docs = lt(spark, sf_dir, "documents")
+    batch_docs = docs.filter(F_.col("doc_id") % 10 == 0)
+    corpus_docs = docs.filter(F_.col("doc_id") % 10 != 0)
+
+    src = tmp_path / "docs_src"
+    # several files → several micro-batches (maxFilesPerTrigger=1)
+    batch_docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out, ckpt = tmp_path / "matches", tmp_path / "ckpt"
+    q = run_fuzzy_dedup_stream(stream, corpus_docs, str(out), str(ckpt))
+    q.awaitTermination()
+
+    got = {
+        (r["batch_id"], r["corpus_id"])
+        for r in spark.read.parquet(str(out)).select("batch_id", "corpus_id").collect()
+    }
+    want = {
+        (r["batch_id"], r["corpus_id"])
+        for r in dedup_incremental_minhash(spark, sf_dir).collect()
+    }
+    assert got == want and got
