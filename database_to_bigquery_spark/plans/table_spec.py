@@ -6,12 +6,64 @@ into one declarative spec per table.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.reference_transforms import cast_bools
+
+# S18: the reference's schema registry is a JSON file mapping
+# table → [{"name": ..., "type": ...}] with BigQuery type names
+# (config.py:27-29, consumed by bigquery_operations.py:9-19's
+# SchemaField build). This is that file's types mapped onto Spark.
+_BQ_TYPE_TO_SPARK: dict[str, T.DataType] = {
+    "STRING": T.StringType(),
+    "BYTES": T.BinaryType(),
+    "INTEGER": T.LongType(),
+    "INT64": T.LongType(),
+    "FLOAT": T.DoubleType(),
+    "FLOAT64": T.DoubleType(),
+    "NUMERIC": T.DecimalType(38, 9),  # BQ NUMERIC: 38 digits, scale 9
+    "BOOLEAN": T.BooleanType(),
+    "BOOL": T.BooleanType(),
+    "TIMESTAMP": T.TimestampType(),
+    "DATETIME": T.TimestampType(),  # BQ DATETIME is timezone-less; Spark
+    # session runs UTC (session.py), so the semantics coincide
+    "DATE": T.DateType(),
+}
+
+
+def schema_from_registry(config: dict | str, table_name: str) -> T.StructType:
+    """S18: the reference's ``get_schema_from_config``
+    (bigquery_operations.py:9-19) as a JSON-registry → Spark
+    ``StructType`` factory. ``config`` is the parsed registry dict or a
+    path to the JSON file (the reference's
+    ``MYSQL_to_BigQuery_tables.json``, config.py:27-29). Exactly like
+    the reference, a table with no declared schema is an ERROR
+    (:12-14) — schema-on-write is the contract, not best-effort. An
+    unknown type name is also an error (the reference would defer that
+    crash to the BigQuery API; failing at plan time is strictly
+    earlier). The result feeds ``Sink.declared_schema`` → S10
+    enforcement before every write."""
+    if isinstance(config, str):
+        with open(config, encoding="utf-8") as f:
+            config = json.load(f)
+    if table_name not in config:
+        raise ValueError(f"No schema defined for table: {table_name}")
+    fields = []
+    for field_spec in config[table_name]:
+        type_name = str(field_spec["type"]).upper()
+        if type_name not in _BQ_TYPE_TO_SPARK:
+            raise ValueError(
+                f"table {table_name}, field {field_spec['name']}: "
+                f"unsupported registry type {field_spec['type']!r} "
+                f"(known: {sorted(_BQ_TYPE_TO_SPARK)})"
+            )
+        fields.append(T.StructField(field_spec["name"], _BQ_TYPE_TO_SPARK[type_name]))
+    return T.StructType(fields)
 
 
 @dataclass

@@ -344,3 +344,77 @@ def test_etl_cli_live_jdbc_source_and_target(spark, sf_dir, tmp_path, capsys):
         == src.count() + day_rows
     )
     assert day_rows > 0
+
+
+class TestSchemaRegistry:
+    """S18: the reference's MYSQL_to_BigQuery_tables.json registry
+    (config.py:27-29 + bigquery_operations.py:9-19) as a JSON →
+    StructType factory, wired through Sink.declared_schema → S10
+    enforcement → a real write."""
+
+    REGISTRY = {
+        "daily_log": [
+            {"name": "ID", "type": "INTEGER"},
+            {"name": "BackupDate", "type": "TIMESTAMP"},
+            {"name": "Server", "type": "STRING"},
+            {"name": "Size", "type": "FLOAT"},
+        ],
+        "servers_temp": [
+            {"name": "server", "type": "STRING"},
+            {"name": "active", "type": "BOOLEAN"},
+        ],
+    }
+
+    def test_registry_to_struct_type(self, tmp_path):
+        import json
+
+        from pyspark.sql import types as T
+
+        from database_to_bigquery_spark.plans.table_spec import schema_from_registry
+
+        # dict form and file form must agree (the reference loads a file)
+        p = tmp_path / "MYSQL_to_BigQuery_tables.json"
+        p.write_text(json.dumps(self.REGISTRY))
+        for cfg in (self.REGISTRY, str(p)):
+            s = schema_from_registry(cfg, "daily_log")
+            assert [f.name for f in s.fields] == ["ID", "BackupDate", "Server", "Size"]
+            assert [f.dataType for f in s.fields] == [
+                T.LongType(), T.TimestampType(), T.StringType(), T.DoubleType()]
+
+    def test_missing_table_is_error_like_reference(self):
+        import pytest as _pytest
+
+        from database_to_bigquery_spark.plans.table_spec import schema_from_registry
+
+        # bigquery_operations.py:12-14 — verbatim error contract
+        with _pytest.raises(ValueError, match="No schema defined for table"):
+            schema_from_registry(self.REGISTRY, "not_configured")
+
+    def test_unknown_type_fails_at_plan_time(self):
+        import pytest as _pytest
+
+        from database_to_bigquery_spark.plans.table_spec import schema_from_registry
+
+        with _pytest.raises(ValueError, match="unsupported registry type"):
+            schema_from_registry({"t": [{"name": "x", "type": "GEOGRAPHY"}]}, "t")
+
+    def test_registry_schema_enforced_through_sink(self, spark, tmp_path):
+        from database_to_bigquery_spark.plans.table_spec import schema_from_registry
+        from database_to_bigquery_spark.sinks.writers import ParquetSink, WriteMode
+
+        schema = schema_from_registry(self.REGISTRY, "servers_temp")
+        sink = ParquetSink(declared_schema=schema, path=str(tmp_path / "out"))
+        df = spark.createDataFrame(
+            [("alpha", True, "extra"), ("beta", False, "extra")],
+            "server string, active boolean, undeclared string",
+        )
+        assert sink.write(df, WriteMode.TRUNCATE) == 2
+        back = spark.read.parquet(str(tmp_path / "out"))
+        # declared columns only, declared types (S10 + S18 end-to-end)
+        assert back.columns == ["server", "active"]
+        # a source MISSING a declared column is an error (S10 strictness)
+        import pytest as _pytest
+
+        bad = spark.createDataFrame([("x",)], "server string")
+        with _pytest.raises(Exception, match="active|missing"):
+            sink.write(bad, WriteMode.TRUNCATE)
