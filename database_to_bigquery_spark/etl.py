@@ -33,7 +33,7 @@ import os
 
 from .data import load_table
 from .plans.pipeline import PipelineResult, run_pipeline
-from .plans.table_spec import TableSpec
+from .plans.table_spec import TableSpec, schema_from_registry
 from .sinks.writers import FileSink, JdbcSink, ParquetSink, Sink
 from .session import get_spark
 from .sources.jdbc import JdbcSourceSpec, read_jdbc
@@ -97,6 +97,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--jdbc-driver", default=None,
                     help="JDBC driver class for --source-jdbc/--target-jdbc "
                          "(e.g. com.mysql.cj.jdbc.Driver, org.apache.derby.jdbc.EmbeddedDriver)")
+    ap.add_argument("--schema-registry", default=None, metavar="JSON",
+                    help="S18: per-table declared-schema JSON (the reference's "
+                         "MYSQL_to_BigQuery_tables.json shape, config.py:27-29); "
+                         "tables present in it are schema-enforced before every "
+                         "write (S10), tables absent are written as-extracted")
     args = ap.parse_args(argv)
     if not args.target and not args.target_jdbc:
         ap.error("one of --target / --target-jdbc is required")
@@ -106,11 +111,21 @@ def main(argv: list[str] | None = None) -> int:
     jobs = []
     results: list[PipelineResult] = []
     jdbc_props = {"driver": args.jdbc_driver} if args.jdbc_driver else {}
+    registry = {}
+    if args.schema_registry:
+        import json
+
+        with open(args.schema_registry, encoding="utf-8") as f:
+            registry = json.load(f)
     for t in args.tables.split(","):
         spec = FIXTURE_SPECS[t.strip()]
+        declared = (
+            schema_from_registry(registry, spec.name) if spec.name in registry else None
+        )
         sink: Sink
         if args.target_jdbc:
             sink = JdbcSink(
+                declared_schema=declared,
                 url=args.target_jdbc,
                 table=f"{spec.name}_loaded",
                 properties=jdbc_props,
@@ -118,11 +133,13 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.sink_format == "parquet":
             sink = ParquetSink(
+                declared_schema=declared,
                 path=os.path.join(args.target, spec.name),
                 partition_field=spec.partition_field,
             )
         else:
             sink = FileSink(
+                declared_schema=declared,
                 path=os.path.join(args.target, spec.name),
                 format=args.sink_format,
                 partition_field=spec.partition_field,

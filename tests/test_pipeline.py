@@ -418,3 +418,36 @@ class TestSchemaRegistry:
         bad = spark.createDataFrame([("x",)], "server string")
         with _pytest.raises(Exception, match="active|missing"):
             sink.write(bad, WriteMode.TRUNCATE)
+
+
+def test_etl_cli_schema_registry_enforced(spark, sf_dir, tmp_path):
+    """S18 on the CLI: a registry JSON (reference
+    MYSQL_to_BigQuery_tables.json shape) declares a column subset for
+    events; the warehouse output carries exactly the declared columns
+    in declared types, other tables pass through untouched."""
+    import json
+
+    from database_to_bigquery_spark.etl import main
+
+    reg = tmp_path / "registry.json"
+    reg.write_text(json.dumps({
+        "events": [
+            {"name": "event_id", "type": "INTEGER"},
+            {"name": "user_id", "type": "INTEGER"},
+            {"name": "ts", "type": "TIMESTAMP"},
+            {"name": "value", "type": "FLOAT"},
+        ]
+    }))
+    target = str(tmp_path / "wh")
+    assert main([
+        "--source", sf_dir, "--target", target,
+        "--tables", "events,customer",
+        "--schema-registry", str(reg),
+    ]) == 0
+    ev = spark.read.parquet(f"{target}/events")
+    # declared columns + the sink's derived day-partition column only
+    assert sorted(ev.columns) == ["event_id", "ts", "ts_day", "user_id", "value"]
+    # customer (absent from registry) is written as-extracted
+    cust = spark.read.parquet(f"{target}/customer")
+    src_cols = spark.read.parquet(f"{sf_dir}/customer.parquet").columns
+    assert sorted(cust.columns) == sorted(src_cols)
