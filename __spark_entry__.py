@@ -37,3 +37,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in all_specs().items() if spec.oracle is not None
     }
+
+
+def production_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Not part of the driver contract: the production-profile subset —
+    queries() minus the intentionally scale-unsafe exact oracle twins
+    (each exclusion names its in-repo scale-safe replacement via
+    QuerySpec.scale_twin; see PLANS.md's scale-twin column). A 100 TB
+    deployment schedules from THIS view."""
+    from database_to_bigquery_spark.registry import production_specs
+
+    return {name: spec.fn for name, spec in production_specs().items()}
