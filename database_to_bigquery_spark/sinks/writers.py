@@ -241,7 +241,16 @@ class JdbcSink(Sink):
         still intact under its old name or the fresh data under
         ``_stage`` — nothing is lost either way."""
         jvm = spark._sc._jvm
-        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        props = self.properties or {}
+        # credentials travel as properties (never in the url — same
+        # policy as the reader, sources/jdbc.py); embedded engines like
+        # Derby simply have none set
+        if "user" in props or "password" in props:
+            conn = jvm.java.sql.DriverManager.getConnection(
+                self.url, props.get("user", ""), props.get("password", "")
+            )
+        else:
+            conn = jvm.java.sql.DriverManager.getConnection(self.url)
         try:
             stmt = conn.createStatement()
             try:

@@ -622,7 +622,9 @@ def run_fuzzy_dedup_stream(
     O(batch × bands + collisions), independent of corpus size."""
     from ..operators.dedup import cross_minhash_pairs, shingles_of
 
-    corpus_sh = shingles_of(corpus_docs)
+    # persist: the corpus side is probed by EVERY micro-batch; without
+    # this each batch re-shingles the full standing corpus
+    corpus_sh = shingles_of(corpus_docs).persist()
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
         matches = cross_minhash_pairs(shingles_of(batch_df), corpus_sh)
