@@ -601,3 +601,29 @@ def test_webdataset_tar_contents_roundtrip(spark, sf_dir):
     stats = {r["shard_id"]: r for r in mm_webdataset_write(spark, sf_dir).collect()}
     assert stats[3]["n_members"] == len(members)
     assert stats[3]["tar_bytes"] == len(blob)
+
+
+def test_knn_join_lsh_recall_vs_exact(spark, sf_dir):
+    """The sub-quadratic kNN join must recover ≥0.7 of the exact kNN
+    join's (vec, neighbor) edges across ALL vectors (not just the 10
+    fixed queries) — the corpus-wide recall that semantic-dedup /
+    diversity-sampling consumers actually experience."""
+    from database_to_bigquery_spark.operators.similarity import (
+        sim_knn_join_exact,
+        sim_knn_join_lsh,
+    )
+
+    truth = {
+        (r["vec_id"], r["neighbor_id"]) for r in sim_knn_join_exact(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["vec_id"], r["neighbor_id"]) for r in sim_knn_join_lsh(spark, sf_dir).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.7, recall
+    # per-vector completeness: every vector gets exactly k ranked rows
+    # in the exact join (the LSH join may emit fewer for sparse buckets)
+    from collections import Counter
+
+    per_vec = Counter(v for v, _ in truth)
+    assert set(per_vec.values()) == {5}
