@@ -137,6 +137,23 @@ def maybe_broadcast(df: DataFrame, threshold_bytes: int | None = None) -> DataFr
     return F.broadcast(df) if est <= threshold_bytes else df
 
 
+def bounded(df: DataFrame, n: int) -> DataFrame:
+    """Declare a cardinality bound on a relation that is bounded BY
+    CONSTRUCTION (a probe/query set selected by key, a k-row centroid
+    table, a 2^bits×M codebook) but whose bound Catalyst cannot see.
+
+    Semantically a no-op when the contract holds (``df`` really has
+    ≤ ``n`` rows — every call site passes the exact constructed
+    cardinality); it materializes as a LocalLimit/GlobalLimit pair in
+    the physical plan, which (a) lets ``tools/plan_audit.py``'s
+    broadcast census PROVE the relation is safe to ``F.broadcast``
+    instead of trusting a docstring, and (b) turns a violated contract
+    into bounded memory (truncation) rather than an executor OOM at
+    100 TB. LIMIT-without-ORDER nondeterminism cannot bite: the limit
+    never truncates when the contract holds."""
+    return df.limit(n)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, register_views: bool = True
 ) -> dict[str, DataFrame]:

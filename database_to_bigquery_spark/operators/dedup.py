@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import bounded, load_table
 from ..registry import query
 
 # ------------------------------------------------------------- exact ----
@@ -1261,7 +1261,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         w = W.partitionBy("vec_id").orderBy("d2", "cl")
         return (
-            e.join(F.broadcast(cents))
+            e.join(F.broadcast(bounded(cents, _SEM_K)))
             .withColumn("d2", d2)
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -1284,40 +1284,55 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mem = assign(c1).join(e, "vec_id").persist()
 
+    _cand_cols = ["cl", "vec_a", "vec_b", "va", "vb", "na", "nb", "d2a", "d2b"]
+    _cand_schema = (
+        "cl long, vec_a long, vec_b long, va array<double>, vb array<double>, "
+        "na double, nb double, d2a double, d2b double"
+    )
+
     def cell_candidates(pdf):
         import numpy as np
         import pandas as pd
 
         if len(pdf) < 2:
-            return pd.DataFrame({c: pd.Series(dtype="int64") for c in ["vec_a", "vec_b"]})
+            return pd.DataFrame(
+                {c: pd.Series(dtype="object" if c in ("va", "vb") else "float64")
+                 for c in _cand_cols}
+            )
         mv = np.stack(list(pdf["v"])).astype(np.float64)
         nrm = pdf["nrm"].to_numpy()
         ids = pdf["vec_id"].to_numpy()
+        d2c = pdf["d2"].to_numpy()
         cos = (mv @ mv.T) / np.outer(nrm, nrm)
         mask = (cos >= _SEM_TAU - 1e-6) & (ids[:, None] < ids[None, :])
         ia, ib = np.nonzero(mask)
-        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]})
-
-    cand = mem.select("cl", "vec_id", "v", "nrm").groupBy("cl").applyInPandas(
-        cell_candidates, "vec_a long, vec_b long"
-    )
-    side = lambda suf: F.broadcast(  # noqa: E731
-        mem.select(
-            F.col("vec_id").alias(f"vec_{suf}"),
-            F.col("v").alias(f"v{suf}"),
-            F.col("nrm").alias(f"n{suf}"),
-            F.col("d2").alias(f"d2{suf}"),
-            F.col("cl").alias(f"cl{suf}"),
+        # emit BOTH members' payloads with the pair: the worker already
+        # holds them, so the exact re-score needs no join at all —
+        # the r03 shape re-joined through TWO broadcasts of the entire
+        # membership relation, the unbounded-broadcast 100 TB killer.
+        return pd.DataFrame(
+            {
+                "cl": np.full(len(ia), pdf["cl"].iat[0], dtype="int64"),
+                "vec_a": ids[ia],
+                "vec_b": ids[ib],
+                "va": list(mv[ia]),
+                "vb": list(mv[ib]),
+                "na": nrm[ia],
+                "nb": nrm[ib],
+                "d2a": d2c[ia],
+                "d2b": d2c[ib],
+            }
         )
+
+    cand = mem.select("cl", "vec_id", "v", "nrm", "d2").groupBy("cl").applyInPandas(
+        cell_candidates, _cand_schema
     )
     cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
-        cand.join(side("a"), "vec_a")
-        .join(side("b"), "vec_b")
-        .withColumn("cos", cos)
+        cand.withColumn("cos", cos)
         .filter(F.col("cos") >= _SEM_TAU)
         .select(
-            F.col("cla").cast("int").alias("cluster"),
+            F.col("cl").cast("int").alias("cluster"),
             "vec_a",
             "vec_b",
             F.round("cos", 4).alias("cosine"),

@@ -19,11 +19,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import bounded, load_table
 from ..registry import query
 
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
 _TOP_K = 5
+_EVAL_MAX = 1 << 17  # decontamination eval-set cardinality contract
 
 
 def _dot(x: str | Column, y: str | Column) -> Column:
@@ -71,7 +72,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        F.broadcast(q)
+        F.broadcast(bounded(q, _N_QUERIES))
         .join(c, F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", cos)
         .withColumn("rnk", F.row_number().over(w))
@@ -143,7 +144,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        F.broadcast(q)
+        F.broadcast(bounded(q, _N_QUERIES * _LSH_TABLES))
         .join(cand, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos.alias("cos"))
@@ -462,7 +463,7 @@ def sim_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2 = _dot("v", "v") - 2 * _dot("v", "cv") + _dot("cv", "cv")
         w = W.partitionBy("vec_id").orderBy("d2", "cl")
         return (
-            vecs.join(F.broadcast(cents))
+            vecs.join(F.broadcast(bounded(cents, _KMEANS_K)))
             .withColumn("d2", d2)
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -703,7 +704,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
     w = W.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("negative_id"))
     return (
-        F.broadcast(q)
+        F.broadcast(bounded(q, _N_QUERIES))
         .join(c, F.col("negative_label") != F.col("anchor_label"))
         .withColumn("cos", cos)
         .withColumn("rnk", F.row_number().over(w))
@@ -786,7 +787,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = _dot("v", "qv") / (F.sqrt(_dot("v", "v")) * F.sqrt(_dot("qv", "qv")))
     r = (
         e.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q))
+        .join(F.broadcast(bounded(q, 1)))
         .select("vec_id", "v", rel.alias("rel"))
     )
 
@@ -933,7 +934,7 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd2 = _dot("xs", "xs") - 2 * _dot("xs", "cs") + _dot("cs", "cs")
     ew = W.partitionBy("vec_id", "s").orderBy("pd2", "code")
     enc = (
-        sub.join(F.broadcast(cb), "s")
+        sub.join(F.broadcast(bounded(cb, _PQ_K * _PQ_M)), "s")
         .withColumn("pd2", pd2)
         .withColumn("rn", F.row_number().over(ew))
         .filter(F.col("rn") == 1)
@@ -942,14 +943,14 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = (
         sub.filter(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "s", F.col("xs").alias("qs"))
-        .join(F.broadcast(cb), "s")
+        .join(F.broadcast(bounded(cb, _PQ_K * _PQ_M)), "s")
         .select(
             "query_id", "s", "code",
             (_dot("qs", "qs") - 2 * _dot("qs", "cs") + _dot("cs", "cs")).alias("qd2"),
         )
     )
     scored = (
-        enc.join(F.broadcast(lut), ["s", "code"])
+        enc.join(F.broadcast(bounded(lut, _N_QUERIES * _PQ_M * _PQ_K)), ["s", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum(F.col("qd2").cast("decimal(25,10)")).alias("score"))
@@ -1089,7 +1090,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd2 = _dot("xs", "xs") - 2 * _dot("xs", "cs") + _dot("cs", "cs")
     ew = W.partitionBy("vec_id", "s").orderBy("pd2", "code")
     enc = (
-        sub.join(F.broadcast(cb), "s")
+        sub.join(F.broadcast(bounded(cb, _PQ_K * _PQ_M)), "s")
         .withColumn("pd2", pd2)
         .withColumn("rn", F.row_number().over(ew))
         .filter(F.col("rn") == 1)
@@ -1123,12 +1124,15 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"slice(qr, s * {_PQ_SUB} + 1, {_PQ_SUB})").alias("qs"),
         )
     )
-    lut = qsub.join(F.broadcast(cb), "s").select(
+    lut = qsub.join(F.broadcast(bounded(cb, _PQ_K * _PQ_M)), "s").select(
         "query_id", "label", "s", "code",
         (_dot("qs", "qs") - 2 * _dot("qs", "cs") + _dot("cs", "cs")).alias("qd2"),
     )
     scored = (
-        enc.join(F.broadcast(lut), ["label", "s", "code"])
+        enc.join(
+            F.broadcast(bounded(lut, _N_QUERIES * _N_PROBE * _PQ_M * _PQ_K)),
+            ["label", "s", "code"],
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum(F.col("qd2").cast("decimal(25,10)")).alias("score"))
@@ -1194,8 +1198,15 @@ def sim_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double("embedding").alias("v")
     )
     n = e.withColumn("nrm", F.sqrt(_dot("v", "v")))
-    bench = n.filter(F.col("vec_id") % 37 == 0).select(
-        F.col("v").alias("bv"), F.col("nrm").alias("bnrm")
+    # the eval set is benchmark-sized BY CONTRACT (an eval suite is
+    # thousands of items, not a corpus); declare that bound so the
+    # broadcast below is provably safe — _EVAL_MAX vectors ≈ 64 MB,
+    # far above any real benchmark and far below executor memory.
+    bench = bounded(
+        n.filter(F.col("vec_id") % 37 == 0).select(
+            F.col("v").alias("bv"), F.col("nrm").alias("bnrm")
+        ),
+        _EVAL_MAX,
     )
     corpus = n.filter(F.col("vec_id") % 37 != 0).repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
@@ -1393,18 +1404,20 @@ def sim_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    # Candidate dedup CARRIES the vector payload (F.first over the
+    # pair key) instead of `.distinct()` + a re-join against the
+    # corpus: the r03 form broadcast the entire embeddings relation
+    # twice, which is exactly the unbounded-broadcast scale-killer at
+    # 100 TB. This shape's only shuffles are the bucket join and one
+    # pair-keyed aggregate — no corpus relation is ever broadcast.
     return (
         left.join(right, "bucket")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id")
-        .distinct()
-        .join(F.broadcast(sigs.select("vec_id", F.col("v").alias("va"),
-                                      F.col("nrm").alias("na")).dropDuplicates(["vec_id"])),
-              "vec_id")
-        .join(F.broadcast(sigs.select(F.col("vec_id").alias("neighbor_id"),
-                                      F.col("v").alias("vb"),
-                                      F.col("nrm").alias("nb")).dropDuplicates(["neighbor_id"])),
-              "neighbor_id")
+        .groupBy("vec_id", "neighbor_id")
+        .agg(
+            F.first("va").alias("va"), F.first("na").alias("na"),
+            F.first("vb").alias("vb"), F.first("nb").alias("nb"),
+        )
         .select("vec_id", "neighbor_id", cos.alias("cos"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _KNN_K)

@@ -405,6 +405,153 @@ Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=13]
     assert sorted(single_partition_classes(two_trees)) == ["bounded", "raw"]
 
 
+def test_hint_forced_broadcasts_are_bounded_or_twinned(spark, sf_dir):
+    """Census-as-CI for the OTHER silent scale regression: an
+    unconditional `F.broadcast` hint on an unbounded relation (how the
+    r03 sim_knn_join_lsh corpus broadcast slipped in). Mechanism:
+    re-plan every registered query with auto-broadcast DISABLED
+    (threshold=-1) so only hint-forced BroadcastExchanges survive, then
+    classify each one's input subtree (tools/plan_audit.broadcast_classes):
+    aggregate/limit output (incl. the bounded() cardinality-contract
+    limit) or dimension/literal scans pass; a raw fact/corpus relation
+    must carry a scale-twin annotation. Catalyst's own stats-driven
+    auto-broadcasts are deliberately exempt — they fall back to shuffle
+    joins at scale when the relation outgrows the threshold."""
+    from tools.plan_audit import broadcast_classes
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    failures = []
+    raw_twinned = []
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # earlier tests leave persist()-registered subplans in the
+        # CacheManager, compiled under the DEFAULT threshold; their
+        # embedded auto-broadcasts would be substituted into the -1
+        # re-plan and misread as hint-forced. Classify fresh plans.
+        spark.catalog.clearCache()
+        for name, spec in sorted(SPECS.items()):
+            try:
+                df = spec.fn(spark, sf_dir)
+                plan = spark._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+            except Exception as exc:
+                failures.append((name, f"plan error: {type(exc).__name__}"))
+                continue
+            classes = broadcast_classes(plan)
+            if "raw" in classes and not spec.scale_twin:
+                failures.append(
+                    (name, f"hint-forced RAW broadcast ({classes}) with no scale twin")
+                )
+            if "raw" in classes and spec.scale_twin:
+                raw_twinned.append(name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert not failures, failures
+    # non-vacuous: the known intentional corpus broadcasts (exact
+    # oracle twins) are detected as raw-and-twinned
+    assert "dedup_embedding_cosine" in raw_twinned, raw_twinned
+    assert "sim_knn_join_exact" in raw_twinned, raw_twinned
+
+
+def test_broadcast_classifier_flags_deliberate_raw_broadcast(spark, sf_dir):
+    """Failing-demo for the gate above: a deliberate unconditional
+    broadcast of a fact relation IS classified raw (would fail CI on
+    an un-twinned query), while the same join through a bounded()
+    cardinality contract or against a dimension table passes."""
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.data import bounded, load_table
+    from tools.plan_audit import broadcast_classes
+
+    def classes_of(df):
+        return broadcast_classes(
+            spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+        nation = load_table(spark, sf_dir, "nation")
+
+        # the scale-killer shape: unconditional hint on a fact relation
+        bad = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        assert classes_of(bad) == ["raw"]
+
+        # same fact side under a declared cardinality bound -> bounded
+        good_bounded = li.join(
+            F.broadcast(bounded(orders.filter(F.col("o_orderkey") < 10), 10)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        assert classes_of(good_bounded) == ["agg"]
+
+        # dimension-table broadcast -> dim
+        good_dim = li.join(F.broadcast(nation), li.l_suppkey == nation.n_nationkey)
+        assert classes_of(good_dim) == ["dim"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_broadcast_classifier_on_canned_plans():
+    """Pure-text unit test of the broadcast subtree walk: fact scan ->
+    raw; aggregate/limit-fed -> agg; dimension scan (resolved through
+    the details section's Location path) -> dim; non-broadcast
+    exchanges are ignored."""
+    from tools.plan_audit import broadcast_classes
+
+    raw_fact = """== Physical Plan ==
+AdaptiveSparkPlan (5)
++- BroadcastHashJoin Inner BuildRight (4)
+   :- Scan parquet  (1)
+   +- BroadcastExchange (3)
+      +- Scan parquet  (2)
+
+
+(1) Scan parquet
+Output [1]: [l_orderkey#0L]
+Location: InMemoryFileIndex [file:/data/lineitem.parquet]
+
+(2) Scan parquet
+Output [1]: [o_orderkey#1L]
+Location: InMemoryFileIndex [file:/data/orders.parquet]
+
+(3) BroadcastExchange
+Input [1]: [o_orderkey#1L]
+Arguments: HashedRelationBroadcastMode(List(input[0, bigint, false]),false), [plan_id=9]
+"""
+    assert broadcast_classes(raw_fact) == ["raw"]
+
+    agg_fed = raw_fact.replace(
+        """   +- BroadcastExchange (3)
+      +- Scan parquet  (2)""",
+        """   +- BroadcastExchange (3)
+      +- HashAggregate (2)""",
+    )
+    assert broadcast_classes(agg_fed) == ["agg"]
+
+    dim_scan = raw_fact.replace("orders.parquet", "nation.parquet")
+    assert broadcast_classes(dim_scan) == ["dim"]
+
+    no_broadcast = """== Physical Plan ==
+AdaptiveSparkPlan (4)
++- Sort (3)
+   +- Exchange (2)
+      +- Scan parquet  (1)
+
+
+(1) Scan parquet
+Output [1]: [a#0L]
+Location: InMemoryFileIndex [file:/data/lineitem.parquet]
+
+(2) Exchange
+Input [1]: [a#0L]
+Arguments: hashpartitioning(a#0L, 32), ENSURE_REQUIREMENTS, [plan_id=3]
+"""
+    assert broadcast_classes(no_broadcast) == []
+
+
 def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
     """Runtime scale evidence, not just configuration: build a join
     whose left side is 90% one hot key, execute it with the skew

@@ -35,6 +35,104 @@ _BOUNDED_NODE = re.compile(
 _TREE_LINE = re.compile(r"^(?P<prefix>[:\s+\-*]*)(?P<name>[A-Za-z][\w ]*?)\s+\((?P<id>\d+)\)\s*$")
 _SP_EXCHANGE = re.compile(r"\((\d+)\) Exchange[^\n]*\nInput[^\n]*\nArguments: SinglePartition")
 
+# Tables whose cardinality is bounded by the DATA MODEL rather than by
+# the fact/corpus volume: the TPC-H-ish dimension tier. Broadcasting
+# one of these (or an aggregate/limit output, or a driver-side literal
+# relation) is the intended use of the hint; broadcasting a raw
+# fact/corpus relation (lineitem/orders/events/documents/embeddings)
+# is the silent 100 TB killer — the hint is unconditional, so unlike
+# Catalyst's stats-driven auto-broadcast it does NOT fall back to a
+# shuffle join when the relation grows.
+_DIM_TABLES = {"region", "nation", "supplier", "customer", "part"}
+_SCAN_DETAIL = re.compile(r"^\((\d+)\) Scan (\w+)")
+_NODE_DETAIL = re.compile(r"^\(\d+\) ")
+_TABLE_IN_PATH = re.compile(r"([A-Za-z0-9_]+)\.(?:parquet|csv|json|txt)")
+
+
+def _scan_tables(plan: str) -> dict[int, str]:
+    """Map scan-node id -> source table name, from the details section
+    (`(3) Scan parquet` ... `Location: InMemoryFileIndex [...path...]`).
+    Non-file scans (ExistingRDD / LocalTableScan — driver-side
+    literals) map to '<literal>'."""
+    out: dict[int, str] = {}
+    lines = plan.splitlines()
+    i = 0
+    while i < len(lines):
+        m = _SCAN_DETAIL.match(lines[i])
+        if m:
+            nid, kind = int(m.group(1)), m.group(2)
+            table = "<literal>" if kind.lower() in ("existingrdd",) else "?"
+            j = i + 1
+            while j < len(lines) and not _NODE_DETAIL.match(lines[j]):
+                if lines[j].startswith("Location:"):
+                    tm = _TABLE_IN_PATH.search(lines[j])
+                    if tm:
+                        table = tm.group(1)
+                j += 1
+            out[nid] = table
+            i = j
+        else:
+            i += 1
+    return out
+
+
+def broadcast_classes(plan: str) -> list[str]:
+    """Classify every BroadcastExchange in a formatted plan by walking
+    its input subtree (same tree-walk as the SinglePartition census):
+
+    - 'agg'  — the subtree contains an aggregate/limit, so what's
+               broadcast is an aggregate's output, not a relation;
+    - 'dim'  — every scan feeding it is a bounded dimension table
+               (region/nation/supplier/customer/part), a driver-side
+               literal (ExistingRDD/LocalTableScan/Range), or there is
+               no scan at all;
+    - 'raw'  — at least one fact/corpus scan (lineitem, orders,
+               events, documents, embeddings, ...) reaches the
+               broadcast with nothing bounding its cardinality. This
+               is the shape that OOMs a 1000-executor cluster: CI
+               requires a scale-twin annotation for it.
+
+    ReusedExchange nodes are skipped (their original is classified
+    where it appears)."""
+    tables = _scan_tables(plan)
+    lines = plan.splitlines()
+    runs: list[list[tuple[int, str, int]]] = []
+    cur: list[tuple[int, str, int]] = []
+    for ln in lines:
+        m = _TREE_LINE.match(ln)
+        if m and not ln.startswith("("):
+            cur.append((len(m.group("prefix")), m.group("name").strip(), int(m.group("id"))))
+        elif cur:
+            runs.append(cur)
+            cur = []
+    if cur:
+        runs.append(cur)
+    classes: list[str] = []
+    for run in runs:
+        for i, (indent, name, nid) in enumerate(run):
+            if name != "BroadcastExchange":
+                continue
+            subtree_names: list[str] = []
+            subtree_ids: list[int] = []
+            for indent2, name2, nid2 in run[i + 1:]:
+                if indent2 <= indent:
+                    break
+                subtree_names.append(name2)
+                subtree_ids.append(nid2)
+            if any(_BOUNDED_NODE.search(n) for n in subtree_names):
+                classes.append("agg")
+                continue
+            scan_tbls = [
+                tables.get(nid2, "<literal>")
+                for name2, nid2 in zip(subtree_names, subtree_ids)
+                if name2.startswith("Scan ") or name2 == "LocalTableScan" or name2 == "Range"
+            ]
+            if all(t in _DIM_TABLES or t == "<literal>" for t in scan_tbls):
+                classes.append("dim")
+            else:
+                classes.append("raw")
+    return classes
+
 
 def single_partition_classes(plan: str) -> list[str]:
     """Classify every SinglePartition exchange in a formatted plan as
@@ -99,6 +197,7 @@ def audit_plan(plan: str) -> dict[str, int | str]:
                 r"FlatMapGroupsInPandasWithState|PythonMapInArrow)"),
         "single_part": int("SinglePartition" in plan),
         "sp_classes": single_partition_classes(plan),
+        "bc_classes": broadcast_classes(plan),
     }
 
 
@@ -118,6 +217,29 @@ def main() -> None:
             rows.append((name, a))
         except Exception as e:  # plan-time failure is itself a finding
             rows.append((name, {"error": type(e).__name__}))
+
+    # Second pass with auto-broadcast disabled: any BroadcastExchange
+    # that SURVIVES threshold=-1 is hint-forced — unlike Catalyst's
+    # stats-driven auto-broadcasts (which self-correct at 100 TB when
+    # the relation outgrows the threshold), an unconditional hint on an
+    # unbounded relation ships the corpus to every executor no matter
+    # what. 'raw' here = hint-forced broadcast of an unbounded
+    # fact/corpus relation, the exact shape that took down
+    # sim_knn_join_lsh in round 3 — gated in test_plan_quality.py.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # drop persist()-registered subplans compiled under the default
+    # threshold — their embedded auto-broadcasts would be substituted
+    # into the -1 re-plan and misread as hint-forced
+    spark.catalog.clearCache()
+    hint_raw: dict[str, int] = {}
+    for name, spec in sorted(all_specs().items()):
+        try:
+            df = spec.fn(spark, sf_dir)
+            plan = explain(df._jdf.queryExecution(), "formatted")
+            hint_raw[name] = broadcast_classes(plan).count("raw")
+        except Exception:
+            hint_raw[name] = -1  # plan error already reported above
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     out = [
         "# PLANS — physical-plan census (generated by tools/plan_audit.py)",
@@ -141,7 +263,7 @@ def main() -> None:
     ]
     for name, a in rows:
         if "error" in a:
-            out.append(f"| {name} | — plan error: {a['error']} | | | | | | | | | |")
+            out.append(f"| {name} | — plan error: {a['error']} | | | | | | | | | | |")
             continue
         sp = a["sp_classes"]
         if not sp:
@@ -150,10 +272,15 @@ def main() -> None:
             sp_cell = f"RAW ⚠ ({sp.count('raw')}/{len(sp)})"
         else:
             sp_cell = f"agg ({len(sp)})"
+        bc = a["bc_classes"]
+        parts = [f"{k}:{bc.count(k)}" for k in ("agg", "dim", "raw") if bc.count(k)]
+        bc_cell = " ".join(parts)
+        if hint_raw.get(name, 0) > 0:
+            bc_cell += f" HINT-RAW ⚠ ({hint_raw[name]})"
         out.append(
             f"| {name} | {a['scans']} | {a['exchanges']} | {a['bhj']} | {a['smj']} "
             f"| {a['shj']} | {a['bnlj']} | {a['cartesian']} | {a['py']} "
-            f"| {sp_cell} | {a['twin']} |"
+            f"| {sp_cell} | {bc_cell} | {a['twin']} |"
         )
 
     totals = [a for _, a in rows if "error" not in a]
@@ -169,7 +296,13 @@ def main() -> None:
         "single-partition stage "
         f"({sum(1 for a in totals if 'raw' in a['sp_classes'])} with a "
         "RAW-relation collapse, all scale-twin-annotated — gated by "
-        "tests/test_plan_quality.py::test_single_partition_stages_are_bounded_or_twinned).",
+        "tests/test_plan_quality.py::test_single_partition_stages_are_bounded_or_twinned). "
+        f"Broadcast census: {sum(a['bc_classes'].count('agg') for a in totals)} agg / "
+        f"{sum(a['bc_classes'].count('dim') for a in totals)} dim / "
+        f"{sum(a['bc_classes'].count('raw') for a in totals)} raw BroadcastExchanges; "
+        f"{sum(1 for n in hint_raw.values() if n > 0)} queries with a HINT-forced raw "
+        "broadcast (threshold=-1 re-plan), all scale-twin-annotated — gated by "
+        "tests/test_plan_quality.py::test_hint_forced_broadcasts_are_bounded_or_twinned.",
         "",
     ]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
