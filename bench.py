@@ -3,6 +3,12 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The line also carries a "production" block: the same totals restricted
+to the production profile (registry.production_specs() — every
+scale_twin-annotated exact form excluded), so the headline number can
+never silently lean on the intentionally scale-unsafe oracle twins.
+``--production`` times ONLY that profile (the 100 TB-shaped subset).
+
 Measurement hygiene (the VM shows ±40% run-to-run variance):
 - each query is forced with a noop-format write (full distributed
   execution, no driver collect — the honest cost)
@@ -65,8 +71,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    production_only = "--production" in sys.argv[1:]
     spark = get_spark("bench")
     specs = {n: s for n, s in all_specs().items() if s.headline}
+    twins = sorted(n for n, s in specs.items() if s.scale_twin)
+    if production_only:
+        specs = {n: s for n, s in specs.items() if not s.scale_twin}
 
     # warmup: tiny query to absorb JVM/codegen startup, plus one no-op
     # pandas UDF to spawn the Python worker pool (first Arrow crossing
@@ -110,12 +120,26 @@ def main() -> None:
     }
 
     out = {
-        "metric": "headline_queries_total_wall",
+        "metric": (
+            "production_queries_total_wall"
+            if production_only
+            else "headline_queries_total_wall"
+        ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "runs_per_query": n_runs,
+        # the production-profile view of THIS run's timings: exact
+        # scale twins excluded (identical to --production output when
+        # production_only, a strict subset otherwise)
+        "production": {
+            "value": round(
+                sum(t for n, t in timings.items() if n not in twins), 3
+            ),
+            "n_queries": sum(1 for n in timings if n not in twins),
+            "excluded_twins": twins,
+        },
     }
     baseline = load_baseline()
     if baseline is not None:

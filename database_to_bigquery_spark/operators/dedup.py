@@ -720,9 +720,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair mining per round). Oracle: the same fixpoint via DuckDB\'s
     recursive CTE over the identical pair set.
     """
+    return label_propagation_components(dup_graph_edges(spark, sf_dir)).groupBy(
+        F.col("label").alias("component")
+    ).agg(F.count("*").alias("cluster_size"))
+
+
+def label_propagation_components(e: DataFrame) -> DataFrame:
+    """Min-label propagation CC core (see dedup_clusters): returns a
+    (node, label) DataFrame. Factored out so the empty-edge-set path
+    (no near-dup pairs → empty labels, converges on round 1) is
+    directly testable."""
     from pyspark.sql import Observation
 
-    e = dup_graph_edges(spark, sf_dir)
     labels = e.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -737,7 +746,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(labels.select("node", F.col("label").alias("old")), "node")
             .observe(
                 obs,
-                F.sum((F.col("label") != F.col("old")).cast("long")).alias("changed"),
+                # coalesce: SUM over an EMPTY label set (no near-dup
+                # pairs at all) is NULL, and int(None) would crash the
+                # convergence check where an empty result should just
+                # converge on round 1
+                F.coalesce(
+                    F.sum((F.col("label") != F.col("old")).cast("long")), F.lit(0)
+                ).alias("changed"),
             )
             .select("node", "label")
             .localCheckpoint(eager=True)
@@ -745,9 +760,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = prop
         if int(obs.get["changed"]) == 0:
             break
-    return labels.groupBy(F.col("label").alias("component")).agg(
-        F.count("*").alias("cluster_size")
-    )
+    return labels
 
 
 @query(
@@ -815,17 +828,25 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_minhash_pairs(shingles.filter(is_batch), shingles.filter(~is_batch))
 
 
-def cross_minhash_pairs(batch_sh: DataFrame, corpus_sh: DataFrame) -> DataFrame:
+def cross_minhash_pairs(
+    batch_sh: DataFrame,
+    corpus_sh: DataFrame,
+    corpus_sig: DataFrame | None = None,
+) -> DataFrame:
     """Asymmetric banded-MinHash near-dup probe between two (doc_id, g)
     shingle relations: bucket join batch bands against corpus bands,
     signature pre-filter, exact Jaccard verification on candidates.
     The shared core of `dedup_incremental_minhash` (batch split of one
     table) and the streaming fuzzy-dedup job (micro-batch against a
     standing corpus); fixed permutation constants make signatures
-    comparable across calls/runs. Returns (batch_id, corpus_id,
-    est_jaccard, jaccard ≥ 0.6)."""
+    comparable across calls/runs. ``corpus_sig`` accepts the corpus's
+    PRECOMPUTED (doc_id, sig) relation — the production shape where
+    corpus signatures are materialized once and only the batch's are
+    hashed per probe (the fixed permutations make them comparable
+    across runs); omitted, they are derived from ``corpus_sh`` here.
+    Returns (batch_id, corpus_id, est_jaccard, jaccard ≥ 0.6)."""
     sig_b = minhash_signatures(batch_sh)
-    sig_c = minhash_signatures(corpus_sh)
+    sig_c = corpus_sig if corpus_sig is not None else minhash_signatures(corpus_sh)
     cand = (
         signature_bands(sig_b)
         .alias("x")

@@ -501,6 +501,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_histogram_equi_depth",
+    scale_twin="q_histogram_equi_depth_approx",
     oracle="""
     WITH th AS (
       SELECT quantile_cont(o_totalprice, 0.1) AS t1, quantile_cont(o_totalprice, 0.2) AS t2,
@@ -531,12 +532,50 @@ def q_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE exact-percentile aggregate row (nine thresholds)
     broadcast back, then bucket assignment is a map-only CASE and the
     final rollup partial-aggregates — no rank pass over the data, no
-    sort. Swap percentile → approx_percentile at extreme scale; plan
-    unchanged."""
+    sort. The exact F.percentile buffers every value in one aggregation
+    buffer (the highest measured scaling exponent in SCALING.md), so
+    THIS form is the oracle-checkable exact twin; production schedules
+    q_histogram_equi_depth_approx (identical plan, GK-sketch
+    thresholds, bounded memory) via production_specs()."""
     o = load_table(spark, sf_dir, "orders")
     th = o.agg(
         *[
             F.percentile("o_totalprice", F.lit(q / 10)).alias(f"t{q}")
+            for q in range(1, 10)
+        ]
+    )
+    bucket = F.lit(9)
+    for q in range(9, 0, -1):
+        bucket = F.when(
+            F.col("o_totalprice") <= F.col(f"t{q}"), q - 1
+        ).otherwise(bucket)
+    return (
+        o.join(F.broadcast(th))
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query("q_histogram_equi_depth_approx")  # approximate thresholds → rows-only check
+def q_histogram_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of q_histogram_equi_depth: identical plan —
+    one threshold-aggregate row broadcast back over a map-only CASE
+    bucket assignment — but the nine thresholds come from
+    ``approx_percentile`` (Greenwald-Khanna sketch, accuracy 1e-4):
+    the aggregation buffer is bounded at O(1/ε · log(εn)) REGARDLESS
+    of table size, where exact ``percentile`` buffers all n values.
+    Thresholds are engine-specific (sketch-dependent), hence no DuckDB
+    value oracle; the equi-depth property itself is asserted in
+    tests/test_properties.py (every bucket within a few % of n/10 at
+    the sketch accuracy)."""
+    o = load_table(spark, sf_dir, "orders")
+    th = o.agg(
+        *[
+            F.approx_percentile("o_totalprice", F.lit(q / 10), F.lit(10000)).alias(f"t{q}")
             for q in range(1, 10)
         ]
     )

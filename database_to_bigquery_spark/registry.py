@@ -73,8 +73,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # text_quality_linear_probe, sim_kmeans_2iter, q_gdpr_erasure_audit,
 # text_bpe_merges, llm_corpus_prepare, q_bloom_filter_membership,
 # dedup_clusters, ts_stl_decompose, mm_phash_neardup, q_psi_drift,
-# stream_stateful_user_totals, q_decile_lift, sim_power_iteration,
-# ts_sessionize.
+# q_decile_lift, sim_power_iteration, ts_sessionize. r04 rotation
+# (previously unattested flagships in; r03-green out):
+# q_merkle_bucket_diff → sim_knn_join_exact (sim_topk_ivfpq kept —
+# it carries the PQ family), q_webdataset_shard_plan → mm_webdataset_write,
+# q_percentiles → q_histogram_equi_depth, ts_decayed_engagement →
+# ts_holt_winters, q_pipe_syntax → q_recursive_month_spine,
+# stream_session_windows → stream_stateful_user_totals (back in).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # S-family (reference ETL surface)
     "s1_catalog_allowlist",      # S1
@@ -88,13 +93,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s14_audit_counts",          # S14
     # X1 projection/filter, X2 equi-joins
     "q1_pricing_summary",
-    "q_merkle_bucket_diff",
+    "sim_topk_ivfpq",
     "q_full_outer_nations",
     # X3 semi/anti, X4 theta/range/as-of; semantic-dedup tier keeps a
     # rep via sim_semantic_decontamination (dedup_semdedup r02-green)
     "q_semi_join",
     "sim_semantic_decontamination",
-    "sim_topk_ivfpq",
+    "sim_knn_join_exact",
     "q_asof_join",
     # X5 hash agg, X6 rollup/cube/grouping sets
     "q_hash_agg_functions",
@@ -102,7 +107,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # CDC/merge family: delete-branch MERGE (r03 flagship, unattested)
     "q_merge_with_delete",
     # X7 approx aggs + sketches
-    "q_percentiles",
+    "q_histogram_equi_depth",
     "text_bigram_kn_score",
     # X8 windows, X9 sort/limit/top-k
     "q_window_rank",
@@ -122,7 +127,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     # X13 similarity / ANN
     "sim_topk_bruteforce",
-    "ts_decayed_engagement",
+    "ts_holt_winters",
     # data layout family: Z-order zone map, oracle-bearing
     "q_zorder_layout",
     # X14 text analysis + LLM filters
@@ -134,15 +139,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_length_outlier_filter",
     # X16 streaming (batch-equivalence twins)
     "stream_tumbling_hourly",
-    "stream_session_windows",
+    "stream_stateful_user_totals",
     "q_backfill_plan",
     # X17 UDF surface
     "udf_pandas_scalar",
-    "q_pipe_syntax",
+    "q_recursive_month_spine",
     "udf_arrow_grouped_span",
     # behavioral / training-prep / skew representatives
     "q_funnel_conversion",
-    "q_webdataset_shard_plan",
+    "mm_webdataset_write",
     "q_salted_hot_key_join",
 )
 

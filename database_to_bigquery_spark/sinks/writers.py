@@ -16,6 +16,7 @@ is one abstract ``Sink`` with two implementations:
 from __future__ import annotations
 
 import enum
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -233,13 +234,37 @@ class JdbcSink(Sink):
             df.write.jdbc(self.url, self.table, mode=mode.value, properties=props)
         return int(obs.get["rows"])
 
+    #: SQLStates meaning "table does not exist" — the ONLY DROP failure
+    #: the staged swap may ignore (first ever load): Derby 42Y55,
+    #: MySQL/MSSQL 42S02, PostgreSQL 42P01.
+    _MISSING_TABLE_SQLSTATES = ("42Y55", "42S02", "42P01")
+
+    @staticmethod
+    def _ddl_identifier(name: str) -> str:
+        """Validate a table identifier destined for interpolated DDL.
+        The swap DDL strings are deliberately UNQUOTED — Spark's own
+        ``df.write.jdbc`` issues its CREATE TABLE with the table name
+        unquoted too, so quoting here would case-mismatch the very
+        table the load just created on fold-to-upper engines (Derby).
+        Validation therefore carries the injection defense: anything
+        outside ``[A-Za-z0-9_.]`` (a CLI-influenced name like
+        ``x; DROP TABLE y``) is rejected before it reaches the
+        connection."""
+        if not re.fullmatch(r"[A-Za-z0-9_.]+", name):
+            raise ValueError(f"invalid table identifier for staged swap: {name!r}")
+        return name
+
     def _swap_stage(self, spark: SparkSession, stage: str) -> None:
         """DROP old + RENAME stage→table on one driver-side JDBC
         connection (DDL is metadata-sized; the bulk load already ran
-        distributed). Missing-table on the DROP (first ever load) is
-        ignored; any other failure propagates with the previous table
-        still intact under its old name or the fresh data under
-        ``_stage`` — nothing is lost either way."""
+        distributed). ONLY a missing-table DROP failure (first ever
+        load — recognized by SQLState) is ignored; a lock timeout or
+        permission error propagates immediately instead of surfacing
+        later as a confusing RENAME failure. Either way the previous
+        table is still intact under its old name or the fresh data
+        under ``_stage`` — nothing is lost."""
+        table = self._ddl_identifier(self.table)
+        stage = self._ddl_identifier(stage)
         jvm = spark._sc._jvm
         props = self.properties or {}
         # credentials travel as properties (never in the url — same
@@ -254,11 +279,15 @@ class JdbcSink(Sink):
         try:
             stmt = conn.createStatement()
             try:
-                stmt.execute(f"DROP TABLE {self.table}")
-            except Exception:
-                pass  # first load: nothing to drop
+                stmt.execute(f"DROP TABLE {table}")
+            except Exception as exc:
+                state = getattr(
+                    getattr(exc, "java_exception", None), "getSQLState", lambda: None
+                )()
+                if state not in self._MISSING_TABLE_SQLSTATES:
+                    raise
             # Derby/standard syntax: new name is unqualified
-            stmt.execute(f"RENAME TABLE {stage} TO {self.table.rsplit('.', 1)[-1]}")
+            stmt.execute(f"RENAME TABLE {stage} TO {table.rsplit('.', 1)[-1]}")
             stmt.close()
         finally:
             conn.close()

@@ -92,20 +92,30 @@ def jdbc_spec_from_credentials(
     *,
     host: str = "localhost",
     database: str = "ti_db_inventory",
-    port: int = 3306,
+    port: int | None = None,
+    dialect: str = "mysql",
     **spec_kwargs,
 ) -> "JdbcSourceSpec":
     """S17 end-to-end: cred file → partitioned Spark JDBC source spec.
     The reference equivalent is config.py:8-26 feeding
-    mysql_operations.py:8-12's engine factory."""
-    cfg = MysqlConnectionConfig.from_cred_file(
-        cred_path, host=host, database=database, port=port
-    )
+    mysql_operations.py:8-12's engine factory — which only ever builds
+    MySQL despite the README's "MYSQL, MSSQL, PostgreSQL" claim
+    (reference README.md:2); ``dialect`` completes that surface
+    (mysql/postgresql/mssql/derby, see sources/dialects.py)."""
+    from .dialects import get_dialect
+
+    d = get_dialect(dialect)
+    creds = load_credentials(cred_path)
     props = dict(spec_kwargs.pop("properties", {}))
-    props.setdefault("user", cfg.user)
-    props.setdefault("password", cfg.password)
-    props.setdefault("driver", "com.mysql.cj.jdbc.Driver")
-    return JdbcSourceSpec(url=jdbc_url(cfg), table=table, properties=props, **spec_kwargs)
+    props.setdefault("user", creds.get("DB_USR", ""))
+    props.setdefault("password", creds.get("DB_PWD", ""))
+    props.setdefault("driver", d.driver)
+    return JdbcSourceSpec(
+        url=d.jdbc_url(host=host, database=database, port=port),
+        table=table,
+        properties=props,
+        **spec_kwargs,
+    )
 
 
 @dataclass

@@ -598,36 +598,108 @@ def spacesaving_user_counts(events: DataFrame, capacity: int = 16, shards: int =
     )
 
 
+class FuzzyDedupStreamHandle:
+    """StreamingQuery wrapper that RELEASES the executor-cached corpus
+    relations once the run actually terminates (advisor r3: the
+    persisted corpus leaked executor cache in long-lived sessions).
+    Proxies the StreamingQuery surface the callers use; everything
+    else is reachable via ``.query``."""
+
+    def __init__(self, query: StreamingQuery, cached: list[DataFrame]):
+        self.query = query
+        self._cached = cached
+
+    def _release(self) -> None:
+        while self._cached:
+            self._cached.pop().unpersist()
+
+    def awaitTermination(self, timeout: float | None = None):  # noqa: N802
+        res = (
+            self.query.awaitTermination(timeout)
+            if timeout is not None
+            else self.query.awaitTermination()
+        )
+        if not self.query.isActive:
+            self._release()
+        return res
+
+    def stop(self) -> None:
+        self.query.stop()
+        self._release()
+
+    @property
+    def isActive(self) -> bool:  # noqa: N802
+        return self.query.isActive
+
+
 def run_fuzzy_dedup_stream(
     docs_stream: DataFrame,
     corpus_docs: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
-) -> StreamingQuery:
+    admissions_dir: str | None = None,
+) -> FuzzyDedupStreamHandle:
     """Streaming FUZZY dedup against a standing corpus: every incoming
     document micro-batch is probed through the asymmetric banded-
     MinHash pipeline (`operators.dedup.cross_minhash_pairs`) against
-    the static corpus, and verified near-dup pairs land as parquet —
-    the running-ingest form of `dedup_incremental_minhash`, X12's
-    scale path composed with X16's delivery semantics.
+    the corpus, and verified near-dup pairs land as parquet — the
+    running-ingest form of `dedup_incremental_minhash`, X12's scale
+    path composed with X16's delivery semantics.
 
     foreachBatch (not a stateful operator) because the probe is a
     batch JOIN against static data per micro-batch — the documented
     pattern for stream-static work AQE can still optimize. Exactly-
     once via the idempotent batch_id partition overwrite (same
-    discipline as run_foreach_batch_append). Scale: corpus shingles/
-    signatures are recomputed here from the static DataFrame (fixture
-    sized); production materializes them once (store signatures, see
-    cross_minhash_pairs docstring) — the per-batch cost is then
-    O(batch × bands + collisions), independent of corpus size."""
-    from ..operators.dedup import cross_minhash_pairs, shingles_of
+    discipline as run_foreach_batch_append).
+
+    ``admissions_dir`` turns on the production ingestion shape: batch
+    docs with NO verified corpus match are ADMITTED — their shingles
+    and MinHash signatures land under ``admissions_dir`` partitioned
+    by micro-batch — and every later batch probes the static corpus
+    PLUS all prior admissions, so batch N+1 dedups against what batch
+    N let in. Checkpoint-safe: a replayed batch overwrites its own
+    admission partition (idempotent) and probes only partitions
+    STRICTLY BEFORE itself, so a half-written partition from a crashed
+    attempt can never self-match or double-admit.
+
+    Scale: the static corpus is shingled and MinHash-signed ONCE
+    (both relations cached for the run, released by the returned
+    handle); admissions are stored as shingles AND signatures so no
+    per-batch rehash of previously seen documents ever happens — the
+    per-batch cost is O(batch × bands + collisions + admitted-bytes
+    read), independent of how the corpus was accumulated."""
+    from ..operators.dedup import cross_minhash_pairs, minhash_signatures, shingles_of
 
     # persist: the corpus side is probed by EVERY micro-batch; without
-    # this each batch re-shingles the full standing corpus
+    # this each batch re-shingles + re-hashes the full standing corpus
     corpus_sh = shingles_of(corpus_docs).persist()
+    corpus_sig = minhash_signatures(corpus_sh).persist()
+    spark = corpus_docs.sparkSession
+
+    def _read_admissions(sub: str, batch_id: int, schema: str) -> DataFrame:
+        """Admitted relations from batches STRICTLY before batch_id;
+        empty relation when nothing was admitted yet."""
+        try:
+            df = spark.read.parquet(f"{admissions_dir}/{sub}")
+        except Exception:  # first batch: directory does not exist yet
+            return spark.createDataFrame([], schema)
+        return df.filter(F.col("micro_batch_id") < batch_id).drop("micro_batch_id")
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
-        matches = cross_minhash_pairs(shingles_of(batch_df), corpus_sh)
+        batch_sh = shingles_of(batch_df)
+        if admissions_dir is None:
+            sh_all, sig_all = corpus_sh, corpus_sig
+        else:
+            batch_sh = batch_sh.persist()  # probe + admission write reuse
+            sh_all = corpus_sh.unionByName(
+                _read_admissions("shingles", batch_id, "doc_id long, g string")
+            )
+            sig_all = corpus_sig.unionByName(
+                _read_admissions("sigs", batch_id, "doc_id long, sig array<long>")
+            )
+        matches = cross_minhash_pairs(batch_sh, sh_all, corpus_sig=sig_all)
+        if admissions_dir is not None:
+            matches = matches.persist()  # probe write + admission anti-join
         (
             # micro_batch_id, NOT batch_id: the probe's own batch_id
             # column is the matched DOCUMENT id
@@ -637,10 +709,27 @@ def run_fuzzy_dedup_stream(
             .partitionBy("micro_batch_id")
             .parquet(out_dir)
         )
+        if admissions_dir is not None:
+            dup_ids = matches.select(F.col("batch_id").alias("doc_id")).distinct()
+            admitted_sh = batch_sh.join(dup_ids, "doc_id", "left_anti")
+            for sub, rel in (
+                ("shingles", admitted_sh),
+                ("sigs", minhash_signatures(admitted_sh)),
+            ):
+                (
+                    rel.withColumn("micro_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("micro_batch_id")
+                    .parquet(f"{admissions_dir}/{sub}")
+                )
+            matches.unpersist()
+            batch_sh.unpersist()
 
-    return (
+    query = (
         docs_stream.writeStream.foreachBatch(probe_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    return FuzzyDedupStreamHandle(query, [corpus_sig, corpus_sh])

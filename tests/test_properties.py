@@ -366,3 +366,37 @@ def test_degree_oriented_triangle_count_matches_bruteforce(spark, edges):
     df = spark.createDataFrame(sorted(und), "a long, b long")
     row = count_triangles(df).collect()[0]
     assert (row["n_triangles"], row["n_edges"]) == (expected_tris, len(und))
+
+
+def test_equi_depth_approx_buckets_are_balanced(spark, sf_dir):
+    """q_histogram_equi_depth_approx's equi-depth property: with the
+    GK sketch at accuracy 10000 (ε=1e-4), every bucket must hold
+    n/10 rows to within a small tolerance — the property the exact
+    twin's oracle checks by value, asserted here directly so the
+    production (approx) path carries its own evidence."""
+    from database_to_bigquery_spark.operators.reshape import (
+        q_histogram_equi_depth_approx,
+    )
+
+    rows = q_histogram_equi_depth_approx(spark, sf_dir).collect()
+    assert len(rows) == 10
+    n = sum(r["n_orders"] for r in rows)
+    for r in rows:
+        assert abs(r["n_orders"] - n / 10) <= max(5, 0.02 * n), rows
+    # boundaries are ordered and non-overlapping
+    by_bucket = sorted(rows, key=lambda r: r["bucket"])
+    for a, b in zip(by_bucket, by_bucket[1:]):
+        assert a["hi"] <= b["lo"], (a, b)
+
+
+def test_label_propagation_empty_edge_set_converges(spark):
+    """Advisor regression (r3): the observe()d changed-count is a SUM,
+    which is NULL over an empty label set — an edge-free graph (no
+    near-dup pairs anywhere) must return an empty labeling gracefully,
+    not crash on int(None)."""
+    from database_to_bigquery_spark.operators.dedup import (
+        label_propagation_components,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert label_propagation_components(empty).collect() == []

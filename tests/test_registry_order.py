@@ -25,7 +25,7 @@ FAMILY_REPRESENTATIVES = {
     "X4": ["q_range_join_bands", "q_asof_join", "q_self_theta_join"],
     "X5": ["q_hash_agg_functions", "q1_pricing_summary"],
     "X6": ["q_rollup", "q_cube", "q_grouping_sets"],
-    "X7": ["q_percentiles", "q_bitmap_distinct_rollup"],
+    "X7": ["q_percentiles", "q_bitmap_distinct_rollup", "q_histogram_equi_depth"],
     "X8": ["q_window_rank", "q_window_range_frame"],
     "X9": ["q_topk_per_group", "q18_large_volume_customers"],
     "X10": ["q_set_ops", "q_union_by_name_drift"],
@@ -44,6 +44,11 @@ FAMILY_REPRESENTATIVES = {
     "governance": ["q_gdpr_erasure_audit", "q_freshness_sla_audit"],
     "ops/backfill": ["q_backfill_plan"],
     "CDC/merge": ["q_snapshot_diff_cdc", "q_merge_with_delete"],
+    # round-4 rotation partners (previously unattested flagships)
+    "X13+ kNN join": ["sim_knn_join_exact"],
+    "X15+ shard writer": ["mm_webdataset_write", "q_webdataset_shard_plan"],
+    "ts forecasting": ["ts_holt_winters", "ts_stl_decompose"],
+    "SQL recursion": ["q_recursive_month_spine"],
 }
 
 DRIVER_SAMPLE = 50

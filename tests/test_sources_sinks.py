@@ -722,3 +722,162 @@ class TestStagedJdbcSwap:
         with _pytest.raises(Exception):
             sink.write(poison, WriteMode.TRUNCATE)
         assert spark.read.jdbc(url, "nat", properties=self._PROPS).count() == 25
+
+
+class TestDialects:
+    """The reference README claims MySQL/MSSQL/PostgreSQL sources
+    (reference README.md:2) but implements only MySQL; the dialect
+    registry completes the surface. String-assembly contract per
+    engine — the Derby live tests above prove the seam these constants
+    plug into (url + driver + catalog query are the ONLY
+    engine-specific pieces)."""
+
+    import pytest as _pytest
+
+    _CASES = {
+        "mysql": (
+            "jdbc:mysql://dbhost:3306/inv",
+            "com.mysql.cj.jdbc.Driver",
+            "information_schema.tables",
+        ),
+        "postgresql": (
+            "jdbc:postgresql://dbhost:5432/inv",
+            "org.postgresql.Driver",
+            "information_schema.tables",
+        ),
+        "mssql": (
+            "jdbc:sqlserver://dbhost:1433;databaseName=inv",
+            "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+            "sys.tables",
+        ),
+        "derby": (
+            "jdbc:derby:inv;create=true",
+            "org.apache.derby.jdbc.EmbeddedDriver",
+            "SYS.SYSTABLES",
+        ),
+    }
+
+    @_pytest.mark.parametrize("name", sorted(_CASES))
+    def test_url_driver_catalog_assembly(self, name):
+        from database_to_bigquery_spark.sources.dialects import get_dialect
+
+        url, driver, catalog_marker = self._CASES[name]
+        d = get_dialect(name)
+        assert d.jdbc_url(host="dbhost", database="inv") == url
+        assert d.driver == driver
+        q = d.catalog_query.format(schema="someschema")
+        assert catalog_marker in q
+        assert "table_name" in q
+        # every catalog query filters to BASE tables only
+        assert ("BASE TABLE" in q) or ("tabletype = 'T'" in q) or ("sys.tables" in q)
+
+    @_pytest.mark.parametrize("name", sorted(_CASES))
+    def test_spec_from_credentials_per_dialect(self, tmp_path, name):
+        from database_to_bigquery_spark.sources.jdbc import (
+            jdbc_reader_options,
+            jdbc_spec_from_credentials,
+        )
+
+        p = tmp_path / "db.conf"
+        p.write_text("DB_USR=svc\nDB_PWD=se=cret\n")
+        spec = jdbc_spec_from_credentials(
+            str(p), "backup_log", host="dbhost", database="inv", dialect=name
+        )
+        url, driver, _ = self._CASES[name]
+        assert spec.url == url
+        opts = jdbc_reader_options(spec)
+        assert opts["driver"] == driver
+        assert (opts["user"], opts["password"]) == ("svc", "se=cret")
+        assert "se=cret" not in spec.url  # creds never in the URL
+
+    def test_port_override_and_unknown_dialect(self):
+        import pytest
+
+        from database_to_bigquery_spark.sources.dialects import get_dialect
+
+        assert (
+            get_dialect("postgresql").jdbc_url(host="h", database="d", port=6432)
+            == "jdbc:postgresql://h:6432/d"
+        )
+        with pytest.raises(ValueError, match="unknown dialect"):
+            get_dialect("oracle")
+
+    def test_derby_catalog_query_matches_live_constant(self):
+        # the live-tested constant in catalog.py and the dialect entry
+        # must never drift apart
+        from database_to_bigquery_spark.sources.catalog import DERBY_BASE_TABLES_QUERY
+        from database_to_bigquery_spark.sources.dialects import DERBY
+
+        assert DERBY.catalog_query == DERBY_BASE_TABLES_QUERY
+
+    def test_mysql_catalog_query_matches_live_constant(self):
+        from database_to_bigquery_spark.sources.catalog import BASE_TABLES_QUERY
+        from database_to_bigquery_spark.sources.dialects import MYSQL
+
+        assert MYSQL.catalog_query == BASE_TABLES_QUERY
+
+
+class TestStagedSwapSafety:
+    """Advisor regressions (r3): the staged-swap DDL path must reject
+    injectable identifiers, ignore ONLY the first-load missing-table
+    DROP, and let every other DROP failure propagate."""
+
+    _PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    def test_ddl_identifier_rejects_injection(self):
+        import pytest
+
+        from database_to_bigquery_spark.sinks.writers import JdbcSink
+
+        assert JdbcSink._ddl_identifier("warehouse.daily_log") == "warehouse.daily_log"
+        for bad in ("x; DROP TABLE y", 'a"b', "t name", "t--", ""):
+            with pytest.raises(ValueError, match="invalid table identifier"):
+                JdbcSink._ddl_identifier(bad)
+
+    def test_swap_rejects_bad_table_before_connecting(self, spark):
+        import pytest
+
+        from database_to_bigquery_spark.sinks.writers import JdbcSink
+
+        sink = JdbcSink(
+            url="jdbc:derby:memory:never", table="t; DROP TABLE x", staged=True
+        )
+        with pytest.raises(ValueError, match="invalid table identifier"):
+            sink._swap_stage(spark, "t_stage")
+
+    def test_first_load_missing_table_drop_is_ignored(self, spark, sf_dir, tmp_path):
+        from database_to_bigquery_spark.sinks.writers import JdbcSink, WriteMode
+
+        url = f"jdbc:derby:{tmp_path}/swapdb;create=true"
+        sink = JdbcSink(url=url, table="nat_first", properties=self._PROPS, staged=True)
+        v1 = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        # DROP hits SQLState 42Y55 (no such table) — ignored, RENAME runs
+        sink.write(v1, WriteMode.TRUNCATE)
+        assert spark.read.jdbc(url, "nat_first", properties=self._PROPS).count() == 25
+
+    def test_non_missing_drop_failure_propagates(self, spark, sf_dir, tmp_path):
+        import pytest
+
+        from database_to_bigquery_spark.sinks.writers import JdbcSink, WriteMode
+
+        url = f"jdbc:derby:{tmp_path}/swapdb2;create=true"
+        sink = JdbcSink(url=url, table="nat_dep", properties=self._PROPS, staged=True)
+        v1 = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        sink.write(v1, WriteMode.TRUNCATE)
+
+        # a view depending on the live table makes DROP fail with Derby
+        # X0Y23 — NOT a missing-table state, so the swap must raise
+        # instead of limping on to a confusing RENAME failure
+        jvm = spark._sc._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        stmt = conn.createStatement()
+        stmt.execute("CREATE VIEW nat_dep_v AS SELECT * FROM nat_dep")
+        stmt.close()
+        conn.close()
+
+        v1.write.jdbc(url, "nat_dep_stage", mode="overwrite", properties=self._PROPS)
+        with pytest.raises(Exception) as exc_info:
+            sink._swap_stage(spark, "nat_dep_stage")
+        assert "X0Y23" in str(exc_info.value)
+        # the previous live table is untouched
+        assert spark.read.jdbc(url, "nat_dep", properties=self._PROPS).count() == 25

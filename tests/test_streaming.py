@@ -679,3 +679,79 @@ def test_fuzzy_dedup_stream_equals_incremental_batch(spark, sf_dir, tmp_path):
         for r in dedup_incremental_minhash(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_fuzzy_dedup_stream_admits_and_dedups_against_admissions(
+    spark, sf_dir, tmp_path
+):
+    """Production ingestion shape (r3 verdict task): with
+    admissions_dir set, a novel doc in batch N joins the standing
+    corpus, and a near-duplicate of it arriving in batch N+1 is caught
+    — even though NEITHER doc is in the static corpus. Also asserts
+    idempotent admission layout (one partition per micro-batch) and
+    that the handle released the cached corpus relations."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F_  # noqa: N812
+
+    from database_to_bigquery_spark.streaming.jobs import run_fuzzy_dedup_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays on "
+        "and the crowd cheers loudly through the long summer evening outside"
+    )
+    corpus_docs = spark.createDataFrame(
+        [(1, "completely unrelated corpus text about database engines and "
+             "query optimizers running distributed joins at petabyte scale")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    # batch 1: a novel doc (no corpus match -> admitted)
+    spark.createDataFrame([(100, base)], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "f1"))
+    # batch 2: a near-duplicate of the batch-1 doc
+    spark.createDataFrame(
+        [(200, base + " tonight")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "f2"))
+    import shutil
+
+    for i, d in enumerate(("f1", "f2")):
+        for p in (tmp_path / d).glob("part-*.parquet"):
+            dst = src / f"{i}-doc.parquet"
+            shutil.copy(p, dst)
+            # FileStreamSource orders by modification time: force it
+            os.utime(dst, (time.time() - 100 + i * 50,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out, ckpt, adm = tmp_path / "matches", tmp_path / "ckpt", tmp_path / "admissions"
+    q = run_fuzzy_dedup_stream(
+        stream, corpus_docs, str(out), str(ckpt), admissions_dir=str(adm)
+    )
+    q.awaitTermination()
+    assert not q.isActive
+
+    pairs = {
+        (r["batch_id"], r["corpus_id"])
+        for r in spark.read.parquet(str(out)).select("batch_id", "corpus_id").collect()
+    }
+    # the batch-2 near-dup matched the batch-1 ADMISSION, not the corpus
+    assert pairs == {(200, 100)}
+    # doc 100 was admitted in batch 0's partition; doc 200 (a dup) was NOT
+    admitted = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(adm / "shingles")).select("doc_id").distinct().collect()
+    }
+    assert 100 in admitted and 200 not in admitted
+    # signatures were materialized alongside (no per-batch rehash)
+    sig_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(adm / "sigs")).select("doc_id").distinct().collect()
+    }
+    assert admitted == sig_docs
