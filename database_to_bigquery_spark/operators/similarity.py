@@ -1404,21 +1404,23 @@ def sim_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    # Candidate dedup CARRIES the vector payload (F.first over the
-    # pair key) instead of `.distinct()` + a re-join against the
-    # corpus: the r03 form broadcast the entire embeddings relation
-    # twice, which is exactly the unbounded-broadcast scale-killer at
-    # 100 TB. This shape's only shuffles are the bucket join and one
-    # pair-keyed aggregate — no corpus relation is ever broadcast.
+    # Candidate dedup happens AFTER the exact cosine is computed, on
+    # the scalar: a pair co-bucketed in several tables scores L times
+    # (redundant JVM-codegen dot products — CPU only), but the
+    # pair-keyed aggregate then shuffles 24-byte (id,id,cos) rows, not
+    # vector payloads. The r03 form instead broadcast the entire
+    # embeddings relation twice for a re-score join — the
+    # unbounded-broadcast scale-killer at 100 TB; an intermediate fix
+    # carried the vectors through `F.first` in this aggregate, which
+    # shuffled the payload once per duplicate candidate and measured
+    # ~1.6× slower. F.max == F.first here (all occurrences of a pair
+    # score identically) but is order-insensitive, hence deterministic.
     return (
         left.join(right, "bucket")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .groupBy("vec_id", "neighbor_id")
-        .agg(
-            F.first("va").alias("va"), F.first("na").alias("na"),
-            F.first("vb").alias("vb"), F.first("nb").alias("nb"),
-        )
         .select("vec_id", "neighbor_id", cos.alias("cos"))
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _KNN_K)
         .select(

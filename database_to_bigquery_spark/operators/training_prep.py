@@ -477,3 +477,123 @@ def build_tar(members: list[tuple[str, bytes]]) -> bytes:
             ti.mode = 0o644
             tf.addfile(ti, io.BytesIO(data))
     return buf.getvalue()
+
+
+def parse_tar(blob: bytes) -> list[tuple[str, bytes]]:
+    """Inverse of build_tar: (name, payload) members of a USTAR blob.
+    stdlib tarfile over an in-memory buffer — the same parser the
+    file-based reader maps over executor-side."""
+    import io
+    import tarfile
+
+    out: list[tuple[str, bytes]] = []
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:") as tf:
+        for ti in tf:
+            if ti.isfile():
+                f = tf.extractfile(ti)
+                out.append((ti.name, f.read() if f is not None else b""))
+    return out
+
+
+@query(
+    "mm_webdataset_read",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(doc_id % {_WDS_SHARDS} AS INT) AS shard_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def mm_webdataset_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard READING — the inverse of mm_webdataset_write,
+    proving the full round trip distributed: each shard group builds
+    its USTAR archive (the writer's exact code path), then PARSES the
+    blob back and emits one row per recovered member (doc_id from the
+    member name, byte length, payload md5). The oracle recomputes
+    length + md5 from the source documents directly, so a reader that
+    truncates a member, mangles padding, or mis-associates names
+    fails the value hash — tar-in-the-middle is invisible only if
+    both directions are byte-correct.
+
+    Scale: same one-shuffle shape as the writer; in production the
+    read side is `read_webdataset` below (binaryFile scan of *.tar →
+    mapInPandas parse) where archives stream member-at-a-time through
+    tarfile without materializing the whole shard in memory twice."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _WDS_SHARDS).cast("int").alias("shard_id"),
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+    def roundtrip_shard(pdf):
+        import hashlib
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            (f"{int(i)}.txt", bytes(b)) for i, b in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        recovered = parse_tar(build_tar(members))
+        return pd.DataFrame(
+            {
+                "doc_id": [int(n[: -len(".txt")]) for n, _ in recovered],
+                "shard_id": int(pdf["shard_id"].iat[0]),
+                "n_bytes": [len(b) for _, b in recovered],
+                "payload_md5": [hashlib.md5(b).hexdigest() for _, b in recovered],
+            }
+        )
+
+    return d.groupBy("shard_id").applyInPandas(
+        roundtrip_shard,
+        "doc_id long, shard_id int, n_bytes long, payload_md5 string",
+    )
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Production WebDataset reader: scan ``<path>/*.tar`` with the
+    binaryFile source (one row per shard — Spark assigns whole files
+    to tasks, so each archive parses where its bytes land) and explode
+    into (shard, member_name, key, ext, n_bytes, payload) rows.
+    WebDataset convention: members group by basename-before-first-dot
+    (the sample key) with the extension naming the modality — the
+    (key, ext) pair here is exactly that contract.
+
+    Scale: binaryFile is a standard FileScan (partition pruning,
+    driver never touches blobs); parsing is Arrow-batched
+    mapInPandas. Shards are sized by the writer (~100 MB-1 GB in
+    production) so one archive per task is the right granularity —
+    the same reason WebDataset exists for torch DataLoaders."""
+    import os
+
+    bf = spark.read.format("binaryFile").load(os.path.join(path, "*.tar"))
+
+    def parse(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "shard": [], "member_name": [], "key": [], "ext": [],
+                "n_bytes": [], "payload_md5": [],
+            }
+            for shard_path, blob in zip(pdf["path"], pdf["content"]):
+                shard = os.path.basename(shard_path)
+                for name, data in parse_tar(bytes(blob)):
+                    base = os.path.basename(name)
+                    key, _, ext = base.partition(".")
+                    rows["shard"].append(shard)
+                    rows["member_name"].append(name)
+                    rows["key"].append(key)
+                    rows["ext"].append(ext)
+                    rows["n_bytes"].append(len(data))
+                    rows["payload_md5"].append(hashlib.md5(data).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return bf.select("path", "content").mapInPandas(
+        parse,
+        "shard string, member_name string, key string, ext string, "
+        "n_bytes long, payload_md5 string",
+    )

@@ -627,3 +627,42 @@ def test_knn_join_lsh_recall_vs_exact(spark, sf_dir):
 
     per_vec = Counter(v for v, _ in truth)
     assert set(per_vec.values()) == {5}
+
+
+def test_read_webdataset_parses_disk_shards(spark, tmp_path):
+    """File-based WebDataset reader: real .tar shards on disk (written
+    with the writer's build_tar), scanned via binaryFile + mapInPandas,
+    must recover every member with correct key/ext split, sizes and
+    payload hashes — the production read seam mm_webdataset_read's
+    in-plan round trip stands on."""
+    import hashlib
+
+    from database_to_bigquery_spark.operators.training_prep import (
+        build_tar,
+        read_webdataset,
+    )
+
+    samples = {
+        "000001": {"txt": b"hello world", "json": b'{"a": 1}'},
+        "000002": {"txt": b"x" * 600, "bin": bytes(range(256))},
+    }
+    shard_members = [
+        (f"{key}.{ext}", payload)
+        for key, parts in sorted(samples.items())
+        for ext, payload in sorted(parts.items())
+    ]
+    (tmp_path / "shard-000.tar").write_bytes(build_tar(shard_members[:2]))
+    (tmp_path / "shard-001.tar").write_bytes(build_tar(shard_members[2:]))
+    (tmp_path / "ignored.txt").write_text("not a shard")
+
+    rows = read_webdataset(spark, str(tmp_path)).collect()
+    assert len(rows) == 4
+    got = {(r["key"], r["ext"]): (r["n_bytes"], r["payload_md5"], r["shard"]) for r in rows}
+    for key, parts in samples.items():
+        for ext, payload in parts.items():
+            n, md5_, shard = got[(key, ext)]
+            assert n == len(payload)
+            assert md5_ == hashlib.md5(payload).hexdigest()
+            assert shard.endswith(".tar")
+    # members grouped per archive (webdataset sample locality)
+    assert {r["shard"] for r in rows} == {"shard-000.tar", "shard-001.tar"}
