@@ -1430,3 +1430,151 @@ def sim_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------- incremental index maintenance ----
+
+_IVF_CELLS = 10  # label cardinality in the fixture (k in production)
+_ARRIVAL_MOD, _ARRIVAL_REM = 17, 3  # deterministic "new batch" slice
+
+
+@query(
+    "sim_ivf_incremental_add",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    arrivals AS (
+      SELECT vec_id, v FROM e WHERE vec_id % {_ARRIVAL_MOD} = {_ARRIVAL_REM}),
+    standing AS (
+      SELECT * FROM e WHERE vec_id % {_ARRIVAL_MOD} <> {_ARRIVAL_REM}),
+    u AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM standing),
+    dims AS (
+      SELECT label, i, CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+      FROM u GROUP BY label, i),
+    cent AS (SELECT label, list(c ORDER BY i) AS cv FROM dims GROUP BY label),
+    scored AS (
+      SELECT a.vec_id, cent.label,
+             list_dot_product(a.v, cent.cv)
+             / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(cent.cv, cent.cv))) AS cos
+      FROM arrivals a CROSS JOIN cent)
+    SELECT vec_id, CAST(label AS INT) AS cell, ROUND(cos, 4) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, label) AS rnk
+          FROM scored)
+    WHERE rnk = 1
+    """,
+)
+def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: a batch of newly-arrived
+    vectors is admitted into the STANDING cell structure without
+    retraining — each arrival is assigned to its nearest existing
+    centroid (centroids computed from the standing corpus only, so
+    admission cannot shift the structure mid-batch). This is the
+    running-ingestion production shape for an ANN index: train rarely,
+    assign continuously; pair with sim_kmeans_2iter when drift
+    accumulates and the cells need re-training.
+
+    Scale: per-batch cost is O(batch * k * d) with the k-row centroid
+    table broadcast (`bounded()` proves k in the plan) — independent
+    of corpus size, the same property dedup_incremental_minhash has on
+    the text side. The standing corpus is touched ONCE per (re)build
+    for centroids — a narrow posexplode aggregate — and not at all if
+    centroids are persisted between batches, as the docstringed
+    production loop would.
+
+    Determinism for the oracle: DECIMAL(20,10) centroid sums (the
+    sim_topk_ivf trick) make assignment identical across engines."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    is_arrival = F.col("vec_id") % _ARRIVAL_MOD == _ARRIVAL_REM
+    arrivals = e.filter(is_arrival).select("vec_id", "v")
+    standing = e.filter(~is_arrival)
+    dims = (
+        standing.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count("*")).alias("c")
+        )
+    )
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s.getField("c")
+        ).alias("cv")
+    )
+    cos = _dot("v", "cv") / (F.sqrt(_dot("v", "v")) * F.sqrt(_dot("cv", "cv")))
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("label"))
+    return (
+        arrivals.crossJoin(F.broadcast(bounded(cent, _IVF_CELLS)))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("cell"),
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
+_PROBE_NPROBE = 3
+_PROBE_K = 3
+
+
+def ivf_probe(
+    arrivals: DataFrame,
+    standing: DataFrame,
+    n_probe: int = _PROBE_NPROBE,
+    k: int = _PROBE_K,
+) -> DataFrame:
+    """Reusable IVF probe core: rank `arrivals` (vec_id, v) against the
+    `standing` (vec_id, label, v) corpus — nearest `n_probe` cells by
+    centroid cosine, then exact-cosine top-`k` within the probed
+    cells. Centroids are DECIMAL-exact (order-independent sums) so the
+    candidate set is reproducible across engines and across batch /
+    foreachBatch execution — the property the streaming equivalence
+    test leans on.
+
+    Scale: centroids = one narrow posexplode aggregate over the
+    standing corpus (or a persisted table between batches); per-query
+    cost is n_probe/k of the corpus. Both broadcasts are bounded by
+    construction (k cells; |arrivals|·n_probe probe rows per batch)."""
+    dims = (
+        standing.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count("*")).alias("c")
+        )
+    )
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s.getField("c")
+        ).alias("cv")
+    )
+    cent_cos = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+    pw = W.partitionBy("query_id").orderBy(F.col("cent_cos").desc(), F.col("label"))
+    q = arrivals.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    probe = (
+        q.crossJoin(F.broadcast(bounded(cent, _IVF_CELLS)))
+        .withColumn("cent_cos", cent_cos)
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "label")
+    )
+    cand_cos = _dot("qv", "v") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(probe)
+        .join(standing.select(F.col("vec_id").alias("neighbor_id"), "label", "v"), "label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", F.col("neighbor_id"), cand_cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

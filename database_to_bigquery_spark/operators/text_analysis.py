@@ -1206,3 +1206,150 @@ def text_length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# ------------------------------------- corpus-wide repeated n-grams ----
+
+# Exact-substring duplication mining (the Lee et al. "Deduplicating
+# Training Data Makes Language Models Better" signal, word-granular):
+# memorization risk concentrates in spans that repeat VERBATIM across
+# the corpus, which near-dup doc-level methods (MinHash et al.) miss
+# when the repeated span sits inside otherwise-unique documents.
+_RN_N = 5  # tokens per gram
+_RN_MIN_OCC = 3  # corpus occurrences to call a gram "hot"
+_RN_TOP = 200  # bound on the hot-gram table (drives the mask join)
+
+_HOT_GRAMS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+{_RN_N - 1}], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(w) - {_RN_N - 1} + 1)) AS t(i)
+      WHERE len(w) >= {_RN_N}),
+    hot AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(MIN(doc_id) AS BIGINT) AS example_doc
+      FROM grams GROUP BY gram HAVING COUNT(*) >= {_RN_MIN_OCC})
+    SELECT * FROM hot
+    ORDER BY occurrences DESC, gram LIMIT {_RN_TOP}
+"""
+
+
+def _doc_grams(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, gram) for every word-{_RN_N}-gram — positions are
+    1-based so the Spark plan and the DuckDB oracle index identically."""
+    w = F.split(F.lower(F.col("text")), " ")
+    return (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= _RN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (_RN_N - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice("w", i, _RN_N), " ").alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+
+
+@query("text_repeated_ngrams", oracle=_HOT_GRAMS_SQL)
+def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated word-5-gram mining: every verbatim span of
+    5 tokens occurring >= 3 times anywhere in the corpus, with its
+    total occurrence count, distinct-document reach, and a stable
+    example document. This is the discovery half of exact-substring
+    dedup; `text_repeated_ngram_coverage` below is the enforcement
+    half.
+
+    Scale: tokenize + gram expansion are narrow (one generator per
+    doc, no Python); the single shuffle is the gram-keyed partial
+    aggregate — map-side combine collapses each partition's repeats
+    before the exchange, and gram cardinality ~ corpus tokens, the
+    same budget every inverted-index build pays. The final TOP-N
+    ordering runs on the already-aggregated (filtered, >= MIN_OCC)
+    relation, which is orders of magnitude smaller than the input."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        _doc_grams(d)
+        .groupBy("gram")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("occurrences") >= _RN_MIN_OCC)
+        .orderBy(F.col("occurrences").desc(), "gram")
+        .limit(_RN_TOP)
+    )
+
+
+@query(
+    "text_repeated_ngram_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(w[i:i+{_RN_N - 1}], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(w) - {_RN_N - 1} + 1)) AS t(i)
+      WHERE len(w) >= {_RN_N}),
+    hot AS (SELECT gram FROM ({_HOT_GRAMS_SQL})),
+    covered AS (
+      SELECT g.doc_id, UNNEST(range(g.pos, g.pos + {_RN_N})) AS tok
+      FROM grams g JOIN hot USING (gram))
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.tok) AS BIGINT) AS covered_tokens,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           ROUND(COUNT(DISTINCT c.tok) * 1.0 / len(t.w), 4) AS covered_ratio
+    FROM covered c JOIN toks t ON t.doc_id = c.doc_id
+    GROUP BY c.doc_id, len(t.w)
+    """,
+)
+def text_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enforcement half of exact-substring dedup: for each document
+    containing at least one corpus-hot 5-gram, the number and fraction
+    of its tokens covered by hot spans (overlapping spans union via
+    DISTINCT token positions). Downstream a scrubber drops or rewrites
+    exactly these spans; emitting the coverage keeps the operator
+    oracle-checkable end-to-end.
+
+    Scale: the hot-gram table is bounded by construction (TOP {_RN_TOP}
+    — `bounded()` makes the limit visible to the plan census) so the
+    gram->hot join BROADCASTS a provably small relation against the
+    narrow gram stream; per-doc coverage is then one groupBy(doc_id).
+    No corpus-sized relation is ever broadcast and overlapping spans
+    never materialize more than N rows per gram occurrence."""
+    from ..data import bounded
+
+    d = load_table(spark, sf_dir, "documents")
+    hot = text_repeated_ngrams(spark, sf_dir).select("gram")
+    grams = _doc_grams(d)
+    covered = (
+        grams.join(F.broadcast(bounded(hot, _RN_TOP)), "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_RN_N - 1))).alias("tok"),
+        )
+    )
+    n_tok = d.select(
+        "doc_id", F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens")
+    )
+    return (
+        covered.groupBy("doc_id")
+        .agg(F.count_distinct("tok").alias("covered_tokens"))
+        .join(n_tok, "doc_id")
+        .select(
+            "doc_id",
+            F.col("covered_tokens").cast("long").alias("covered_tokens"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("covered_tokens") / F.col("n_tokens"), 4).alias(
+                "covered_ratio"
+            ),
+        )
+    )

@@ -597,3 +597,59 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
         "shard string, member_name string, key string, ext string, "
         "n_bytes long, payload_md5 string",
     )
+
+
+@query(
+    "mm_tar_member_index",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(doc_id % {_WDS_SHARDS} AS INT) AS shard_id, doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents),
+    o AS (
+      SELECT shard_id, doc_id, n_bytes,
+             COALESCE(SUM(512 + CAST(CEIL(n_bytes / 512.0) AS BIGINT) * 512)
+                        OVER (PARTITION BY shard_id ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS hdr_offset
+      FROM m)
+    SELECT shard_id, doc_id, doc_id || '.txt' AS member_name, n_bytes,
+           hdr_offset, hdr_offset + 512 AS data_offset
+    FROM o
+    """,
+)
+def mm_tar_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-access index for the WebDataset shards: the byte offset
+    of every member's header and payload inside its USTAR archive,
+    computed from tar arithmetic alone (512 B header + data padded to
+    512 per member, members in doc_id order — `build_tar`'s layout).
+    This is the `.idx` sidecar real WebDataset/tarp tooling ships so
+    a DataLoader can seek straight to sample k without streaming the
+    shard; `tests` verify the arithmetic against tarfile's own
+    member.offset/offset_data on real archives.
+
+    Scale: one windowed prefix-sum per shard partition — the same
+    single shuffle the writer itself pays, no Python, no archive
+    bytes touched (the index derives from metadata, so it can be
+    (re)built without reading a single tar from object storage)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _WDS_SHARDS).cast("int").alias("shard_id"),
+        "doc_id",
+        F.octet_length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+    )
+    entry = F.lit(512) + F.ceil(F.col("n_bytes") / 512.0).cast("long") * 512
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.select(
+        "shard_id",
+        "doc_id",
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias("member_name"),
+        "n_bytes",
+        F.coalesce(F.sum(entry).over(w), F.lit(0)).cast("long").alias("hdr_offset"),
+        (F.coalesce(F.sum(entry).over(w), F.lit(0)) + 512).cast("long").alias(
+            "data_offset"
+        ),
+    )

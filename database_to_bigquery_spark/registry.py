@@ -80,6 +80,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # q_percentiles → q_histogram_equi_depth, ts_decayed_engagement →
 # ts_holt_winters, q_pipe_syntax → q_recursive_month_spine,
 # stream_session_windows → stream_stateful_user_totals (back in).
+# r04 late rotation (new round-4 flagships in; r03-green out):
+# text_tfidf_top_terms -> text_repeated_ngrams, mm_scene_split ->
+# sim_ivf_incremental_add, q_funnel_conversion -> stream_knn_probe,
+# q_salted_hot_key_join -> mm_tar_member_index, dedup_minhash_lsh ->
+# mm_webdataset_read (X12's oracle-bearing window rep stays
+# dedup_exact_text; minhash r03-attested rows-only).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # S-family (reference ETL surface)
     "s1_catalog_allowlist",      # S1
@@ -124,7 +130,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # via the pointer-jumping variant — dedup_clusters r02-green)
     "dedup_exact_text",
     "graph_cc_pointer_jumping",
-    "dedup_minhash_lsh",
+    "mm_webdataset_read",
     # X13 similarity / ANN
     "sim_topk_bruteforce",
     "ts_holt_winters",
@@ -132,8 +138,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_zorder_layout",
     # X14 text analysis + LLM filters
     "text_stats",
-    "text_tfidf_top_terms",
-    "mm_scene_split",
+    "text_repeated_ngrams",
+    "sim_ivf_incremental_add",
     # X15 multimodal
     "mm_binary_metadata",
     "text_length_outlier_filter",
@@ -146,9 +152,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_recursive_month_spine",
     "udf_arrow_grouped_span",
     # behavioral / training-prep / skew representatives
-    "q_funnel_conversion",
+    "stream_knn_probe",
     "mm_webdataset_write",
-    "q_salted_hot_key_join",
+    "mm_tar_member_index",
 )
 
 

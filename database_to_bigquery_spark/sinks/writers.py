@@ -234,6 +234,34 @@ class JdbcSink(Sink):
             df.write.jdbc(self.url, self.table, mode=mode.value, properties=props)
         return int(obs.get["rows"])
 
+    def verify_rowcount(self, spark: SparkSession, expected: int) -> int:
+        """Target-side load verification: re-count the landed table IN
+        THE WAREHOUSE via the DSv2 catalog route, whose aggregate
+        pushdown (`sources/jdbc.py::read_jdbc_catalog`) compiles the
+        COUNT into the database — one row crosses the wire, so the
+        audit stays metadata-priced at any table size (the observe()-
+        based count in write() measures what Spark SENT; this measures
+        what the warehouse KEPT — the pair catches driver/connector
+        truncation the send-side audit cannot). Raises on mismatch."""
+        from ..sources.jdbc import JdbcSourceSpec, read_jdbc_catalog
+
+        spec = JdbcSourceSpec(
+            url=self.url,
+            # JDBC stores create fold-to-upper on Derby/Oracle; the
+            # catalog resolves by stored name
+            table=self.table.upper(),
+            properties=self.properties or {},
+        )
+        got = read_jdbc_catalog(
+            spark, spec, catalog=f"audit_{self.table.lower()}"
+        ).count()
+        if got != expected:
+            raise RuntimeError(
+                f"post-load audit mismatch on {self.table}: "
+                f"warehouse has {got} rows, expected {expected}"
+            )
+        return got
+
     #: SQLStates meaning "table does not exist" — the ONLY DROP failure
     #: the staged swap may ignore (first ever load): Derby 42Y55,
     #: MySQL/MSSQL 42S02, PostgreSQL 42P01.

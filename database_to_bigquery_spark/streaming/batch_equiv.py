@@ -274,3 +274,61 @@ def stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "bucket")
         .agg(F.count("*").alias("cell"))
     )
+
+
+@query(
+    "stream_knn_probe",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    arrivals AS (SELECT vec_id, v FROM e WHERE vec_id % 17 = 3),
+    standing AS (SELECT * FROM e WHERE vec_id % 17 <> 3),
+    u AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM standing),
+    dims AS (
+      SELECT label, i, CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+      FROM u GROUP BY label, i),
+    cent AS (SELECT label, list(c ORDER BY i) AS cv FROM dims GROUP BY label),
+    probe AS (
+      SELECT vec_id AS query_id, qv, label FROM (
+        SELECT a.vec_id, a.v AS qv, cent.label,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_dot_product(a.v, cent.cv)
+                 / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(cent.cv, cent.cv)))
+                 DESC, cent.label) AS pr
+        FROM arrivals a CROSS JOIN cent)
+      WHERE pr <= 3),
+    scored AS (
+      SELECT p.query_id, s.vec_id AS neighbor_id,
+             list_dot_product(p.qv, s.v)
+             / (SQRT(list_dot_product(p.qv, p.qv)) * SQRT(list_dot_product(s.v, s.v))) AS cos
+      FROM probe p JOIN standing s ON s.label = p.label AND s.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def stream_knn_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming ANN probe: arriving query vectors
+    (the `vec_id % 17 == 3` slice, matching sim_ivf_incremental_add's
+    arrival convention) are ranked against the STANDING corpus via the
+    IVF probe core (`operators.similarity.ivf_probe`, nprobe=3, k=3).
+    Under readStream the identical core runs per micro-batch inside
+    foreachBatch against the standing index — the stream==batch test
+    in tests/test_streaming.py proves result equality on the same
+    arrivals, which is exactly the unified-model claim: a vector
+    search service and its backfill job share one implementation.
+
+    Scale: per-micro-batch cost is O(batch x nprobe/k-th of corpus);
+    the standing index (and its centroids) persist across batches
+    instead of rebuilding — the probe core takes them as DataFrames so
+    a production loop caches both."""
+    from ..operators.similarity import _as_double, ivf_probe
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    is_arrival = F.col("vec_id") % 17 == 3
+    return ivf_probe(e.filter(is_arrival).select("vec_id", "v"), e.filter(~is_arrival))

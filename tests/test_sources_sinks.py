@@ -980,3 +980,46 @@ class TestJdbcPushdown:
         # Derby's dialect has no LIMIT clause to compile into, so limit
         # stays Spark-side on either flag setting — values still right
         assert t.limit(7).count() == 7
+
+
+def test_jdbc_sink_verify_rowcount_pushes_count(spark, sf_dir, tmp_path):
+    """verify_rowcount must (a) agree with the send-side audit on a
+    clean load, (b) execute its COUNT inside the warehouse (pushed
+    aggregate, not a full scan into Spark), and (c) raise on a
+    mismatch (simulated by deleting rows behind the sink's back)."""
+    from database_to_bigquery_spark.sinks.writers import JdbcSink, WriteMode
+
+    url = f"jdbc:derby:{tmp_path}/auditdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sink = JdbcSink(url=url, table="nat_audit", properties=props)
+    sent = sink.write(nat, WriteMode.TRUNCATE)
+    assert sink.verify_rowcount(spark, sent) == sent == 25
+
+    # the count itself must be a pushed aggregate
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.sources.jdbc import JdbcSourceSpec, read_jdbc_catalog
+
+    spec = JdbcSourceSpec(url=url, table="NAT_AUDIT", properties=props)
+    agg = read_jdbc_catalog(spark, spec, catalog="audit_plan_probe").agg(
+        F.count("*").alias("n")
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        agg._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedAggregates: [COUNT(*)]" in plan, plan
+
+    # warehouse loses rows → audit must raise
+    jvm = spark._sc._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.createStatement().executeUpdate(
+            'DELETE FROM nat_audit WHERE "n_nationkey" < 5'
+        )
+    finally:
+        conn.close()
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="audit mismatch"):
+        sink.verify_rowcount(spark, sent)

@@ -755,3 +755,99 @@ def test_fuzzy_dedup_stream_admits_and_dedups_against_admissions(
         for r in spark.read.parquet(str(adm / "sigs")).select("doc_id").distinct().collect()
     }
     assert admitted == sig_docs
+
+
+def test_stream_knn_probe_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming ANN probe: arrival vectors fed as a 3-file parquet
+    stream, each micro-batch probed against the cached standing IVF
+    index inside foreachBatch via the SAME ivf_probe core the batch
+    twin uses — the union of streamed results must equal the batch
+    query over all arrivals at once (per-batch probes are independent
+    per query_id, so micro-batching cannot change any ranking)."""
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.operators.similarity import _as_double, ivf_probe
+    from database_to_bigquery_spark.streaming.batch_equiv import stream_knn_probe
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    is_arrival = F.col("vec_id") % 17 == 3
+    standing = e.filter(~is_arrival).localCheckpoint(eager=True)
+    arrivals = e.filter(is_arrival).select("vec_id", "v")
+
+    src = tmp_path / "arrivals"
+    out = tmp_path / "probed"
+    # 3 separate files → 3 micro-batches (maxFilesPerTrigger=1)
+    for i in range(3):
+        arrivals.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    def probe_batch(batch_df, batch_id):
+        ivf_probe(batch_df, standing).write.mode("append").parquet(str(out))
+
+    q = (
+        stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {tuple(r) for r in spark.read.parquet(str(out)).collect()}
+    want = {tuple(r) for r in stream_knn_probe(spark, sf_dir).collect()}
+    assert got == want and len(got) == 90
+
+
+def test_webdataset_stream_reader_incremental_shards(spark, tmp_path):
+    """The webdataset Python DataSource's stream reader: shards landing
+    in the directory become micro-batches; a checkpointed restart after
+    a new shard arrives processes ONLY the new shard (append-only
+    offset = sorted-shard count)."""
+    from database_to_bigquery_spark.operators.training_prep import build_tar
+    from database_to_bigquery_spark.sources.webdataset_source import (
+        WebDatasetDataSource,
+    )
+
+    shard_dir = tmp_path / "landing"
+    shard_dir.mkdir()
+    out = tmp_path / "members"
+    ckpt = tmp_path / "ckpt"
+    (shard_dir / "shard-000.tar").write_bytes(build_tar([("a.txt", b"one")]))
+    (shard_dir / "shard-001.tar").write_bytes(
+        build_tar([("b.txt", b"two"), ("b.json", b"{}")])
+    )
+
+    spark.dataSource.register(WebDatasetDataSource)
+
+    def run_once():
+        q = (
+            spark.readStream.format("webdataset")
+            .load(str(shard_dir))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(str(out)).collect()
+    assert {(r["key"], r["ext"]) for r in first} == {("a", "txt"), ("b", "txt"), ("b", "json")}
+
+    (shard_dir / "shard-002.tar").write_bytes(build_tar([("c.txt", b"three")]))
+    run_once()
+    rows = spark.read.parquet(str(out)).collect()
+    # exactly one new row, no reprocessing of shards 0/1
+    assert len(rows) == len(first) + 1
+    assert {(r["key"], r["ext"]) for r in rows} == {
+        ("a", "txt"), ("b", "txt"), ("b", "json"), ("c", "txt")
+    }
