@@ -97,6 +97,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--jdbc-driver", default=None,
                     help="JDBC driver class for --source-jdbc/--target-jdbc "
                          "(e.g. com.mysql.cj.jdbc.Driver, org.apache.derby.jdbc.EmbeddedDriver)")
+    ap.add_argument("--verify-target", action="store_true",
+                    help="after each JDBC load, recount the landed table in "
+                         "the warehouse (DSv2 pushed COUNT — one row over the "
+                         "wire) and fail the table on a sent-vs-kept mismatch")
     ap.add_argument("--schema-registry", default=None, metavar="JSON",
                     help="S18: per-table declared-schema JSON (the reference's "
                          "MYSQL_to_BigQuery_tables.json shape, config.py:27-29); "
@@ -169,6 +173,23 @@ def main(argv: list[str] | None = None) -> int:
         spark, jobs, is_daily=args.daily, day=args.day,
         isolate_errors=args.isolate_errors,
     )
+    if args.verify_target and args.target_jdbc:
+        # close the loop on S14: the observe() count measured what
+        # Spark sent; this recounts what the warehouse kept, via the
+        # DSv2 catalog whose COUNT pushes down (one row over JDBC)
+        sinks_by_table = {spec.name: snk for spec, _, snk in jobs}
+        for r in results:
+            if r.error or r.skipped_empty or r.table not in sinks_by_table:
+                continue
+            try:
+                sinks_by_table[r.table].verify_rowcount(spark, r.rows_written)
+            except Exception as exc:
+                if not args.isolate_errors:
+                    raise
+                logging.getLogger(__name__).exception(
+                    "table %s: target verification failed", r.table
+                )
+                r.error = str(exc)
     for r in results:
         status = "ERROR: " + r.error if r.error else (
             "skipped (empty)" if r.skipped_empty else f"{r.rows_written} rows")

@@ -930,3 +930,44 @@ def q_freshness_sla_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.cast("long").alias("lag_days"),
         (lag <= 2).alias("within_sla"),
     )
+
+
+@query(
+    "q_l_diversity_audit",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS grp_n,
+             COUNT(DISTINCT c_mktsegment) AS l_distinct
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, bal_band, CAST(grp_n AS BIGINT) AS grp_n,
+           CAST(l_distinct AS BIGINT) AS l_distinct
+    FROM q WHERE l_distinct < 3
+    """,
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) — k-anonymity's complement: an
+    equivalence class can be large (k-safe) yet still leak the
+    SENSITIVE attribute if everyone in it shares one value (the
+    homogeneity attack). Here market segment plays the sensitive
+    attribute over the (nation, balance-band) quasi-identifiers; the
+    audit returns every class whose distinct-sensitive count is
+    below l — the classes to generalize or suppress before release.
+
+    Scale: one partial-aggregated shuffle on the QI tuple carrying a
+    COUNT DISTINCT of the sensitive column (exact here since segment
+    cardinality is tiny; swap approx_count_distinct when the
+    sensitive domain is wide); output is the violation list only."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("grp_n"),
+            F.count_distinct("c_mktsegment").cast("long").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < 3)
+    )

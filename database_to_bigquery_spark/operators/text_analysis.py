@@ -1353,3 +1353,81 @@ def text_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_quality_threshold_sweep",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             LENGTH(string_split(text, ' ')) AS n_tokens,
+             CASE WHEN LENGTH(text) BETWEEN 100 AND 400 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
+           * CASE WHEN LENGTH(string_split(text, ' ')) >= 20 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.6 AS DOUBLE) END
+           * CASE WHEN CAST(LENGTH(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                       / LENGTH(text) < 0.1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.7 AS DOUBLE) END AS quality
+      FROM documents),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens FROM scored),
+    grid AS (SELECT ROUND(unnest(range(0, 11)) * 0.1, 1) AS thr)
+    SELECT ROUND(g.thr, 1) AS threshold,
+           CAST(COUNT(*) FILTER (s.quality >= g.thr) AS BIGINT) AS docs_kept,
+           ROUND(COUNT(*) FILTER (s.quality >= g.thr) * 1.0 / ANY_VALUE(t.n_docs), 4)
+             AS doc_retention,
+           ROUND(COALESCE(SUM(s.n_tokens) FILTER (s.quality >= g.thr), 0) * 1.0
+                   / ANY_VALUE(t.n_tokens), 4) AS token_retention
+    FROM grid g CROSS JOIN scored s CROSS JOIN tot t
+    GROUP BY g.thr
+    """,
+)
+def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention curve for the quality filter: for every cutoff on a
+    0.0–1.0 grid, how many documents and what share of docs AND tokens
+    survive — the selectivity sweep a data team runs before fixing the
+    production threshold ("we want to keep ~60% of tokens; which
+    cutoff does that?"). Sweeping in ONE pass instead of re-running
+    the filter per candidate threshold is the point.
+
+    Scale: score + token count are narrow per-doc expressions; the
+    sweep is one partial-aggregated shuffle keyed by the 11-row
+    threshold grid (each doc emits 11 lightweight rows via an exploded
+    literal — grid × docs never materializes beyond the map side), and
+    the corpus totals ride the same pass as a 1-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(F.split(F.col("text"), " "))
+    punct_ratio = F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")) / n_chars
+    quality = (
+        F.when((n_chars >= 100) & (n_chars <= 400), 1.0).otherwise(0.5)
+        * F.when(n_words >= 20, 1.0).otherwise(0.6)
+        * F.when(punct_ratio < 0.1, 1.0).otherwise(0.7)
+    )
+    scored = d.select(n_words.alias("n_tokens"), quality.alias("quality"))
+    tot = scored.agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tot_tokens")
+    )
+    # round the grid value BEFORE comparing: 3*0.1 is
+    # 0.30000000000000004 in both engines, but only a round-to-the-
+    # nearest-double-of-0.3 makes the >= boundary land identically
+    # against quality products like 0.5*0.6
+    grid = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(10)), lambda i: F.round(i * F.lit(0.1), 1)
+        )
+    )
+    kept = F.col("quality") >= F.col("thr")
+    return (
+        scored.withColumn("thr", grid)
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("docs_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tok_kept"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round("thr", 1).alias("threshold"),
+            "docs_kept",
+            F.round(F.col("docs_kept") / F.col("n_docs"), 4).alias("doc_retention"),
+            F.round(F.col("tok_kept") / F.col("tot_tokens"), 4).alias(
+                "token_retention"
+            ),
+        )
+    )

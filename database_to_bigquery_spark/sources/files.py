@@ -1,4 +1,4 @@
-"""File-format sources: parquet / ORC / CSV / JSON behind one spec.
+"""File-format sources: parquet / ORC / CSV / JSON / XML behind one spec.
 
 The reference's only source is MySQL (reference
 ``mysql_operations.py:25-27``); a general engine also ingests files.
@@ -28,14 +28,14 @@ from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
 
-_TEXT_FORMATS = {"csv", "json"}
+_TEXT_FORMATS = {"csv", "json", "xml"}
 _BINARY_FORMATS = {"parquet", "orc"}
 
 
 @dataclass
 class FileSourceSpec:
     path: str
-    format: str  # parquet | orc | csv | json
+    format: str  # parquet | orc | csv | json | xml
     schema: T.StructType | None = None  # required for csv/json
     options: dict[str, str] = field(default_factory=dict)
     quarantine_corrupt: bool = True  # text formats: keep bad rows in CORRUPT_COL
@@ -67,6 +67,11 @@ def read_file_source(spark: SparkSession, spec: FileSourceSpec) -> DataFrame:
         reader = reader.schema(schema)
     if spec.format == "csv":
         reader = reader.option("header", spec.options.get("header", "true"))
+    if spec.format == "xml":
+        # Spark 4 built-in XML source (the old spark-xml package
+        # upstreamed); rowTag is mandatory — without it the reader
+        # treats the whole file as one row
+        reader = reader.option("rowTag", spec.options.get("rowTag", "row"))
     for k, v in spec.options.items():
         reader = reader.option(k, v)
     return reader.load(spec.path)

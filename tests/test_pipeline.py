@@ -321,6 +321,7 @@ def test_etl_cli_live_jdbc_source_and_target(spark, sf_dir, tmp_path, capsys):
         "--source-jdbc", url,
         "--target-jdbc", url,
         "--jdbc-driver", "org.apache.derby.jdbc.EmbeddedDriver",
+        "--verify-target",  # warehouse-side pushed-COUNT recount
     ])
     assert rc == 0
     out = capsys.readouterr().out

@@ -400,3 +400,51 @@ def test_label_propagation_empty_edge_set_converges(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert label_propagation_components(empty).collect() == []
+
+
+# --------------------------- tar shard arithmetic (no Spark job) ----
+
+tar_members = st.lists(
+    st.binary(min_size=0, max_size=1500),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(payloads=tar_members)
+@settings(max_examples=60, deadline=None)
+def test_tar_arithmetic_matches_tarfile(payloads):
+    """The pure-arithmetic layout the shard writer's oracle and the
+    mm_tar_member_index offsets rely on must hold for ARBITRARY member
+    sizes — including the padding corners 0, 511, 512, 513 bytes that
+    hypothesis shrinks toward: header offset = cumulative (512 +
+    ceil(size/512)*512), data offset = header + 512, archive size =
+    entries + 1024 end-of-archive padded to the 10240 record."""
+    import io
+    import tarfile
+
+    from database_to_bigquery_spark.operators.training_prep import build_tar
+
+    members = [(f"{i}.bin", b) for i, b in enumerate(payloads)]
+    blob = build_tar(members)
+
+    # archive-size arithmetic (the mm_webdataset_write oracle)
+    entries = sum(512 + -(-len(b) // 512) * 512 for b in payloads)
+    want_size = -(-(entries + 1024) // 10240) * 10240
+    assert len(blob) == want_size
+
+    # per-member offset arithmetic (the mm_tar_member_index oracle)
+    hdr = 0
+    offsets = {}
+    for name, b in members:
+        offsets[name] = (hdr, hdr + 512)
+        hdr += 512 + -(-len(b) // 512) * 512
+
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:") as tf:
+        seen = 0
+        for ti in tf:
+            want_hdr, want_data = offsets[ti.name]
+            assert (ti.offset, ti.offset_data) == (want_hdr, want_data)
+            assert blob[want_data : want_data + ti.size] == dict(members)[ti.name]
+            seen += 1
+    assert seen == len(members)

@@ -1023,3 +1023,35 @@ def test_jdbc_sink_verify_rowcount_pushes_count(spark, sf_dir, tmp_path):
 
     with _pytest.raises(RuntimeError, match="audit mismatch"):
         sink.verify_rowcount(spark, sent)
+
+
+def test_xml_roundtrip_and_quarantine(spark, tmp_path):
+    """Spark 4's built-in XML source through the same FileSourceSpec
+    seam as CSV/JSON: declared schema, rowTag, and malformed elements
+    quarantined instead of crashing the read."""
+    from pyspark.sql import types as T
+
+    from database_to_bigquery_spark.sources import (
+        FileSourceSpec,
+        read_file_source,
+        split_quarantine,
+    )
+
+    path = tmp_path / "x"
+    path.mkdir()
+    (path / "part-0.xml").write_text(
+        "<rows>"
+        "<row><id>1</id><name>ok</name></row>"
+        "<row><id>not-a-number</id><name>bad</name></row>"
+        "<row><id>2</id><name>also ok</name></row>"
+        "</rows>"
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    got = read_file_source(
+        spark, FileSourceSpec(path=str(path), format="xml", schema=schema)
+    )
+    good, bad = split_quarantine(got)
+    assert {tuple(r) for r in good.collect()} == {(1, "ok"), (2, "also ok")}
+    assert bad.count() == 1
