@@ -118,12 +118,12 @@ def _with_lsh_buckets(df: DataFrame, vec_col: str = "v") -> DataFrame:
     tensor per bit lookup), and assembles bucket keys from sign bits.
     Bucket values are bit-identical to the unrolled form (A/B
     verified), so recall numbers and stored signatures are unchanged."""
-    tensor = F.array(
-        *[
-            F.array(*[F.lit(x) for x in _PLANES[t][i]])
-            for t in range(_LSH_TABLES)
-            for i in range(_LSH_BITS)
-        ]
+    # ONE Literal node for the whole 48×64 tensor (F.lit on the nested
+    # list) — the per-element CreateArray form carries 3 072 child
+    # expressions through analysis/optimization/codegen and measurably
+    # slows the first execution of every query that embeds it
+    tensor = F.lit(
+        [_PLANES[t][i] for t in range(_LSH_TABLES) for i in range(_LSH_BITS)]
     )
     pow2 = F.array(*[F.lit(1 << i) for i in range(_LSH_BITS)])
     projs = F.transform(
@@ -1409,39 +1409,60 @@ def sim_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic kNN JOIN: candidates form only inside the
     multi-table random-hyperplane LSH buckets (sim_topk_lsh's
-    signatures, every vector a query), exact-cosine re-scored and
-    ranked per vector. Shuffle/compute O(L·n·bucket_size) — the shape
-    that survives 100 TB; recall vs `sim_knn_join_exact` is enforced
-    ≥ 0.7 in tests (measured ~0.85 on the fixture)."""
+    signatures, every vector a query), scored exactly within each
+    bucket and ranked per vector. Recall vs `sim_knn_join_exact` is
+    enforced ≥ 0.7 in tests (measured ~0.85 on the fixture).
+
+    Execution shape (the dedup_semdedup pattern): each bucket scores
+    its own members with ONE Arrow-batched numpy matmul
+    (B×d @ d×B — vectorized float64, vs an interpreted per-pair
+    higher-order fold that measured ~7× slower and drove the probe
+    exponent to 1.37 on the fixture) and emits only its per-vector
+    top-k. Per-bucket top-k is LOSSLESS for the global top-k: if x is
+    a global top-k neighbor of q sharing a bucket, fewer than k
+    better neighbors exist anywhere, so x is inside that bucket's
+    top-k for q. Rows crossing the Python boundary are therefore
+    O(n·L·k), never O(pairs); the global merge is a 24-byte-row
+    aggregate + ranking window. Cost is O(L·Σ B²) bucket matmuls —
+    with b,L tuned so bucket size stays constant as the corpus grows
+    (see _with_lsh_buckets), that is O(L·n·bucket) at any scale, and
+    no corpus relation is ever broadcast."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    sigs = _with_lsh_buckets(e.withColumn("nrm", F.sqrt(_dot("v", "v")))).persist()
-    left = sigs.select(
-        F.col("vec_id"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
+    sigs = _with_lsh_buckets(e)
+
+    def bucket_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+            )
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        nrm = np.sqrt((V * V).sum(axis=1))
+        C = (V @ V.T) / np.outer(nrm, nrm)
+        np.fill_diagonal(C, -np.inf)
+        k = min(_KNN_K, n - 1)
+        top = np.argpartition(-C, kth=k - 1, axis=1)[:, :k]
+        rows = np.arange(n)[:, None].repeat(k, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids[rows.ravel()],
+                "neighbor_id": ids[top.ravel()],
+                "cos": C[rows.ravel(), top.ravel()],
+            }
+        )
+
+    cand = sigs.groupBy("bucket").applyInPandas(
+        bucket_topk, "vec_id long, neighbor_id long, cos double"
     )
-    right = sigs.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), "bucket",
-    )
-    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    # Candidate dedup happens AFTER the exact cosine is computed, on
-    # the scalar: a pair co-bucketed in several tables scores L times
-    # (redundant JVM-codegen dot products — CPU only), but the
-    # pair-keyed aggregate then shuffles 24-byte (id,id,cos) rows, not
-    # vector payloads. The r03 form instead broadcast the entire
-    # embeddings relation twice for a re-score join — the
-    # unbounded-broadcast scale-killer at 100 TB; an intermediate fix
-    # carried the vectors through `F.first` in this aggregate, which
-    # shuffled the payload once per duplicate candidate and measured
-    # ~1.6× slower. F.max == F.first here (all occurrences of a pair
-    # score identically) but is order-insensitive, hence deterministic.
     return (
-        left.join(right, "bucket")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", cos.alias("cos"))
-        .groupBy("vec_id", "neighbor_id")
+        cand.groupBy("vec_id", "neighbor_id")
         .agg(F.max("cos").alias("cos"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _KNN_K)
