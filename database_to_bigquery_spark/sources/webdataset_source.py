@@ -26,11 +26,16 @@ from __future__ import annotations
 
 import os
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _SCHEMA = (
@@ -64,6 +69,12 @@ class WebDatasetDataSource(DataSource):
 
     def streamReader(self, schema) -> "WebDatasetStreamReader":
         return WebDatasetStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "WebDatasetBatchWriter":
+        return WebDatasetBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "WebDatasetStreamWriter":
+        return WebDatasetStreamWriter(self.options)
 
 
 class WebDatasetReader(DataSourceReader):
@@ -155,3 +166,96 @@ class WebDatasetStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # offsets are directory positions; nothing external to clean up
         pass
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    tmp_path: str
+    partition_id: int
+    n_members: int
+
+
+def _write_members_tar(rows, tmp_dir: str, partition_id: int) -> _ShardCommit:
+    """Executor-side: drain one partition's (key, ext, payload) rows
+    into a deterministic USTAR blob staged under a temp name; the
+    driver-side commit renames it to its final shard name. Members
+    sort by (key, ext) so a shard's bytes are a pure function of its
+    row set regardless of upstream ordering."""
+    from ..operators.training_prep import build_tar
+
+    members = sorted(
+        ((f"{r['key']}.{r['ext']}", bytes(r["payload"])) for r in rows),
+        key=lambda m: m[0],
+    )
+    os.makedirs(tmp_dir, exist_ok=True)
+    tmp = os.path.join(tmp_dir, f"_staging-p{partition_id:05d}.tar")
+    with open(tmp, "wb") as f:
+        f.write(build_tar(members))
+    return _ShardCommit(tmp_path=tmp, partition_id=partition_id, n_members=len(members))
+
+
+class WebDatasetBatchWriter(DataSourceWriter):
+    """``df.write.format("webdataset").mode(...).save(dir)`` — one
+    shard per partition, staged-then-renamed so a failed job leaves no
+    partial shard visible (the temp-stage + driver-commit pattern every
+    atomic committer uses; on object stores the rename becomes a
+    copy-commit, same protocol)."""
+
+    def __init__(self, options, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("webdataset writer requires a path")
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        return _write_members_tar(iterator, self._path, pid)
+
+    def commit(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(self._path, f"part-{m.partition_id:05d}.tar")
+            os.replace(m.tmp_path, final)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class WebDatasetStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("webdataset")`` — each micro-batch's
+    partitions land as ``shard-b<batch>-p<partition>.tar``. The final
+    name embeds the batch id and the rename happens at COMMIT time, so
+    a replayed micro-batch (failure before commit) overwrites its own
+    shards instead of duplicating them — idempotent exactly-once on
+    top of the checkpointed source offsets, the same contract the
+    repo's foreachBatch parquet sinks test."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("webdataset stream writer requires a path")
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        return _write_members_tar(iterator, self._path, pid)
+
+    def commit(self, messages, batchId):
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(
+                self._path, f"shard-b{batchId:06d}-p{m.partition_id:05d}.tar"
+            )
+            os.replace(m.tmp_path, final)
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

@@ -851,3 +851,75 @@ def test_webdataset_stream_reader_incremental_shards(spark, tmp_path):
     assert {(r["key"], r["ext"]) for r in rows} == {
         ("a", "txt"), ("b", "txt"), ("b", "json"), ("c", "txt")
     }
+
+
+def test_webdataset_stream_writer_shards_microbatches(spark, tmp_path):
+    """writeStream format("webdataset"): each micro-batch's partitions
+    become tar shards named by (batch, partition) at COMMIT time, and
+    the full member round trip through the batch reader recovers every
+    payload. Shard bytes must be deterministic (members sorted by key)."""
+    import hashlib
+
+    from database_to_bigquery_spark.sources.webdataset_source import (
+        WebDatasetDataSource,
+    )
+
+    spark.dataSource.register(WebDatasetDataSource)
+    src = tmp_path / "in"
+    out = tmp_path / "shards"
+    out.mkdir()
+    docs = spark.createDataFrame(
+        [(f"{i:06d}", "txt", f"doc {i}".encode()) for i in range(20)],
+        "key string, ext string, payload binary",
+    )
+    # 2 files -> 2 micro-batches
+    docs.filter("key < '000010'").coalesce(1).write.mode("append").parquet(str(src))
+    docs.filter("key >= '000010'").coalesce(1).write.mode("append").parquet(str(src))
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .coalesce(1)
+        .writeStream.format("webdataset")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    shards = sorted(p.name for p in out.glob("*.tar"))
+    assert len(shards) == 2 and all(s.startswith("shard-b") for s in shards)
+    assert not list(out.glob("_staging*"))  # staging cleaned up by commit
+    back = spark.read.format("webdataset").load(str(out))
+    rows = back.collect()
+    assert len(rows) == 20
+    want = {
+        (f"{i:06d}", hashlib.md5(f"doc {i}".encode()).hexdigest()) for i in range(20)
+    }
+    got = {(r["key"], hashlib.md5(bytes(r["payload"])).hexdigest()) for r in rows}
+    assert got == want
+
+
+def test_webdataset_batch_writer_roundtrip(spark, tmp_path):
+    """df.write.format("webdataset") — one shard per partition with
+    atomic stage-then-rename; reader round trip recovers all members."""
+    from database_to_bigquery_spark.sources.webdataset_source import (
+        WebDatasetDataSource,
+    )
+
+    spark.dataSource.register(WebDatasetDataSource)
+    out = tmp_path / "batch_shards"
+    out.mkdir()
+    docs = spark.createDataFrame(
+        [(f"{i:04d}", "txt", bytes([i]) * (i + 1)) for i in range(12)],
+        "key string, ext string, payload binary",
+    ).repartition(3)
+    docs.write.format("webdataset").mode("append").option("path", str(out)).save()
+    shards = sorted(p.name for p in out.glob("part-*.tar"))
+    assert len(shards) == 3
+    back = spark.read.format("webdataset").load(str(out))
+    assert back.count() == 12
+    got = {(r["key"], r["n_bytes"]) for r in back.collect()}
+    assert got == {(f"{i:04d}", i + 1) for i in range(12)}
