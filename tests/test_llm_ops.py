@@ -740,3 +740,54 @@ def test_webdataset_python_datasource(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_webdataset_reader_handles_foreign_tars(spark, tmp_path):
+    """Shards produced by OTHER tools aren't always clean USTAR: GNU
+    and PAX archives carry long (>100 char) member names via extra
+    header blocks, and may contain directory entries. The reader must
+    surface exactly the file members with full names and payloads —
+    tarfile parses the extensions; our layer must not choke on them."""
+    import hashlib
+    import io
+    import tarfile
+
+    from database_to_bigquery_spark.sources.webdataset_source import (
+        WebDatasetDataSource,
+    )
+
+    long_key = "k" * 120  # forces a long-name extension header
+    for fmt, fname in [
+        (tarfile.GNU_FORMAT, "gnu.tar"),
+        (tarfile.PAX_FORMAT, "pax.tar"),
+    ]:
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            di = tarfile.TarInfo(name="subdir")
+            di.type = tarfile.DIRTYPE
+            tf.addfile(di)
+            for name, data in [
+                (f"{long_key}.txt", b"long-name payload"),
+                ("subdir/short.json", b"{}"),
+            ]:
+                ti = tarfile.TarInfo(name=name)
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+        (tmp_path / fname).write_bytes(buf.getvalue())
+
+    spark.dataSource.register(WebDatasetDataSource)
+    rows = spark.read.format("webdataset").load(str(tmp_path)).collect()
+    # 2 archives x 2 file members; directory entries excluded
+    assert len(rows) == 4
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], set()).add(
+            (r["member_name"], r["key"], r["ext"],
+             hashlib.md5(bytes(r["payload"])).hexdigest())
+        )
+    want = {
+        (f"{long_key}.txt", long_key, "txt",
+         hashlib.md5(b"long-name payload").hexdigest()),
+        ("subdir/short.json", "short", "json", hashlib.md5(b"{}").hexdigest()),
+    }
+    assert by_shard == {"gnu.tar": want, "pax.tar": want}
