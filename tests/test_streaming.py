@@ -923,3 +923,65 @@ def test_webdataset_batch_writer_roundtrip(spark, tmp_path):
     assert back.count() == 12
     got = {(r["key"], r["n_bytes"]) for r in back.collect()}
     assert got == {(f"{i:04d}", i + 1) for i in range(12)}
+
+
+def test_stream_point_in_time_scd2_enrich_equals_batch(spark, sf_dir, tmp_path):
+    """Point-in-time SCD2 enrichment of a STREAM: the purchase facts
+    arrive as micro-batches and join the static SCD2 dimension with
+    the same equi-join + validity-interval predicate the batch
+    operator uses — a stateless stream-static join, so the identical
+    declarative plan runs under readStream with no watermark state.
+    This is the bitemporal-correctness guarantee (no future dimension
+    version leaks into an event's enrichment) in the streaming ETL
+    path the reference's daily warehouse loop would evolve into."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("d_user_id"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.col("event_id").alias("version_id"),
+        )
+        .localCheckpoint(eager=True)  # static side computed once
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    src = tmp_path / "facts"
+    for i in range(3):  # 3 micro-batches
+        facts.filter(F.col("purchase_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def enrich(f):
+        cond = (
+            (f["user_id"] == dim["d_user_id"])
+            & (f["purchase_ts"] >= dim["valid_from"])
+            & (dim["valid_to"].isNull() | (f["purchase_ts"] < dim["valid_to"]))
+        )
+        return f.join(dim, cond).select(
+            "user_id", "purchase_id", "purchase_ts", "version_id", "valid_from"
+        )
+
+    stream = (
+        spark.readStream.schema(facts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        enrich(stream)
+        .writeStream.format("memory")
+        .queryName("pit_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("pit_enrich").collect()}
+    want = {tuple(r) for r in enrich(facts).collect()}
+    assert got == want and len(got) > 0
