@@ -1436,3 +1436,132 @@ def ts_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("value") * F.col("wt")).cast("decimal(30,15)")).cast("double"), 6
         ).alias("decayed_value"),
     )
+
+
+# ------------------------------------------- SCD2 time travel ----------
+
+_TT_T1 = "2024-01-08 00:00:00"
+_TT_T2 = "2024-01-15 00:00:00"
+
+_SCD2_DIM_SQL = """
+      SELECT user_id,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             event_id AS version_id,
+             ROUND(value, 4) AS value
+      FROM events WHERE event_type = 'signup'
+"""
+
+
+@query(
+    "ts_scd2_as_of_snapshot",
+    oracle=f"""
+    WITH dim AS ({_SCD2_DIM_SQL})
+    SELECT user_id, version_id, valid_from, ROUND(value, 4) AS value
+    FROM dim
+    WHERE valid_from <= TIMESTAMP '{_TT_T2}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_TT_T2}')
+    """,
+)
+def ts_scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a plain table: reconstruct the dimension AS OF
+    a timestamp from its SCD2 validity intervals — the engine-native
+    answer to `SELECT ... TIMESTAMP AS OF` where no Delta/Iceberg
+    metadata layer exists (this environment ships neither; the
+    intervals ARE the version history, so any past state is one
+    filter away and needs no snapshot copies).
+
+    Scale: interval build is one key-partitioned window; the as-of
+    cut is a row-local filter — no join, no extra shuffle, and with
+    the history table day-partitioned on valid_from the filter prunes
+    partitions."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.lit(_TT_T2).cast("timestamp")
+    dim = ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.col("event_id").alias("version_id"),
+        F.round("value", 4).alias("value"),
+    )
+    return dim.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "version_id", "valid_from", "value")
+
+
+@query(
+    "ts_time_travel_diff",
+    oracle=f"""
+    WITH dim AS ({_SCD2_DIM_SQL}),
+    snap AS (
+      SELECT user_id, version_id, value,
+             CASE WHEN valid_from <= TIMESTAMP '{_TT_T1}'
+                   AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_TT_T1}')
+                  THEN 1 ELSE 0 END AS at_t1,
+             CASE WHEN valid_from <= TIMESTAMP '{_TT_T2}'
+                   AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_TT_T2}')
+                  THEN 1 ELSE 0 END AS at_t2
+      FROM dim),
+    keyed AS (
+      SELECT user_id,
+             MAX(CASE WHEN at_t1 = 1 THEN version_id END) AS v1,
+             MAX(CASE WHEN at_t2 = 1 THEN version_id END) AS v2
+      FROM snap WHERE at_t1 = 1 OR at_t2 = 1 GROUP BY user_id)
+    SELECT user_id, v1 AS version_t1, v2 AS version_t2,
+           CASE WHEN v1 IS NULL THEN 'added'
+                WHEN v2 IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM keyed WHERE v1 IS DISTINCT FROM v2
+    """,
+)
+def ts_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two points in time from the same SCD2
+    history: which keys were added, removed, or version-changed
+    between T1 and T2 — what `DESCRIBE HISTORY` + two time-travel
+    reads + an anti-join chain gives on a lakehouse table, here in
+    ONE pass over the interval table (each interval row knows its
+    membership in both snapshots, so the diff is a conditional
+    aggregate per key, not a join of two snapshot materializations).
+
+    Scale: one key-partitioned window for intervals + one groupBy on
+    the key; cost is independent of how far apart T1 and T2 are."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t1 = F.lit(_TT_T1).cast("timestamp")
+    t2 = F.lit(_TT_T2).cast("timestamp")
+    dim = ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.col("event_id").alias("version_id"),
+    )
+
+    def member(t):
+        return (F.col("valid_from") <= t) & (
+            F.col("valid_to").isNull() | (F.col("valid_to") > t)
+        )
+
+    keyed = (
+        dim.withColumn("at_t1", member(t1).cast("int"))
+        .withColumn("at_t2", member(t2).cast("int"))
+        .filter((F.col("at_t1") == 1) | (F.col("at_t2") == 1))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("at_t1") == 1, F.col("version_id"))).alias("version_t1"),
+            F.max(F.when(F.col("at_t2") == 1, F.col("version_id"))).alias("version_t2"),
+        )
+    )
+    return keyed.filter(
+        ~F.col("version_t1").eqNullSafe(F.col("version_t2"))
+    ).select(
+        "user_id",
+        "version_t1",
+        "version_t2",
+        F.when(F.col("version_t1").isNull(), "added")
+        .when(F.col("version_t2").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change"),
+    )
