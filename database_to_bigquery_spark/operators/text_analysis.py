@@ -1368,7 +1368,7 @@ def text_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     tot AS (SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens FROM scored),
     grid AS (SELECT ROUND(unnest(range(0, 11)) * 0.1, 1) AS thr)
-    SELECT ROUND(g.thr, 1) AS threshold,
+    SELECT CAST(ROUND(g.thr, 1) AS DOUBLE) AS threshold,
            CAST(COUNT(*) FILTER (s.quality >= g.thr) AS BIGINT) AS docs_kept,
            ROUND(COUNT(*) FILTER (s.quality >= g.thr) * 1.0 / ANY_VALUE(t.n_docs), 4)
              AS doc_retention,

@@ -614,7 +614,8 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                       0) AS hdr_offset
       FROM m)
     SELECT shard_id, doc_id, doc_id || '.txt' AS member_name, n_bytes,
-           hdr_offset, hdr_offset + 512 AS data_offset
+           CAST(hdr_offset AS BIGINT) AS hdr_offset,
+           CAST(hdr_offset + 512 AS BIGINT) AS data_offset
     FROM o
     """,
 )

@@ -891,7 +891,7 @@ def test_webdataset_stream_writer_shards_microbatches(spark, tmp_path):
 
     shards = sorted(p.name for p in out.glob("*.tar"))
     assert len(shards) == 2 and all(s.startswith("shard-b") for s in shards)
-    assert not list(out.glob("_staging*"))  # staging cleaned up by commit
+    assert not (out / ".staging").exists()  # staging cleaned up by commit
     back = spark.read.format("webdataset").load(str(out))
     rows = back.collect()
     assert len(rows) == 20
@@ -923,6 +923,122 @@ def test_webdataset_batch_writer_roundtrip(spark, tmp_path):
     assert back.count() == 12
     got = {(r["key"], r["n_bytes"]) for r in back.collect()}
     assert got == {(f"{i:04d}", i + 1) for i in range(12)}
+    assert not (out / ".staging").exists()
+
+
+def test_webdataset_overwrite_clears_stale_shards(spark, tmp_path):
+    """mode("overwrite") over a prior run with MORE partitions must
+    leave exactly this job's shards — stale part-*.tar mixed into the
+    corpus would silently corrupt the dataset (ADVICE r4)."""
+    from database_to_bigquery_spark.sources.webdataset_source import (
+        WebDatasetDataSource,
+    )
+
+    spark.dataSource.register(WebDatasetDataSource)
+    out = tmp_path / "ow"
+    out.mkdir()
+    docs = spark.createDataFrame(
+        [(f"{i:04d}", "txt", b"x" * (i + 1)) for i in range(40)],
+        "key string, ext string, payload binary",
+    )
+    docs.repartition(10).write.format("webdataset").mode("append").option(
+        "path", str(out)
+    ).save()
+    assert len(list(out.glob("part-*.tar"))) == 10
+    # second run: fewer partitions, overwrite — old p8/p9 must vanish
+    docs.limit(16).repartition(8).write.format("webdataset").mode(
+        "overwrite"
+    ).option("path", str(out)).save()
+    shards = sorted(p.name for p in out.glob("*.tar"))
+    assert len(shards) == 8 and shards == [f"part-{i:05d}.tar" for i in range(8)]
+    back = spark.read.format("webdataset").load(str(out))
+    assert back.count() == 16
+
+
+def test_webdataset_readers_ignore_staging_and_hidden(spark, tmp_path):
+    """In-flight/orphaned staging shards (hidden .staging dir, or a
+    legacy _-prefixed tar at top level) must be invisible to both the
+    batch reader and the stream reader's sorted-count offset model
+    (ADVICE r4: a '_staging' name sorts before 'shard-' and corrupted
+    the offset→shard mapping)."""
+    from database_to_bigquery_spark.operators.training_prep import build_tar
+    from database_to_bigquery_spark.sources.webdataset_source import (
+        WebDatasetDataSource,
+        WebDatasetStreamReader,
+    )
+
+    spark.dataSource.register(WebDatasetDataSource)
+    out = tmp_path / "dirty"
+    staging = out / ".staging"
+    staging.mkdir(parents=True)
+    for i in range(3):
+        (out / f"shard-{i:06d}.tar").write_bytes(
+            build_tar([(f"{i}.txt", f"doc {i}".encode())])
+        )
+    # orphaned in-flight garbage that must never be read as data
+    (staging / "p00000-a7.tar").write_bytes(build_tar([("zz.txt", b"junk")]))
+    (out / "_staging-p00001.tar").write_bytes(build_tar([("zz.txt", b"junk")]))
+
+    rows = spark.read.format("webdataset").load(str(out)).collect()
+    assert {r["key"] for r in rows} == {"0", "1", "2"}
+
+    sr = WebDatasetStreamReader({"path": str(out)})
+    assert sr.latestOffset() == {"n": 3}
+    parts = sr.partitions({"n": 0}, {"n": 3})
+    names = sorted(p.path.split("/")[-1] for p in parts)
+    assert names == [f"shard-{i:06d}.tar" for i in range(3)]
+
+
+def test_shard_fs_hadoop_file_uri_roundtrip(spark, tmp_path):
+    """The Hadoop-FS seam drives listing/rename/delete for URI paths —
+    exercised here with file:/ URIs through the real Hadoop FileSystem
+    stack (the same dispatch an s3a:// path would take on a cluster)."""
+    from database_to_bigquery_spark.sources.shard_fs import (
+        HadoopShardFS,
+        LocalShardFS,
+        fs_for,
+        has_uri_scheme,
+        strip_file_scheme,
+    )
+
+    assert isinstance(fs_for(str(tmp_path)), LocalShardFS)
+    uri = f"file://{tmp_path}"
+    fs = fs_for(uri)
+    assert isinstance(fs, HadoopShardFS)
+    assert has_uri_scheme("s3a://bucket/x") and not has_uri_scheme("/plain")
+    assert strip_file_scheme("file:/a/b.tar") == "/a/b.tar"
+    assert strip_file_scheme(f"file://{tmp_path}") == str(tmp_path)
+
+    (tmp_path / "a.tar").write_bytes(b"")
+    (tmp_path / "_hidden.tar").write_bytes(b"")
+    (tmp_path / ".staging").mkdir()
+    assert fs.list_tars(uri) == ["a.tar"]
+    assert fs.is_dir(uri) and fs.exists(f"{uri}/a.tar")
+    fs.mkdirs(f"{uri}/sub")
+    assert (tmp_path / "sub").is_dir()
+    # rename_over replaces an existing destination (commit semantics)
+    (tmp_path / "b.tar").write_bytes(b"new")
+    fs.rename_over(f"{uri}/b.tar", f"{uri}/a.tar")
+    assert (tmp_path / "a.tar").read_bytes() == b"new"
+    assert fs.list_tars(uri) == ["a.tar"]
+    fs.delete(f"{uri}/a.tar")
+    assert not (tmp_path / "a.tar").exists()
+    fs.delete(f"{uri}/sub")
+    assert not (tmp_path / "sub").exists()
+
+
+def test_webdataset_writer_rejects_object_store_path(spark):
+    """Non-file URI targets are rejected up front with the supported
+    route named, instead of staging executor-local bytes that a real
+    cluster's driver could never commit."""
+    import pytest as _pytest
+
+    from database_to_bigquery_spark.sources.webdataset_source import (
+        WebDatasetBatchWriter,
+    )
+
+    with _pytest.raises(ValueError, match="binaryFile"):
+        WebDatasetBatchWriter({"path": "s3a://bucket/corpus"}, overwrite=False)
 
 
 def test_stream_point_in_time_scd2_enrich_equals_batch(spark, sf_dir, tmp_path):

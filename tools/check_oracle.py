@@ -24,10 +24,18 @@ from database_to_bigquery_spark.session import get_spark
 
 def normalize_cell(v) -> str:
     import datetime as dt
+    import decimal
     import math
 
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        # Values are canonicalized so the VALUE comparison stays
+        # meaningful; the TYPE mismatch (DuckDB HUGEINT/DECIMAL vs
+        # Spark integer) is flagged separately in arrow_type_category.
+        if v == v.to_integral_value():
+            return str(int(v))
+        return repr(round(float(v), 9))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -44,6 +52,53 @@ def normalize_cell(v) -> str:
     if isinstance(v, list):
         return "[" + ",".join(normalize_cell(x) for x in v) + "]"
     return str(v)
+
+
+def spark_type_category(dtype: str) -> str:
+    d = dtype.lower()
+    if d in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "int"
+    if d in ("float", "double"):
+        return "float"
+    if d.startswith("decimal"):
+        return "decimal"
+    if d in ("string", "varchar", "char"):
+        return "str"
+    if d == "boolean":
+        return "bool"
+    if d == "date":
+        return "date"
+    if d.startswith("timestamp"):
+        return "ts"
+    if d == "binary":
+        return "bin"
+    if d.startswith("array"):
+        return "list"
+    return "other"
+
+
+def arrow_type_category(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    return "other"
 
 
 def value_hash(rows: list[tuple], colnames: list[str]) -> str:
@@ -80,6 +135,7 @@ def main() -> int:
         try:
             sdf = spec.fn(spark, args.sf_dir)
             s_cols = sdf.columns
+            s_dtypes = dict(sdf.dtypes)
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             failures.append(name)
@@ -89,14 +145,29 @@ def main() -> int:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            cur = con.execute(spec.oracle)
-            o_cols = [d[0] for d in cur.description]
-            o_rows = cur.fetchall()
+            # fetch_arrow_table (not fetchall) so DuckDB type artifacts
+            # that the external driver sees — HUGEINT→decimal128,
+            # DECIMAL sums — reproduce locally instead of being masked
+            # by the Python client's int coercion.
+            tbl = con.execute(spec.oracle).fetch_arrow_table()
+            o_cols = list(tbl.column_names)
+            o_types = {f.name: f.type for f in tbl.schema}
+            cols_data = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            o_rows = list(zip(*cols_data)) if tbl.num_columns else []
         except Exception as exc:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
         problems = []
+        for c in s_cols:
+            if c in o_types:
+                sc = spark_type_category(s_dtypes.get(c, ""))
+                oc = arrow_type_category(o_types[c])
+                if sc != oc:
+                    problems.append(
+                        f"type mismatch {c}: spark {s_dtypes.get(c)} vs "
+                        f"oracle {o_types[c]}"
+                    )
         if len(s_rows) != len(o_rows):
             problems.append(f"rowcount {len(s_rows)} vs {len(o_rows)}")
         if sorted(s_cols) != sorted(o_cols):
