@@ -112,20 +112,24 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_rollup",
     # CDC/merge family: delete-branch MERGE (r03 flagship, unattested)
     "q_merge_with_delete",
-    # X7 approx aggs + sketches
+    # X7 approx aggs + sketches (exact equi-depth + its approx
+    # production twin, r4 flagship — approx is rows-only by design)
     "q_histogram_equi_depth",
+    "q_histogram_equi_depth_approx",
     "text_bigram_kn_score",
     # X8 windows, X9 sort/limit/top-k
     "q_window_rank",
-    "q_join_cardinality_estimate",
     "q_topk_per_group",
-    "q_freshness_sla_audit",
+    # governance: l-diversity joins the k-anonymity gate (r4 flagship)
+    "q_l_diversity_audit",
     # X10 set ops, X11 scalar function library
     "q_set_ops",
     "text_vocab_growth",
     "q_json_extract",
-    "q_corpus_quality_report",
-    "q_class_balanced_sample",
+    # SCD2 time travel (r4 flagships — engine-native as-of snapshot +
+    # one-pass snapshot diff, the answer to env-blocked Delta/Iceberg)
+    "ts_scd2_as_of_snapshot",
+    "ts_time_travel_diff",
     # X12 dedup (exact, banded-LSH scale path; CC family now attested
     # via the pointer-jumping variant — dedup_clusters r02-green)
     "dedup_exact_text",
@@ -134,11 +138,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # X13 similarity / ANN
     "sim_topk_bruteforce",
     "ts_holt_winters",
-    # data layout family: Z-order zone map, oracle-bearing
-    "q_zorder_layout",
     # X14 text analysis + LLM filters
     "text_stats",
     "text_repeated_ngrams",
+    "text_quality_threshold_sweep",
     "sim_ivf_incremental_add",
     # X15 multimodal
     "mm_binary_metadata",

@@ -222,10 +222,54 @@ class JdbcSink(Sink):
     table: str = ""
     properties: dict[str, str] | None = None
     staged: bool = False
+    #: target namespace; None → the URL's dialect default (Derby APP,
+    #: PostgreSQL public, MSSQL dbo)
+    schema: str | None = None
+
+    def __post_init__(self):
+        # baseline for APPEND verification; None until write() runs
+        self._pre_rows: int | None = None
+
+    def _dialect(self):
+        from ..sources.dialects import DERBY, dialect_for_url
+
+        return dialect_for_url(self.url) or DERBY
+
+    def _warehouse_count(self, spark: SparkSession) -> int:
+        """Pushed-COUNT of the target table via the DSv2 catalog route
+        — one row over the wire (`sources/jdbc.py::read_jdbc_catalog`
+        compiles the aggregate into the database). Identifier casing
+        and namespace come from the URL's dialect, not hardcoded Derby
+        conventions."""
+        from ..sources.jdbc import JdbcSourceSpec, read_jdbc_catalog
+
+        d = self._dialect()
+        spec = JdbcSourceSpec(
+            url=self.url,
+            table=d.stored_identifier(self.table),
+            properties=self.properties or {},
+        )
+        return read_jdbc_catalog(
+            spark,
+            spec,
+            catalog=f"audit_{self.table.lower()}",
+            schema=self.schema or d.default_schema,
+        ).count()
 
     def write(self, df: DataFrame, mode: WriteMode) -> int:
         df, obs = _observed(self.prepare(df))  # S14 audit rides the write pass
         props = self.properties or {}
+        if mode is WriteMode.APPEND:
+            # baseline for delta verification: an appended table keeps
+            # prior days' rows, so verify_rowcount must compare the
+            # DELTA, not the total (first-ever load → missing table →
+            # baseline 0)
+            try:
+                self._pre_rows = self._warehouse_count(df.sparkSession)
+            except Exception:
+                self._pre_rows = 0
+        else:
+            self._pre_rows = 0
         if self.staged and mode is WriteMode.TRUNCATE:
             stage = f"{self.table}_stage"
             df.write.jdbc(self.url, stage, mode="overwrite", properties=props)
@@ -237,28 +281,22 @@ class JdbcSink(Sink):
     def verify_rowcount(self, spark: SparkSession, expected: int) -> int:
         """Target-side load verification: re-count the landed table IN
         THE WAREHOUSE via the DSv2 catalog route, whose aggregate
-        pushdown (`sources/jdbc.py::read_jdbc_catalog`) compiles the
-        COUNT into the database — one row crosses the wire, so the
-        audit stays metadata-priced at any table size (the observe()-
-        based count in write() measures what Spark SENT; this measures
-        what the warehouse KEPT — the pair catches driver/connector
-        truncation the send-side audit cannot). Raises on mismatch."""
-        from ..sources.jdbc import JdbcSourceSpec, read_jdbc_catalog
-
-        spec = JdbcSourceSpec(
-            url=self.url,
-            # JDBC stores create fold-to-upper on Derby/Oracle; the
-            # catalog resolves by stored name
-            table=self.table.upper(),
-            properties=self.properties or {},
-        )
-        got = read_jdbc_catalog(
-            spark, spec, catalog=f"audit_{self.table.lower()}"
-        ).count()
-        if got != expected:
+        pushdown compiles the COUNT into the database — one row
+        crosses the wire, so the audit stays metadata-priced at any
+        table size (the observe()-based count in write() measures what
+        Spark SENT; this measures what the warehouse KEPT — the pair
+        catches driver/connector truncation the send-side audit
+        cannot). ``expected`` is THIS RUN's rows_written; on APPEND
+        loads the check subtracts the pre-write baseline captured in
+        write(), so daily increments verify their own delta instead of
+        flagging prior days as a mismatch. Raises on mismatch."""
+        got = self._warehouse_count(spark)
+        delta = got - (self._pre_rows or 0)
+        if delta != expected:
             raise RuntimeError(
-                f"post-load audit mismatch on {self.table}: "
-                f"warehouse has {got} rows, expected {expected}"
+                f"post-load audit mismatch on {self.table}: warehouse "
+                f"gained {delta} rows ({got} total, baseline "
+                f"{self._pre_rows or 0}), expected {expected}"
             )
         return got
 

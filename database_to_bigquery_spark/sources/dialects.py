@@ -40,6 +40,22 @@ class Dialect:
     #: pushed verbatim to the source via the ``query`` reader option;
     #: must yield one lower-cased ``table_name`` column of base tables
     catalog_query: str
+    #: namespace an unqualified table lands in (catalog lookups);
+    #: MySQL scopes by the connection's database instead
+    default_schema: str = ""
+    #: how the engine stores UNQUOTED identifiers: "upper" (Derby,
+    #: Oracle), "lower" (PostgreSQL), "preserve" (MySQL, MSSQL)
+    identifier_fold: str = "preserve"
+
+    def stored_identifier(self, name: str) -> str:
+        """The catalog-stored form of an unquoted identifier — what a
+        DSv2 catalog lookup must ask for after ``df.write.jdbc``
+        created the table unquoted."""
+        if self.identifier_fold == "upper":
+            return name.upper()
+        if self.identifier_fold == "lower":
+            return name.lower()
+        return name
 
     def jdbc_url(self, host: str, database: str, port: int | None = None) -> str:
         """Credentials deliberately NOT in the URL — they travel as
@@ -61,6 +77,7 @@ MYSQL = Dialect(
         "SELECT table_name FROM information_schema.tables "
         "WHERE table_type = 'BASE TABLE' AND table_schema = '{schema}'"
     ),
+    identifier_fold="preserve",
 )
 
 POSTGRESQL = Dialect(
@@ -74,6 +91,8 @@ POSTGRESQL = Dialect(
         "SELECT table_name FROM information_schema.tables "
         "WHERE table_type = 'BASE TABLE' AND table_schema = '{schema}'"
     ),
+    default_schema="public",
+    identifier_fold="lower",
 )
 
 MSSQL = Dialect(
@@ -91,6 +110,8 @@ MSSQL = Dialect(
         "JOIN sys.schemas s ON s.schema_id = t.schema_id "
         "WHERE s.name = '{schema}'"
     ),
+    default_schema="dbo",
+    identifier_fold="preserve",
 )
 
 DERBY = Dialect(
@@ -102,6 +123,8 @@ DERBY = Dialect(
         'SELECT LOWER(CAST(tablename AS VARCHAR(128))) AS "table_name" '
         "FROM SYS.SYSTABLES WHERE tabletype = 'T'"
     ),
+    default_schema="APP",
+    identifier_fold="upper",
 )
 
 DIALECTS: dict[str, Dialect] = {
@@ -116,3 +139,15 @@ def get_dialect(name: str) -> Dialect:
         raise ValueError(
             f"unknown dialect {name!r}; choose from {sorted(DIALECTS)}"
         ) from None
+
+
+def dialect_for_url(url: str) -> Dialect | None:
+    """Resolve the dialect from a JDBC URL's subprotocol
+    (``jdbc:derby:...`` → DERBY); None for engines this module does
+    not model (callers fall back to their own defaults)."""
+    if not url.startswith("jdbc:"):
+        return None
+    sub = url[len("jdbc:") :].split(":", 1)[0].lower()
+    if sub == "sqlserver":
+        sub = "mssql"
+    return DIALECTS.get(sub)

@@ -678,11 +678,19 @@ def run_fuzzy_dedup_stream(
 
     def _read_admissions(sub: str, batch_id: int, schema: str) -> DataFrame:
         """Admitted relations from batches STRICTLY before batch_id;
-        empty relation when nothing was admitted yet."""
+        empty relation when nothing was admitted yet. Only the
+        missing-directory case is treated as "no admissions" — a
+        corrupt store or a transient FS error must propagate, because
+        silently deduping against nothing would re-admit duplicates
+        (ADVICE r4)."""
+        from pyspark.errors import AnalysisException
+
         try:
             df = spark.read.parquet(f"{admissions_dir}/{sub}")
-        except Exception:  # first batch: directory does not exist yet
-            return spark.createDataFrame([], schema)
+        except AnalysisException as exc:  # first batch: dir not there yet
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return spark.createDataFrame([], schema)
+            raise
         return df.filter(F.col("micro_batch_id") < batch_id).drop("micro_batch_id")
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:

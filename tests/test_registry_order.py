@@ -41,7 +41,11 @@ FAMILY_REPRESENTATIVES = {
     "X12+ semantic dedup": ["dedup_semdedup", "sim_semantic_decontamination"],
     "X13+ PQ compression": ["sim_topk_pq", "sim_topk_ivfpq"],
     "X14+ trained filter": ["text_quality_linear_probe", "text_bigram_kn_score"],
-    "governance": ["q_gdpr_erasure_audit", "q_freshness_sla_audit"],
+    "governance": [
+        "q_gdpr_erasure_audit",
+        "q_freshness_sla_audit",
+        "q_l_diversity_audit",
+    ],
     "ops/backfill": ["q_backfill_plan"],
     "CDC/merge": ["q_snapshot_diff_cdc", "q_merge_with_delete"],
     # round-4 rotation partners (previously unattested flagships)
@@ -49,6 +53,10 @@ FAMILY_REPRESENTATIVES = {
     "X15+ shard writer": ["mm_webdataset_write", "q_webdataset_shard_plan"],
     "ts forecasting": ["ts_holt_winters", "ts_stl_decompose"],
     "SQL recursion": ["q_recursive_month_spine"],
+    # round-5 rotation partners (r4 flagships, previously unattested)
+    "SCD2 time travel": ["ts_scd2_as_of_snapshot", "ts_time_travel_diff"],
+    "X14+ retention sweep": ["text_quality_threshold_sweep"],
+    "X7+ equi-depth": ["q_histogram_equi_depth", "q_histogram_equi_depth_approx"],
 }
 
 DRIVER_SAMPLE = 50

@@ -1025,6 +1025,72 @@ def test_jdbc_sink_verify_rowcount_pushes_count(spark, sf_dir, tmp_path):
         sink.verify_rowcount(spark, sent)
 
 
+def test_jdbc_sink_verify_rowcount_append_checks_delta(spark, sf_dir, tmp_path):
+    """On APPEND loads the warehouse total includes prior runs, so
+    verify_rowcount must check THIS run's delta against the pre-write
+    baseline — a second daily increment on a correct load used to be
+    reported as a mismatch (ADVICE r4)."""
+    import pytest as _pytest
+
+    from database_to_bigquery_spark.sinks.writers import JdbcSink, WriteMode
+
+    url = f"jdbc:derby:{tmp_path}/deltadb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sink = JdbcSink(url=url, table="nat_daily", properties=props)
+
+    # day 1: first-ever load (missing table → baseline 0)
+    day1 = nat.filter("n_nationkey < 10")
+    sent1 = sink.write(day1, WriteMode.APPEND)
+    assert sink.verify_rowcount(spark, sent1) == 10
+
+    # day 2: append on top of day 1 — verification must pass and the
+    # warehouse-total return reflects both days
+    day2 = nat.filter("n_nationkey >= 10")
+    sent2 = sink.write(day2, WriteMode.APPEND)
+    assert sent2 == 15
+    assert sink.verify_rowcount(spark, sent2) == 25
+
+    # a short delta (rows lost between write and audit) still raises
+    jvm = spark._sc._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.createStatement().executeUpdate(
+            'DELETE FROM nat_daily WHERE "n_nationkey" >= 20'
+        )
+    finally:
+        conn.close()
+    with _pytest.raises(RuntimeError, match="audit mismatch"):
+        sink.verify_rowcount(spark, sent2)
+
+
+def test_dialect_identifier_and_url_resolution():
+    """Dialect registry resolves from JDBC URLs and models per-engine
+    unquoted-identifier folding + default namespace, so target
+    verification is not hardwired to Derby conventions."""
+    from database_to_bigquery_spark.sources.dialects import (
+        DERBY,
+        MSSQL,
+        MYSQL,
+        POSTGRESQL,
+        dialect_for_url,
+    )
+
+    assert dialect_for_url("jdbc:derby:/tmp/db;create=true") is DERBY
+    assert dialect_for_url("jdbc:mysql://h:3306/db") is MYSQL
+    assert dialect_for_url("jdbc:postgresql://h:5432/db") is POSTGRESQL
+    assert dialect_for_url("jdbc:sqlserver://h:1433;databaseName=db") is MSSQL
+    assert dialect_for_url("not-a-jdbc-url") is None
+    assert dialect_for_url("jdbc:oracle:thin:@h:1521/db") is None
+
+    assert DERBY.stored_identifier("nat_daily") == "NAT_DAILY"
+    assert POSTGRESQL.stored_identifier("Nat_Daily") == "nat_daily"
+    assert MYSQL.stored_identifier("Nat_Daily") == "Nat_Daily"
+    assert DERBY.default_schema == "APP"
+    assert POSTGRESQL.default_schema == "public"
+    assert MSSQL.default_schema == "dbo"
+
+
 def test_xml_roundtrip_and_quarantine(spark, tmp_path):
     """Spark 4's built-in XML source through the same FileSourceSpec
     seam as CSV/JSON: declared schema, rowTag, and malformed elements
