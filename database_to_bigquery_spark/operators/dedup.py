@@ -287,13 +287,17 @@ _MH_B = [_rng.randrange(0, _MH_PRIME) for _ in range(_MH_K)]
 
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """(doc_id, sig: array<long>[k]) — one groupBy(doc) over the
+    """(doc_id, sig: array<long>[k], n) — one groupBy(doc) over the
     shingle relation; min((a_i·h+b_i) mod p) per permutation as a
-    single array expression. Shared by the full-corpus miner and the
-    incremental batch-vs-corpus probe (identical permutations, so
-    signatures computed in different runs are comparable — the
-    property that lets production store corpus signatures and only
-    compute the new batch's)."""
+    single array expression, plus the doc's distinct-shingle count
+    ``n`` riding the SAME aggregation (the exact-Jaccard denominator
+    every consumer needs later — folding it in here deletes a second
+    full pass over the ~60×-expanded shingle relation per side).
+    Shared by the full-corpus miner and the incremental
+    batch-vs-corpus probe (identical permutations, so signatures
+    computed in different runs are comparable — the property that
+    lets production store corpus signatures and only compute the new
+    batch's)."""
     sh = shingles.withColumn(
         "h", (F.hash("g").cast("long").bitwiseAND(F.lit((1 << 32) - 1))) % _MH_PRIME
     )
@@ -303,7 +307,9 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
             for a, b in zip(_MH_A, _MH_B)
         ]
     )
-    return sh.groupBy("doc_id").agg(perms.alias("sig"))
+    return sh.groupBy("doc_id").agg(
+        perms.alias("sig"), F.count("*").alias("n")
+    )
 
 
 def signature_bands(sig: DataFrame) -> DataFrame:
@@ -401,7 +407,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sh_a = shingles
-    sizes = sh_a.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # sizes ride the signature aggregation (minhash_signatures emits
+    # n) — no second pass over the expanded shingle relation
+    sizes = sig.select("doc_id", "n")
     # intersection count as an equi-join on BOTH (doc, gram) keys —
     # joining on doc alone and post-filtering grams would fan out to
     # |A|×|B| rows per candidate pair before filtering
@@ -729,12 +737,25 @@ def label_propagation_components(e: DataFrame) -> DataFrame:
     """Min-label propagation CC core (see dedup_clusters): returns a
     (node, label) DataFrame. Factored out so the empty-edge-set path
     (no near-dup pairs → empty labels, converges on round 1) is
-    directly testable."""
+    directly testable.
+
+    Convergence detection is join-free: labels are NON-INCREASING
+    under min-propagation, so Σ(label) strictly decreases on any round
+    where at least one node changed and is unchanged exactly at the
+    fixpoint. The driver compares the scalar across rounds, which
+    deletes the per-round V-row self-join the previous change-count
+    needed (the labels relation no longer appears twice per round) —
+    each round is now one edge join + one aggregation. The sum rides
+    the checkpoint materialization as an observe() metric, so there is
+    still exactly ONE job per round and the driver only ever sees a
+    scalar. decimal(38,0): Σ over 64-bit ids would overflow a long at
+    real corpus scale (ANSI mode makes that an error, not a wrap)."""
     from pyspark.sql import Observation
 
     labels = e.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    prev_sum = None
     for _ in range(20):  # >= graph diameter; loop exits at fixpoint
         obs = Observation()
         prop = (
@@ -743,23 +764,23 @@ def label_propagation_components(e: DataFrame) -> DataFrame:
             .unionByName(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .join(labels.select("node", F.col("label").alias("old")), "node")
             .observe(
                 obs,
                 # coalesce: SUM over an EMPTY label set (no near-dup
-                # pairs at all) is NULL, and int(None) would crash the
-                # convergence check where an empty result should just
-                # converge on round 1
+                # pairs at all) is NULL where an empty result should
+                # just converge
                 F.coalesce(
-                    F.sum((F.col("label") != F.col("old")).cast("long")), F.lit(0)
-                ).alias("changed"),
+                    F.sum(F.col("label").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("label_sum"),
             )
-            .select("node", "label")
             .localCheckpoint(eager=True)
         )
         labels = prop
-        if int(obs.get["changed"]) == 0:
+        s = obs.get["label_sum"]
+        if prev_sum is not None and s == prev_sum:
             break
+        prev_sum = s
     return labels
 
 
@@ -824,14 +845,26 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (batch_id, corpus_id, est_jaccard, jaccard) for true
     pairs ≥ 0.6."""
     shingles = char_shingles(spark, sf_dir).persist()
+    # ONE signature aggregation over the whole table, split afterwards:
+    # the batch/corpus sides otherwise each run their own groupBy over
+    # the expanded shingles (plus two more size passes) — the sig
+    # relation is docs × (64 longs + n), small enough to persist and
+    # filter twice for free
+    sig_all = minhash_signatures(shingles).persist()
     is_batch = F.col("doc_id") % 10 == 0
-    return cross_minhash_pairs(shingles.filter(is_batch), shingles.filter(~is_batch))
+    return cross_minhash_pairs(
+        shingles.filter(is_batch),
+        shingles.filter(~is_batch),
+        corpus_sig=sig_all.filter(~is_batch),
+        batch_sig=sig_all.filter(is_batch),
+    )
 
 
 def cross_minhash_pairs(
     batch_sh: DataFrame,
     corpus_sh: DataFrame,
     corpus_sig: DataFrame | None = None,
+    batch_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric banded-MinHash near-dup probe between two (doc_id, g)
     shingle relations: bucket join batch bands against corpus bands,
@@ -839,13 +872,16 @@ def cross_minhash_pairs(
     The shared core of `dedup_incremental_minhash` (batch split of one
     table) and the streaming fuzzy-dedup job (micro-batch against a
     standing corpus); fixed permutation constants make signatures
-    comparable across calls/runs. ``corpus_sig`` accepts the corpus's
-    PRECOMPUTED (doc_id, sig) relation — the production shape where
-    corpus signatures are materialized once and only the batch's are
-    hashed per probe (the fixed permutations make them comparable
-    across runs); omitted, they are derived from ``corpus_sh`` here.
+    comparable across calls/runs. ``corpus_sig``/``batch_sig`` accept
+    PRECOMPUTED (doc_id, sig, n) relations — the production shape
+    where corpus signatures are materialized once and only the
+    batch's are hashed per probe (the fixed permutations make them
+    comparable across runs); omitted, they are derived from the
+    shingle relations here. The ``n`` column doubles as the exact
+    Jaccard denominator, so no separate size pass over the expanded
+    shingles runs on either side.
     Returns (batch_id, corpus_id, est_jaccard, jaccard ≥ 0.6)."""
-    sig_b = minhash_signatures(batch_sh)
+    sig_b = batch_sig if batch_sig is not None else minhash_signatures(batch_sh)
     sig_c = corpus_sig if corpus_sig is not None else minhash_signatures(corpus_sh)
     cand = (
         signature_bands(sig_b)
@@ -875,8 +911,8 @@ def cross_minhash_pairs(
         # shared-vocabulary background before the exact (doc, gram) join
         .filter(F.col("est_jaccard") >= 0.45)
     )
-    sizes_b = batch_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sizes_c = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes_b = sig_b.select("doc_id", "n")
+    sizes_c = sig_c.select("doc_id", "n")
     pair_grams = (
         sig_est.join(batch_sh.select(F.col("doc_id").alias("batch_id"), "g"), "batch_id")
         .join(

@@ -703,7 +703,9 @@ def run_fuzzy_dedup_stream(
                 _read_admissions("shingles", batch_id, "doc_id long, g string")
             )
             sig_all = corpus_sig.unionByName(
-                _read_admissions("sigs", batch_id, "doc_id long, sig array<long>")
+                _read_admissions(
+                    "sigs", batch_id, "doc_id long, sig array<long>, n long"
+                )
             )
         matches = cross_minhash_pairs(batch_sh, sh_all, corpus_sig=sig_all)
         if admissions_dir is not None:
