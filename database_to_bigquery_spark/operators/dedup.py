@@ -375,8 +375,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(shingles).persist()
     # 3: bands → buckets. band_hash = md5 of the 4 joined values.
     bands = signature_bands(sig)
+    # merge (SMJ) hint: the bucket self-join's inputs are CORPUS-
+    # derived (docs × 16 band rows) — Catalyst's post-explode size
+    # estimate undershoots badly enough that at 250k docs it tries to
+    # BROADCAST a ~240 MB band relation (driver OOM). Sort-merge, not
+    # shuffle_hash: SHJ's per-partition hash build cannot spill and
+    # dies at 250k docs with 32 concurrent tasks sharing the pool
+    # ("Can't acquire ... to build hash relation"); SMJ sorts spill to
+    # disk, the only join shape that survives corpus×corpus at 100 TB.
     cand = (
         bands.alias("x")
+        .hint("merge")
         .join(
             bands.alias("y"),
             (F.col("x.band_idx") == F.col("y.band_idx"))
@@ -390,9 +399,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate set is tiny relative to the corpus). est_jaccard =
     # fraction of agreeing signature positions.
     agree = _sig_agreement()
+    # merge (SMJ) on the signature side: the (doc, sig[64]) relation
+    # is corpus-sized (~200 MB at 250k docs) and post-agg misestimates
+    # would broadcast it; SMJ spills, so the sig attach stays bounded
+    # per partition at any corpus size (SHJ's unspillable hash build
+    # does not — see the bucket-join note)
     sig_est = (
-        cand.join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
-        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
+        cand.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+            .hint("merge"),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+            .hint("merge"),
+            "doc_b",
+        )
         .withColumn("est_jaccard", F.round(agree.cast("double") / _MH_K, 4))
         .drop("sig_a", "sig_b")
         # cheap signature-based pre-filter before the exact (doc, gram)
@@ -412,24 +434,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sig.select("doc_id", "n")
     # intersection count as an equi-join on BOTH (doc, gram) keys —
     # joining on doc alone and post-filtering grams would fan out to
-    # |A|×|B| rows per candidate pair before filtering
+    # |A|×|B| rows per candidate pair before filtering. merge (SMJ)
+    # hints: the shingle relation is the CORPUS (~60× its text bytes);
+    # Catalyst's post-cache estimate undershoots and broadcast-OOMs
+    # past ~100k docs, no corpus relation broadcasts at 100 TB, and
+    # only SMJ's spillable sort survives building against it.
     pair_grams = (
-        sig_est.join(sh_a.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a")
+        sig_est.join(
+            sh_a.select(F.col("doc_id").alias("doc_a"), "g").hint("merge"),
+            "doc_a",
+        )
         .join(
-            sh_a.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g")),
+            sh_a.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g"))
+            .hint("merge"),
             ["doc_b", "g"],
         )
         .groupBy("doc_a", "doc_b", "est_jaccard")
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # sizes is O(corpus docs) — a broadcast would be ~16 B/doc, fine at
+    # fixture scale but 160 GB at 10 B docs; SMJ keeps the audit's
+    # no-corpus-broadcast invariant and spills instead of OOMing
     return (
         pair_grams.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+            .hint("merge"),
             "doc_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+            .hint("merge"),
             "doc_b",
         )
         .filter(jac >= 0.6)
@@ -685,14 +720,13 @@ CLUSTERS_ORACLE = f"""
     """
 
 
-def dup_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized near-dup edge list (src, dst) from the exact pair
-    mining. Symmetrize in ONE pass over the pair-mining result: a
+def _symmetrized_edges(pairs: DataFrame) -> DataFrame:
+    """Symmetrized (src, dst) edge list from a (doc_a, doc_b) pair
+    relation. Symmetrize in ONE pass over the pair-mining result: a
     unionByName of two selects would splice the (expensive) mining DAG
     into the plan twice and run it twice — explode(array(fwd, rev))
     reads it once. The checkpoint then pins the edge list for the
     iterative consumers (label propagation / pointer jumping)."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir)
     return (
         pairs.select(
             F.explode(
@@ -707,11 +741,24 @@ def dup_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_clusters", headline=True, oracle=CLUSTERS_ORACLE)
+def dup_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized near-dup edge list from the EXACT pair mining."""
+    return _symmetrized_edges(dedup_ngram_jaccard(spark, sf_dir))
+
+
+@query(
+    "dedup_clusters",
+    headline=True,
+    scale_twin="dedup_clusters_lsh",
+    oracle=CLUSTERS_ORACLE,
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components over the near-dup
     pair graph (Jaccard >= 0.6 from dedup_ngram_jaccard; the same
-    operator consumes MinHash candidate pairs at scale), labeling every
+    operator consumes MinHash candidate pairs at scale — that form is
+    `dedup_clusters_lsh`, the production twin; THIS form keeps the
+    exact blocked all-pairs miner upstream, which is the quadratic
+    part), labeling every
     doc with the minimum doc_id of its component — the canonical-keeper
     assignment that turns pairwise dedup output into per-cluster
     keep/drop decisions.
@@ -731,6 +778,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation_components(dup_graph_edges(spark, sf_dir)).groupBy(
         F.col("label").alias("component")
     ).agg(F.count("*").alias("cluster_size"))
+
+
+@query("dedup_clusters_lsh", headline=True, oracle=CLUSTERS_ORACLE)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering at scale: the SAME min-label-propagation
+    CC as `dedup_clusters`, but over the banded-MinHash pair miner
+    (`dedup_minhash_lsh`) instead of the exact blocked all-pairs
+    intersection — the composition a 100 TB dedup pipeline actually
+    runs (candidate pairs from LSH buckets, exact-verified, then
+    clustered for keep/drop). Upstream cost is the banded miner's
+    O(docs × bands + collisions), never doc²; the CC rounds are O(E)
+    each with E = the verified near-dup pairs, a vanishing fraction
+    of the corpus.
+
+    Carries the same recursive-CTE oracle as the exact form: banding
+    recall for Jaccard ≥ 0.6 is 1.0 on the fixtures (empirically —
+    the pair sets are identical at sf0.01 and sf0.1, 16 bands × 4
+    rows catches J ≳ 0.5 w.h.p.), so the cluster sizes agree exactly;
+    at adversarial thresholds the twin relationship (exact form =
+    `dedup_clusters`) documents the recall trade."""
+    return label_propagation_components(
+        _symmetrized_edges(dedup_minhash_lsh(spark, sf_dir))
+    ).groupBy(F.col("label").alias("component")).agg(
+        F.count("*").alias("cluster_size")
+    )
 
 
 def label_propagation_components(e: DataFrame) -> DataFrame:
@@ -865,6 +937,7 @@ def cross_minhash_pairs(
     corpus_sh: DataFrame,
     corpus_sig: DataFrame | None = None,
     batch_sig: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric banded-MinHash near-dup probe between two (doc_id, g)
     shingle relations: bucket join batch bands against corpus bands,
@@ -879,15 +952,24 @@ def cross_minhash_pairs(
     comparable across runs); omitted, they are derived from the
     shingle relations here. The ``n`` column doubles as the exact
     Jaccard denominator, so no separate size pass over the expanded
-    shingles runs on either side.
+    shingles runs on either side. ``corpus_bands`` likewise accepts a
+    PRECOMPUTED band relation for the corpus side — the streaming job
+    persists it hash-partitioned on the bucket key once, so each
+    micro-batch's bucket join reuses the cached partitioning instead
+    of re-deriving and re-shuffling the corpus bands per batch.
     Returns (batch_id, corpus_id, est_jaccard, jaccard ≥ 0.6)."""
     sig_b = batch_sig if batch_sig is not None else minhash_signatures(batch_sh)
     sig_c = corpus_sig if corpus_sig is not None else minhash_signatures(corpus_sh)
+    bands_c = corpus_bands if corpus_bands is not None else signature_bands(sig_c)
     cand = (
         signature_bands(sig_b)
         .alias("x")
+        # merge (SMJ): the corpus band relation is corpus-sized — see
+        # dedup_minhash_lsh's bucket join note (misestimated broadcast
+        # of a corpus relation OOMs the driver past ~100k docs)
+        .hint("merge")
         .join(
-            signature_bands(sig_c).alias("y"),
+            bands_c.alias("y"),
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_hash") == F.col("y.band_hash")),
         )
@@ -902,7 +984,8 @@ def cross_minhash_pairs(
             "batch_id",
         )
         .join(
-            sig_c.select(F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_b")),
+            sig_c.select(F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_b"))
+            .hint("merge"),  # corpus-sized sig relation — see miner note
             "corpus_id",
         )
         .withColumn("est_jaccard", F.round(_sig_agreement().cast("double") / _MH_K, 4))
@@ -913,10 +996,16 @@ def cross_minhash_pairs(
     )
     sizes_b = sig_b.select("doc_id", "n")
     sizes_c = sig_c.select("doc_id", "n")
+    # corpus-side relations (shingles, sizes) ride merge (SMJ) joins:
+    # they are O(corpus), must never broadcast, and only SMJ spills
+    # when building against them — see the full miner's pair_grams
+    # note (the batch side stays broadcastable when AQE's real stats
+    # say it is small)
     pair_grams = (
         sig_est.join(batch_sh.select(F.col("doc_id").alias("batch_id"), "g"), "batch_id")
         .join(
-            corpus_sh.select(F.col("doc_id").alias("corpus_id"), F.col("g").alias("g")),
+            corpus_sh.select(F.col("doc_id").alias("corpus_id"), F.col("g").alias("g"))
+            .hint("merge"),
             ["corpus_id", "g"],
         )
         .groupBy("batch_id", "corpus_id", "est_jaccard")
@@ -929,7 +1018,8 @@ def cross_minhash_pairs(
             "batch_id",
         )
         .join(
-            F.broadcast(sizes_c.select(F.col("doc_id").alias("corpus_id"), F.col("n").alias("nb"))),
+            sizes_c.select(F.col("doc_id").alias("corpus_id"), F.col("n").alias("nb"))
+            .hint("merge"),
             "corpus_id",
         )
         .filter(jac >= 0.6)

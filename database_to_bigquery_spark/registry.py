@@ -130,10 +130,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # one-pass snapshot diff, the answer to env-blocked Delta/Iceberg)
     "ts_scd2_as_of_snapshot",
     "ts_time_travel_diff",
-    # X12 dedup (exact, banded-LSH scale path; CC family now attested
-    # via the pointer-jumping variant — dedup_clusters r02-green)
+    # X12 dedup (exact, banded-LSH scale path; CC family rotates to the
+    # r5 production composition dedup_clusters_lsh — dedup_clusters
+    # r02-green, graph_cc_pointer_jumping r04-green)
     "dedup_exact_text",
-    "graph_cc_pointer_jumping",
+    "dedup_clusters_lsh",
     "mm_webdataset_read",
     # X13 similarity / ANN
     "sim_topk_bruteforce",

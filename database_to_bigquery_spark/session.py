@@ -64,7 +64,13 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] puts all 32 task slots in ONE driver JVM, so the
+        # heap must be sized like 32 executor cores' worth: 48g ≈
+        # 1.5g/task, the realistic per-core budget of a production
+        # executor (8g gave ~250MB/task and heap-OOMed corpus-scale
+        # sorts at 250k docs that a real cluster would absorb). The
+        # box has 128 GiB; override via SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
