@@ -1101,3 +1101,143 @@ def test_stream_point_in_time_scd2_enrich_equals_batch(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in spark.table("pit_enrich").collect()}
     want = {tuple(r) for r in enrich(facts).collect()}
     assert got == want and len(got) > 0
+
+
+def test_fuzzy_dedup_corpus_side_not_reshuffled(spark, sf_dir):
+    """The per-batch probe must reuse the persisted corpus layout:
+    every corpus-side join is a sort-merge join whose corpus input is
+    the cached relation DIRECTLY — no Exchange and no Sort may sit
+    between an InMemoryTableScan and its parent join, or the job
+    would re-shuffle/re-sort the standing corpus on every micro-batch
+    (the cost the layout exists to amortize). Runs the probe so AQE
+    finalizes, then walks the FINAL plan tree — AdaptiveSparkPlanExec
+    is a LeafExecNode, so the wrapper must be unwrapped via its
+    executedPlan accessor before walking (InMemoryTableScan is a
+    leaf, so cache-BUILD plans are naturally excluded)."""
+    from pyspark.sql import functions as F_  # noqa: N812
+
+    from database_to_bigquery_spark.operators.dedup import (
+        cross_minhash_pairs,
+        shingles_of,
+    )
+    from database_to_bigquery_spark.streaming.jobs import corpus_probe_relations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c_sh, c_sig, c_bands = corpus_probe_relations(
+        docs.filter(F_.col("doc_id") % 10 != 0)
+    )
+    try:
+        for df in (c_sh, c_sig, c_bands):
+            df.count()  # materialize the caches
+        probe = cross_minhash_pairs(
+            shingles_of(docs.filter(F_.col("doc_id") % 10 == 0).limit(50)),
+            c_sh,
+            corpus_sig=c_sig,
+            corpus_bands=c_bands,
+        )
+        probe.count()  # run: AQE finalizes every stage's plan
+        root = probe._jdf.queryExecution().executedPlan()
+
+        bad: list[str] = []
+        smj = [0]
+
+        def walk(node, parent_name):
+            name = node.nodeName()
+            if "AdaptiveSparkPlan" in name:  # leaf wrapper: descend
+                walk(node.executedPlan(), parent_name)
+                return
+            if "SortMergeJoin" in name:
+                smj[0] += 1
+            if "QueryStage" in name:  # Table/Shuffle/Broadcast stage
+                walk(node.plan(), parent_name)  # leaf wrappers: descend
+                return
+            if "InMemoryTableScan" in name and (
+                "Sort" == parent_name or "Exchange" in parent_name
+            ):
+                bad.append(f"{parent_name} -> {name}")
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i), name)
+
+        walk(root, "")
+        assert not bad, bad
+        # the band join, signature attach, verification join and size
+        # lookup are all corpus-sized: each must be an SMJ
+        assert smj[0] >= 4, f"expected >=4 SortMergeJoins, saw {smj[0]}"
+    finally:
+        for df in (c_sh, c_sig, c_bands):
+            df.unpersist()
+
+
+def test_fuzzy_dedup_admissions_cache_and_compaction(spark, tmp_path, monkeypatch):
+    """The in-memory admissions cache must agree with the on-disk
+    store across BOTH maintenance paths: incremental extension (batch
+    folds its own admission partition into the cache) and periodic
+    compaction (cache rebuilt from one scan). With compaction every 2
+    batches, a 4-batch stream exercises: admit -> extend, admit ->
+    compact, dup-of-batch-0-admission (probes the compacted cache,
+    admits nothing -> extension no-op path), dup-of-batch-1-admission
+    (probes the extended cache)."""
+    import os
+    import shutil
+    import time
+
+    from database_to_bigquery_spark.streaming import jobs
+    from database_to_bigquery_spark.streaming.jobs import run_fuzzy_dedup_stream
+
+    monkeypatch.setattr(jobs, "_ADMISSIONS_COMPACT_EVERY", 2)
+
+    base_a = (
+        "the quick brown fox jumps over the lazy dog while the band plays on "
+        "and the crowd cheers loudly through the long summer evening outside"
+    )
+    base_b = (
+        "colorless green ideas sleep furiously beneath the ancient stone bridge "
+        "as twelve silver fish swim upstream past the abandoned paper mill"
+    )
+    corpus_docs = spark.createDataFrame(
+        [(1, "completely unrelated corpus text about database engines and "
+             "query optimizers running distributed joins at petabyte scale")],
+        "doc_id long, text string",
+    )
+    batches = [
+        (100, base_a),             # novel -> admitted (extend path)
+        (201, base_b),             # novel -> admitted (compaction fires after)
+        (302, base_a + " again"),  # near-dup of admission 100
+        (403, base_b + " again"),  # near-dup of admission 201
+    ]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    for i, (doc_id, text) in enumerate(batches):
+        spark.createDataFrame([(doc_id, text)], "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / f"f{i}"))
+        for p in (tmp_path / f"f{i}").glob("part-*.parquet"):
+            dst = src / f"{i}-doc.parquet"
+            shutil.copy(p, dst)
+            os.utime(dst, (time.time() - 400 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out, ckpt, adm = tmp_path / "matches", tmp_path / "ckpt", tmp_path / "admissions"
+    q = run_fuzzy_dedup_stream(
+        stream, corpus_docs, str(out), str(ckpt), admissions_dir=str(adm)
+    )
+    q.awaitTermination()
+
+    pairs = {
+        (r["batch_id"], r["corpus_id"])
+        for r in spark.read.parquet(str(out)).select("batch_id", "corpus_id").collect()
+    }
+    assert pairs == {(302, 100), (403, 201)}
+    admitted = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(adm / "shingles"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert admitted == {100, 201}
