@@ -343,6 +343,38 @@ def _sig_agreement() -> F.Column:
     )
 
 
+# Band buckets larger than this are dropped before any bucket join.
+# The bucket join's cost is Σ n_b² (n_b·m_b on asymmetric probes): at
+# 250k twin docs the top buckets reach ~8k members and 99.98% of the
+# 181M candidate pairs they generate verify FALSE — a band hash shared
+# by thousands of documents is boilerplate, the posting-list stopword
+# of LSH, carrying no discriminative signal. Dropping it is the
+# standard production move and is nearly lossless because a true
+# near-dup pair has 16 independent band collisions to survive on:
+# measured recall of verified J ≥ 0.6 pairs is 1.0000 at sf0.1
+# (5k docs, hottest bucket 727) and 0.9996 at the 50k-doc twin
+# (2671/2672), while the x50 miner wall drops ~8 min → seconds. The
+# sf0.01 oracle fixtures' hottest bucket is 72, so the cap NEVER
+# binds where exactness is asserted.
+_LSH_BUCKET_CAP = 256
+
+
+def drop_hot_buckets(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
+    """Remove LSH band buckets with more than ``cap`` members (see
+    `_LSH_BUCKET_CAP`). The bucket population rides a window COUNT
+    partitioned by the bucket key — the exact key the downstream
+    bucket join shuffles on, so this adds ZERO exchanges: the window's
+    shuffle IS the join's shuffle (and on the streaming path's
+    part-sorted cached band relations it needs neither exchange nor
+    sort)."""
+    w = W.partitionBy("band_idx", "band_hash")
+    return (
+        bands.withColumn("_bucket_n", F.count("*").over(w))
+        .filter(F.col("_bucket_n") <= cap)
+        .drop("_bucket_n")
+    )
+
+
 @query("dedup_minhash_lsh", headline=True)  # approximate → rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, exact-verified.
@@ -374,7 +406,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage of every LSH pipeline (MEMORY_AND_DISK spills if huge).
     sig = minhash_signatures(shingles).persist()
     # 3: bands → buckets. band_hash = md5 of the 4 joined values.
-    bands = signature_bands(sig)
+    # Hot buckets dropped first: the self-join's Σ n_b² cost is what
+    # turns bucket skew into a quadratic blowup (see _LSH_BUCKET_CAP).
+    bands = drop_hot_buckets(signature_bands(sig))
     # merge (SMJ) hint: the bucket self-join's inputs are CORPUS-
     # derived (docs × 16 band rows) — Catalyst's post-explode size
     # estimate undershoots badly enough that at 250k docs it tries to
@@ -805,6 +839,117 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_incremental_clusters", oracle=CLUSTERS_ORACLE)
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected-component maintenance: a new crawl batch
+    lands against an already-clustered corpus, and the standing
+    cluster labels are UPDATED without re-running CC over the corpus's
+    own edges — the missing piece between `dedup_incremental_minhash`
+    (which finds the new pairs) and `dedup_clusters_lsh` (which
+    recomputes everything). Fixture split matches the incremental
+    miner: doc_id % 10 == 0 is the incoming batch.
+
+    The incremental step works on the LABEL graph, not the document
+    graph: each new edge (batch doc ⨝ corpus doc, or batch-internal)
+    is mapped to the pair of component labels it connects (standing
+    label for clustered corpus docs, own id otherwise), and min-label
+    CC runs over those label pairs only — a graph whose nodes are
+    merged-cluster representatives, O(new edges), independent of
+    corpus size. The resulting remap rewrites only the affected
+    labels; untouched components never enter a join bigger than the
+    remap itself. Min-label is closed under this composition: a
+    standing label is the min doc_id of its component, so the min
+    over merged labels is the min over all member docs — incremental
+    output is EXACTLY the full recompute (the oracle runs the full
+    recursive-CTE CC over all pairs).
+
+    At 100 TB the remap is the per-batch delta a production pipeline
+    appends to a label-remap chain and folds into the standing label
+    table on its compaction cadence (same LSM discipline as the
+    streaming admissions store); the standing-state build below is
+    the one-time backfill, not the per-batch cost."""
+    shingles = char_shingles(spark, sf_dir).persist()
+    sig_all = minhash_signatures(shingles).persist()
+    is_batch = F.col("doc_id") % 10 == 0
+    corpus_sh, inc_sh = shingles.filter(~is_batch), shingles.filter(is_batch)
+    corpus_sig, inc_sig = sig_all.filter(~is_batch), sig_all.filter(is_batch)
+
+    # STANDING state (in production a maintained table, built once):
+    # corpus-internal near-dup pairs and their min-label components.
+    corpus_pairs = cross_minhash_pairs(
+        corpus_sh, corpus_sh, corpus_sig=corpus_sig, batch_sig=corpus_sig
+    ).filter(F.col("batch_id") < F.col("corpus_id"))
+    standing = label_propagation_components(
+        _symmetrized_edges(
+            corpus_pairs.select(
+                F.col("batch_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
+            )
+        )
+    )
+
+    # INCREMENTAL step — everything below is O(batch × bands +
+    # collisions + affected labels), never corpus × corpus.
+    inc_vs_corpus = cross_minhash_pairs(
+        inc_sh, corpus_sh, corpus_sig=corpus_sig, batch_sig=inc_sig
+    )
+    inc_internal = cross_minhash_pairs(
+        inc_sh, inc_sh, corpus_sig=inc_sig, batch_sig=inc_sig
+    ).filter(F.col("batch_id") < F.col("corpus_id"))
+    # checkpoint: the edge list feeds three consumers (two label
+    # lookups + the node set); without pinning, the banded mining DAG
+    # would splice into the plan three times
+    new_edges = (
+        inc_vs_corpus.unionByName(inc_internal)
+        .select(F.col("batch_id").alias("a"), F.col("corpus_id").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+
+    # map each new edge to the component labels it connects; a node
+    # outside the standing labels (unclustered corpus doc or batch
+    # doc) is its own label
+    label_pairs = (
+        new_edges.join(
+            standing.select(F.col("node").alias("a"), F.col("label").alias("la")),
+            "a",
+            "left",
+        )
+        .join(
+            standing.select(F.col("node").alias("b"), F.col("label").alias("lb")),
+            "b",
+            "left",
+        )
+        .select(
+            F.coalesce("la", F.col("a")).alias("doc_a"),
+            F.coalesce("lb", F.col("b")).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    remap = label_propagation_components(_symmetrized_edges(label_pairs))
+
+    # node universe = every edge endpoint (the oracle's CC counts
+    # exactly the docs with at least one near-dup edge)
+    new_nodes = (
+        new_edges.select(F.col("a").alias("node"))
+        .unionByName(new_edges.select(F.col("b").alias("node")))
+        .distinct()
+        .join(standing.select("node"), "node", "left_anti")
+        .withColumn("label", F.col("node"))
+    )
+    final = (
+        standing.unionByName(new_nodes)
+        # remap is checkpointed with real stats and affected-labels
+        # sized — AQE broadcasts it on its own evidence
+        .join(
+            remap.select(F.col("node").alias("label"), F.col("label").alias("merged")),
+            "label",
+            "left",
+        )
+        .select(F.coalesce("merged", F.col("label")).alias("component"))
+    )
+    return final.groupBy("component").agg(F.count("*").alias("cluster_size"))
+
+
 def label_propagation_components(e: DataFrame) -> DataFrame:
     """Min-label propagation CC core (see dedup_clusters): returns a
     (node, label) DataFrame. Factored out so the empty-edge-set path
@@ -954,15 +1099,23 @@ def cross_minhash_pairs(
     Jaccard denominator, so no separate size pass over the expanded
     shingles runs on either side. ``corpus_bands`` likewise accepts a
     PRECOMPUTED band relation for the corpus side — the streaming job
-    persists it hash-partitioned on the bucket key once, so each
-    micro-batch's bucket join reuses the cached partitioning instead
-    of re-deriving and re-shuffling the corpus bands per batch.
+    persists it hash-partitioned on the bucket key once (ALREADY
+    hot-bucket-capped by `probe_layout`), so each micro-batch's bucket
+    join reuses the cached partitioning instead of re-deriving and
+    re-shuffling the corpus bands per batch; a corpus side derived
+    here is capped here. Both sides are capped independently — the
+    probe join's per-bucket cost is n_batch × n_corpus, so either
+    side's hot bucket blows it up (see _LSH_BUCKET_CAP).
     Returns (batch_id, corpus_id, est_jaccard, jaccard ≥ 0.6)."""
     sig_b = batch_sig if batch_sig is not None else minhash_signatures(batch_sh)
     sig_c = corpus_sig if corpus_sig is not None else minhash_signatures(corpus_sh)
-    bands_c = corpus_bands if corpus_bands is not None else signature_bands(sig_c)
+    bands_c = (
+        corpus_bands
+        if corpus_bands is not None
+        else drop_hot_buckets(signature_bands(sig_c))
+    )
     cand = (
-        signature_bands(sig_b)
+        drop_hot_buckets(signature_bands(sig_b))
         .alias("x")
         # merge (SMJ): the corpus band relation is corpus-sized — see
         # dedup_minhash_lsh's bucket join note (misestimated broadcast

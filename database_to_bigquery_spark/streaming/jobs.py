@@ -620,12 +620,18 @@ def probe_layout(sh: DataFrame, sig: DataFrame) -> tuple[DataFrame, DataFrame, D
     standing side's exchange and its sort: only the O(batch) side
     shuffles and sorts per micro-batch
     (test_fuzzy_dedup_corpus_side_not_reshuffled asserts this on the
-    executed plan). Callers own the persisted relations' lifetime."""
-    from ..operators.dedup import signature_bands
+    executed plan). The band relation is hot-bucket-capped HERE, once
+    at layout build (`dedup.drop_hot_buckets` — its window rides the
+    same bucket-key shuffle the part-sort needs), so per-batch probes
+    pay neither the cap scan nor hot-bucket join blowups. Callers own
+    the persisted relations' lifetime."""
+    from ..operators.dedup import drop_hot_buckets, signature_bands
 
     sh = _part_sort(sh, "doc_id", "g")
     sig = _part_sort(sig, "doc_id")
-    bands = _part_sort(signature_bands(sig), "band_idx", "band_hash")
+    bands = _part_sort(
+        drop_hot_buckets(signature_bands(sig)), "band_idx", "band_hash"
+    )
     return sh, sig, bands
 
 

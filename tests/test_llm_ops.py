@@ -392,6 +392,25 @@ def test_pointer_jumping_cc_equals_label_propagation(spark, sf_dir):
     assert a == b and a
 
 
+def test_incremental_clusters_equal_full_recompute(spark, sf_dir):
+    """Incremental CC maintenance (standing labels + label-graph remap
+    over the new batch's edges) must equal the full recompute exactly:
+    min-label is closed under the merge (a standing label is its
+    component's min doc_id, so the min over merged labels is the min
+    over all member docs). dedup_clusters_lsh recomputes CC over ALL
+    edges; dedup_incremental_clusters only ever runs CC over the
+    corpus-internal edges (standing state) and the label pairs the new
+    batch's edges connect."""
+    from database_to_bigquery_spark.operators.dedup import (
+        dedup_clusters_lsh,
+        dedup_incremental_clusters,
+    )
+
+    a = {tuple(r) for r in dedup_incremental_clusters(spark, sf_dir).collect()}
+    b = {tuple(r) for r in dedup_clusters_lsh(spark, sf_dir).collect()}
+    assert a == b and a
+
+
 def test_triangle_count_lsh_matches_exact_on_fixture(spark, sf_dir):
     """The LSH-fed triangle counter (sub-quadratic edge source) must
     agree exactly with the all-pairs exact variant on the fixture,
