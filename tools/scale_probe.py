@@ -38,6 +38,7 @@ TWIN_SF_DIRS = [
 ]
 TWIN_PROBES = {
     "dedup_minhash_lsh",
+    "dedup_incremental_clusters",
     "dedup_clusters_lsh",
     "dedup_incremental_minhash",
     "text_repeated_ngrams",
@@ -87,8 +88,10 @@ DEFAULT_PROBES = [
     "text_bpe_tokenize",
     "text_repeated_ngrams",
     # round-5: CC over the banded miner (production twin of
-    # dedup_clusters, whose exact upstream is the quadratic part)
+    # dedup_clusters, whose exact upstream is the quadratic part) and
+    # incremental label maintenance over the label graph
     "dedup_clusters_lsh",
+    "dedup_incremental_clusters",
 ]
 
 # the table whose row count drives each probe's input size
@@ -121,6 +124,7 @@ DRIVER_TABLE = {
     "sim_knn_join_exact": "embeddings",
     "sim_knn_join_lsh": "embeddings",
     "dedup_clusters_lsh": "documents",
+    "dedup_incremental_clusters": "documents",
 }
 
 
