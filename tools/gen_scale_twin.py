@@ -8,9 +8,10 @@ its bytes): documents draw 10-100 words from a Zipf-weighted
 vocabulary headed by the fixture's own 31 words, with ~5% of docs
 created as mutated near-copies of an earlier doc (the near-dup
 cluster structure the dedup operators mine) and a small exact-dup
-tail; embeddings are per-label Gaussians fit to sf0.1's 10 label
-clusters (64-dim float, same list<float> schema). Seeded,
-deterministic.
+tail; embeddings are label-count-matched Gaussian CLUSTERS with
+realistic separation (see WITHIN_COS — the fixture's own embeddings
+are isotropic noise, an artifact no trained embedding corpus shares).
+Seeded, deterministic.
 
 Why the vocabulary grows past the fixture's 31 words: a 31-word
 closed vocabulary puts every RANDOM doc pair at ~0.3 character-5-gram
@@ -108,14 +109,33 @@ def gen_documents(n: int, vocab, lang_dist, rng: np.random.Generator):
     )
 
 
+# Within-cluster cosine for the synthetic embedding clusters. The
+# FIXTURE's embeddings are isotropic noise (measured: within-label
+# AND cross-label mean cosine both 0.000; a vector's true top-5
+# neighbors share its label 9% of the time — chance). That is a
+# fixture artifact no real embedding corpus shares: trained text/image
+# embeddings are strongly clustered (within-topic cosine ~0.5-0.7 for
+# sentence-embedding families), and it is exactly that structure that
+# makes sublinear ANN possible — on isotropic data, concentration of
+# measure makes every index degenerate to exhaustive search. The twin
+# therefore gives each label a unit-direction mean with noise scaled
+# so E[within-label cosine] ≈ this value (cross-label ≈ 0), measuring
+# the INDEX's behavior on realistic geometry rather than the noise
+# floor's.
+WITHIN_COS = 0.55
+
+
 def gen_embeddings(n: int, by_label, dim: int, rng: np.random.Generator):
-    labels = rng.integers(0, len(by_label), size=n)
-    out = np.empty((n, dim), dtype=np.float32)
-    for lab, (mu, sd) in by_label.items():
-        sel = labels == lab
-        out[sel] = mu + sd * rng.standard_normal((int(sel.sum()), dim)).astype(
-            np.float32
-        )
+    n_labels = len(by_label)
+    labels = rng.integers(0, n_labels, size=n)
+    # unit cluster directions; noise std from s^2/(s^2 + d*sigma^2) =
+    # WITHIN_COS with s = 1
+    dirs = rng.standard_normal((n_labels, dim))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    sigma = np.sqrt((1.0 / WITHIN_COS - 1.0) / dim)
+    out = (
+        dirs[labels] + sigma * rng.standard_normal((n, dim))
+    ).astype(np.float32)
     return pa.table(
         {
             "vec_id": np.arange(n, dtype=np.int64),

@@ -42,7 +42,7 @@ TWIN_PROBES = {
     "dedup_clusters_lsh",
     "dedup_incremental_minhash",
     "text_repeated_ngrams",
-    "sim_knn_join_lsh",
+    "sim_knn_join_ivf",
 }
 
 # scale-critical representatives: scans/joins/aggs (lineitem-bound),
@@ -79,6 +79,7 @@ DEFAULT_PROBES = [
     "mm_webdataset_write",
     "sim_knn_join_exact",
     "sim_knn_join_lsh",
+    "sim_knn_join_ivf",
     # round-4: the approx histogram production twin probed next to its
     # exact form — bounded sketch buffer vs full-value buffer
     "q_histogram_equi_depth_approx",
@@ -123,6 +124,7 @@ DRIVER_TABLE = {
     "mm_webdataset_write": "documents",
     "sim_knn_join_exact": "embeddings",
     "sim_knn_join_lsh": "embeddings",
+    "sim_knn_join_ivf": "embeddings",
     "dedup_clusters_lsh": "documents",
     "dedup_incremental_clusters": "documents",
 }
