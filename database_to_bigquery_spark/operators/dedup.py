@@ -1446,7 +1446,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ SemDeDup ----
 
-_SEM_K = 4  # k-means cells
+_SEM_K = 4  # k-means cell floor (the fixture-exact configuration)
+_SEM_CELL = 500  # target members per cell: k grows with the corpus
 _SEM_TAU = 0.4  # dup threshold (fixture cosine range tops out ~0.51)
 
 
@@ -1457,7 +1458,8 @@ _SEM_TAU = 0.4  # dup threshold (fixture cosine range tops out ~0.51)
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
-    c0 AS (SELECT vec_id AS cl, v AS cv FROM e WHERE vec_id < {_SEM_K}),
+    c0 AS (SELECT vec_id AS cl, v AS cv FROM e WHERE vec_id <
+           (SELECT greatest({_SEM_K}, CAST(ceil(COUNT(*) / {_SEM_CELL}.0) AS BIGINT)) FROM e)),
     a1 AS (
       SELECT vec_id, cl FROM (
         SELECT e.vec_id, c0.cl,
@@ -1545,7 +1547,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return acc
 
     e = e.withColumn("nrm", F.sqrt(dot("v", "v"))).persist()
-    c0 = e.filter(F.col("vec_id") < _SEM_K).select(
+    # k grows with the corpus so CELL SIZE stays fixed — the docstring's
+    # own scale claim, now executable: fixed k made cells (and their
+    # per-cell matmuls) grow linearly, the same fixed-parameter failure
+    # the LSH bucket cap and adaptive IVF cells fixed. ceil on both
+    # sides (not round: Python rounds half-even, DuckDB half-away).
+    # At the sf0.01 oracle fixture this is exactly _SEM_K, so the
+    # cross-engine equality is unchanged where it is asserted.
+    k = max(_SEM_K, -(-e.count() // _SEM_CELL))
+    c0 = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cl"), F.col("v").alias("cv")
     )
 
@@ -1561,7 +1571,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         w = W.partitionBy("vec_id").orderBy("d2", "cl")
         return (
-            e.join(F.broadcast(bounded(cents, _SEM_K)))
+            e.join(F.broadcast(bounded(cents, k)))
             .withColumn("d2", d2)
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)

@@ -43,6 +43,8 @@ TWIN_PROBES = {
     "dedup_incremental_minhash",
     "text_repeated_ngrams",
     "sim_knn_join_ivf",
+    "dedup_semdedup",
+    "sim_ivf_incremental_add",
 }
 
 # scale-critical representatives: scans/joins/aggs (lineitem-bound),
@@ -83,6 +85,7 @@ DEFAULT_PROBES = [
     # round-4: the approx histogram production twin probed next to its
     # exact form — bounded sketch buffer vs full-value buffer
     "q_histogram_equi_depth_approx",
+    "sim_ivf_incremental_add",
     # round-4 late: current TIMINGS top entries not yet probed, plus
     # the new exact-substring flagship
     "text_span_dedup_c4",
@@ -125,6 +128,7 @@ DRIVER_TABLE = {
     "sim_knn_join_exact": "embeddings",
     "sim_knn_join_lsh": "embeddings",
     "sim_knn_join_ivf": "embeddings",
+    "sim_ivf_incremental_add": "embeddings",
     "dedup_clusters_lsh": "documents",
     "dedup_incremental_clusters": "documents",
 }
