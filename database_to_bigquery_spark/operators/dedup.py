@@ -1569,13 +1569,19 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.zip_with("cv", "cv", lambda u, c: u * c), F.lit(0.0), lambda a, z: a + z
             )
         )
-        w = W.partitionBy("vec_id").orderBy("d2", "cl")
+        # argmin as MIN(struct(d2, cl)) — lexicographic min is exactly
+        # the old row_number(orderBy d2, cl) pick, but partial
+        # aggregation collapses the n×k broadcast-join rows map-side:
+        # the shuffle carries n 16-byte structs, where the window form
+        # shuffled all n×k rows WITH their 512-byte vector payloads
+        # into a per-vector sort (measured 177 s at 20k×40 cells; this
+        # form is seconds).
         return (
             e.join(F.broadcast(bounded(cents, k)))
-            .withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cl", "d2")
+            .select("vec_id", d2.alias("d2"), "cl")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cl")).alias("m"))
+            .select("vec_id", F.col("m.cl").alias("cl"), F.col("m.d2").alias("d2"))
         )
 
     a1 = assign(c0).select("vec_id", "cl")
