@@ -1522,7 +1522,9 @@ def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [r["v"] for r in e.orderBy("vec_id").limit(_KNN_IVF_SAMPLE).collect()],
         dtype=np.float64,
     )
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    # norm clipped at eps (the faiss convention): an all-zero embedding
+    # must yield cosine 0 everywhere, not NaN-poison the centroids
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     C = sample[:k].copy()
     k = len(C)  # tiny corpora: fewer sample rows than requested cells
     for _ in range(5):
@@ -1531,7 +1533,7 @@ def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             members = sample[assign == c]
             if len(members):
                 C[c] = members.mean(axis=0)
-        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     centroids = C  # captured by the UDF closures below (k·d floats)
     nprobe = min(_KNN_IVF_NPROBE, k)
 
@@ -1539,8 +1541,10 @@ def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in it:
+            if len(pdf) == 0:  # Arrow may deliver empty batches
+                continue
             V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             sims = Vn @ centroids.T
             order = np.argsort(-sims, axis=1)[:, :nprobe]
             m = len(pdf)
@@ -1573,8 +1577,8 @@ def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         mid = members["vec_id"].to_numpy()
         qid = pdf["vec_id"].to_numpy()
-        S = (Q / np.linalg.norm(Q, axis=1, keepdims=True)) @ (
-            M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = (Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)) @ (
+            M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         ).T
         S[qid[:, None] == mid[None, :]] = -np.inf  # self-pairs
         kk = min(_KNN_K, S.shape[1])

@@ -16,6 +16,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default scaled to the HOST, not to any one box:
+    ~40% of physical RAM, capped at 48g (local[32] puts all 32 task
+    slots in one driver JVM, so the heap must be sized like 32
+    executor cores' worth — ≥1g/task avoids heap-OOM on corpus-scale
+    sorts) and floored at 2g so tiny CI hosts still launch. A fixed
+    48g constant OOM-killed the JVM on smaller hosts; override via
+    SPARK_GRAFT_DRIVER_MEM either way."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_kb = int(line.split()[1])
+                    break
+            else:
+                return "8g"
+    except OSError:  # non-Linux: keep Spark-sized conservative default
+        return "8g"
+    gib = total_kb * 0.4 / (1024 * 1024)
+    return f"{min(48, max(2, int(gib)))}g"
+
+
 def get_spark(
     app_name: str = "database_to_bigquery_spark",
     shuffle_partitions: int | None = None,
@@ -64,13 +86,14 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
         )
         .config("spark.ui.enabled", "false")
-        # local[32] puts all 32 task slots in ONE driver JVM, so the
-        # heap must be sized like 32 executor cores' worth: 48g ≈
-        # 1.5g/task, the realistic per-core budget of a production
-        # executor (8g gave ~250MB/task and heap-OOMed corpus-scale
-        # sorts at 250k docs that a real cluster would absorb). The
-        # box has 128 GiB; override via SPARK_GRAFT_DRIVER_MEM.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Heap sized from the host's RAM (see _default_driver_mem —
+        # on this 128 GiB box it resolves to 48g ≈ 1.5g/task; 8g gave
+        # ~250MB/task and heap-OOMed corpus-scale sorts at 250k docs
+        # that a real cluster would absorb).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

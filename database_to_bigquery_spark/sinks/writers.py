@@ -249,11 +249,16 @@ class JdbcSink(Sink):
             table=d.stored_identifier(self.table),
             properties=self.properties or {},
         )
+        # Dialects with no default namespace (MySQL: the database IS
+        # the namespace, named in the URL) get an empty-string schema;
+        # passing that through would build the malformed three-part
+        # identifier `catalog..table`. An empty schema routes to the
+        # connection's own database via a two-part identifier instead.
         return read_jdbc_catalog(
             spark,
             spec,
             catalog=f"audit_{self.table.lower()}",
-            schema=self.schema or d.default_schema,
+            schema=self.schema or d.default_schema or None,
         ).count()
 
     def write(self, df: DataFrame, mode: WriteMode) -> int:
@@ -262,11 +267,17 @@ class JdbcSink(Sink):
         if mode is WriteMode.APPEND:
             # baseline for delta verification: an appended table keeps
             # prior days' rows, so verify_rowcount must compare the
-            # DELTA, not the total (first-ever load → missing table →
-            # baseline 0)
+            # DELTA, not the total. ONLY a missing table (first-ever
+            # load) may baseline to 0 — a transient count failure on an
+            # EXISTING table must abort the load, else a silent no-op
+            # append verifies against a corrupted baseline of 0 and
+            # passes (the same propagate-non-missing principle as
+            # streaming/jobs.py::_read_store).
             try:
                 self._pre_rows = self._warehouse_count(df.sparkSession)
-            except Exception:
+            except Exception as exc:
+                if not self._is_missing_table(exc):
+                    raise
                 self._pre_rows = 0
         else:
             self._pre_rows = 0
@@ -304,6 +315,24 @@ class JdbcSink(Sink):
     #: the staged swap may ignore (first ever load): Derby 42Y55,
     #: MySQL/MSSQL 42S02, PostgreSQL 42P01.
     _MISSING_TABLE_SQLSTATES = ("42Y55", "42S02", "42P01")
+
+    @classmethod
+    def _is_missing_table(cls, exc: Exception) -> bool:
+        """True iff ``exc`` means the audited table does not exist —
+        either Spark's own resolution error (the DSv2 catalog route
+        raises TABLE_OR_VIEW_NOT_FOUND before any SQL runs) or a
+        database-side missing-table SQLState. Everything else (lock
+        timeout, network, permissions) is NOT a first-load signal and
+        must propagate."""
+        msg = str(exc)
+        if "TABLE_OR_VIEW_NOT_FOUND" in msg:
+            return True
+        state = getattr(
+            getattr(exc, "java_exception", None), "getSQLState", lambda: None
+        )()
+        return state in cls._MISSING_TABLE_SQLSTATES or any(
+            f"SQLSTATE: {s}" in msg for s in cls._MISSING_TABLE_SQLSTATES
+        )
 
     @staticmethod
     def _ddl_identifier(name: str) -> str:

@@ -207,12 +207,19 @@ def read_jdbc_catalog(
     spec: JdbcSourceSpec,
     *,
     catalog: str = "jdbc_src",
-    schema: str = "APP",
+    schema: str | None = "APP",
 ) -> DataFrame:
     """DSv2 catalog read of ``spec.table`` (identifier case follows the
     source database — Derby/Oracle uppercase unquoted names). Use this
     for aggregate-heavy probes (audit counts, freshness checks) where
     the source engine should do the work; use :func:`read_jdbc` for
-    bulk extraction where the partitioned range scan dominates."""
+    bulk extraction where the partitioned range scan dominates.
+
+    ``schema=None`` builds a TWO-part identifier: dialects whose
+    namespace is the connection's own database (MySQL names it in the
+    URL) have no schema segment, and interpolating their empty default
+    would produce the malformed ``catalog..table``."""
     register_jdbc_catalog(spark, catalog, spec)
-    return spark.table(f"{catalog}.{schema}.{spec.table}")
+    if schema:
+        return spark.table(f"{catalog}.{schema}.{spec.table}")
+    return spark.table(f"{catalog}.{spec.table}")

@@ -733,6 +733,7 @@ def run_fuzzy_dedup_stream(
     and admissions store have grown."""
     from ..operators.dedup import (
         cross_minhash_pairs,
+        drop_hot_buckets,
         minhash_signatures,
         shingles_of,
         signature_bands,
@@ -859,7 +860,11 @@ def run_fuzzy_dedup_stream(
         adm["delta"] = (
             _persist_tracked(new_sh),
             _persist_tracked(new_sig),
-            _persist_tracked(signature_bands(new_sig)),
+            # capped like the BASE tier (probe_layout): an uncapped
+            # delta bucket would surface pairs that vanish once
+            # compaction rebuilds the capped base — probe results for
+            # the same admissions must not depend on compaction timing
+            _persist_tracked(drop_hot_buckets(signature_bands(new_sig))),
         )
         if old_delta is not None:
             for df in old_delta:
