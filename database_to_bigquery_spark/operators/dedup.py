@@ -951,41 +951,75 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def label_propagation_components(e: DataFrame) -> DataFrame:
-    """Min-label propagation CC core (see dedup_clusters): returns a
-    (node, label) DataFrame. Factored out so the empty-edge-set path
-    (no near-dup pairs → empty labels, converges on round 1) is
-    directly testable.
+    """Min-label CC core (see dedup_clusters): returns a (node, label)
+    DataFrame. Factored out so the empty-edge-set path (no near-dup
+    pairs → empty labels, converges immediately) is directly testable.
+
+    CONTRACTED propagation: exactly ONE round runs over the full
+    symmetrized edge list — l1(v) = min(v ∪ N(v)), a single
+    groupBy(dst) because the identity seed makes the generic
+    edge⨝labels round collapse to an aggregation — then the graph is
+    CONTRACTED through l1 (edges rewritten (l1(u), l1(v)), self-loops
+    dropped, deduped) and the iterative fixpoint loop runs on the
+    LABEL graph only. Near-dup components are near-cliques, so
+    contraction collapses almost every edge on round 1: the loop that
+    used to re-join the full O(E) relation each round now iterates
+    over the inter-partial-component links only (the
+    `dedup_incremental_clusters` label-graph remap, promoted into the
+    core). Correctness: each original edge either merged under l1 or
+    survives as a label-graph edge, so label-graph components
+    correspond 1:1 to original components; the component minimum m
+    always survives contraction (m is the min of its own closed
+    neighborhood, so l1(m) = m), hence min-label CC over the label
+    graph yields exactly the component min, remapped to every node by
+    one final join.
 
     Convergence detection is join-free: labels are NON-INCREASING
     under min-propagation, so Σ(label) strictly decreases on any round
     where at least one node changed and is unchanged exactly at the
-    fixpoint. The driver compares the scalar across rounds, which
-    deletes the per-round V-row self-join the previous change-count
-    needed (the labels relation no longer appears twice per round) —
-    each round is now one edge join + one aggregation. The sum rides
-    the checkpoint materialization as an observe() metric, so there is
-    still exactly ONE job per round and the driver only ever sees a
-    scalar. decimal(38,0): Σ over 64-bit ids would overflow a long at
-    real corpus scale (ANSI mode makes that an error, not a wrap)."""
+    fixpoint. The sum rides the checkpoint materialization as an
+    observe() metric, so there is exactly ONE job per round and the
+    driver only ever sees a scalar. decimal(38,0): Σ over 64-bit ids
+    would overflow a long at real corpus scale (ANSI mode makes that
+    an error, not a wrap)."""
     from pyspark.sql import Observation
 
-    labels = e.select(F.col("src").alias("node")).distinct().withColumn(
+    # round 1 over the full edge relation: l1(v) = min(v ∪ N(v)).
+    # e is symmetrized, so grouping on dst sees every neighbor of v.
+    l1 = (
+        e.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("nmin"))
+        .select("node", F.least("node", "nmin").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    # contract: the label graph's edges are the partial-component
+    # links round 1 could not merge. Symmetry of e makes this
+    # relation symmetric too, so the loop below needs no re-mirror.
+    le = (
+        e.join(l1.select(F.col("node").alias("src"), F.col("label").alias("ls")), "src")
+        .join(l1.select(F.col("node").alias("dst"), F.col("label").alias("ld")), "dst")
+        .filter(F.col("ls") != F.col("ld"))
+        .select(F.col("ls").alias("src"), F.col("ld").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = le.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
     prev_sum = None
-    for _ in range(20):  # >= graph diameter; loop exits at fixpoint
+    for _ in range(20):  # >= label-graph diameter; loop exits at fixpoint
         obs = Observation()
         prop = (
-            e.join(labels, e.src == labels.node)
+            le.join(labels, le.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
             .unionByName(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .observe(
                 obs,
-                # coalesce: SUM over an EMPTY label set (no near-dup
-                # pairs at all) is NULL where an empty result should
-                # just converge
+                # coalesce: SUM over an EMPTY label set (contraction
+                # merged everything on round 1) is NULL where an empty
+                # label graph should just converge
                 F.coalesce(
                     F.sum(F.col("label").cast("decimal(38,0)")),
                     F.lit(0).cast("decimal(38,0)"),
@@ -998,7 +1032,16 @@ def label_propagation_components(e: DataFrame) -> DataFrame:
         if prev_sum is not None and s == prev_sum:
             break
         prev_sum = s
-    return labels
+    # remap every node through its partial label's final label; labels
+    # not in the label graph were fully merged on round 1 already
+    return (
+        l1.join(
+            labels.select(F.col("node").alias("label"), F.col("label").alias("flabel")),
+            "label",
+            "left",
+        )
+        .select("node", F.coalesce("flabel", "label").alias("label"))
+    )
 
 
 @query(
@@ -1449,6 +1492,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_K = 4  # k-means cell floor (the fixture-exact configuration)
 _SEM_CELL = 500  # target members per cell: k grows with the corpus
 _SEM_TAU = 0.4  # dup threshold (fixture cosine range tops out ~0.51)
+_SEM_COARSE_MIN = 64  # fine-cell count past which the coarse tier engages
+_SEM_COARSE_NPROBE = 8  # coarse cells probed per vector (the faiss IMI knob)
 
 
 @query(
@@ -1523,12 +1568,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     method: the approximation (missing cross-cell pairs) is in the
     algorithm, not the arithmetic.
 
-    Scale: assignment is a k-row broadcast join; pair mining runs one
-    numpy matmul per cell via applyInPandas (candidates at threshold
-    minus a 1e-6 margin), then exact sequential-fold cosines re-score
-    the survivors — the dedup_embedding_cosine candidate/verify
-    split. Cells bound the quadratic: at 100 TB, k grows with the
-    corpus so cell size stays fixed."""
+    Scale: assignment is a narrow numpy-matmul pass with the k-row
+    centroid matrix in the task closure, coarse-quantized past 64
+    cells so per-vector work is Θ(√k·d) (see `assign` below); pair
+    mining runs one numpy matmul per cell via applyInPandas
+    (candidates at threshold minus a 1e-6 margin), then exact
+    sequential-fold cosines re-score the survivors — the
+    dedup_embedding_cosine candidate/verify split. Cells bound the
+    quadratic: at 100 TB, k grows with the corpus so cell size stays
+    fixed, and the coarse tier keeps assignment sub-Θ(n·k)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -1560,33 +1608,124 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(cents: DataFrame) -> DataFrame:
-        d2 = (
-            dot("v", "v")
-            - 2 * F.aggregate(
-                F.zip_with("v", "cv", lambda u, c: u * c), F.lit(0.0), lambda a, z: a + z
+        """Nearest-centroid assignment as ONE narrow numpy pass over
+        ``e``: the centroid table — k = ⌈n/500⌉ rows of d doubles,
+        index metadata like `sim_knn_join_ivf`'s trained cells, never
+        a corpus relation — is collected into the task closure and
+        every Arrow batch computes d² = ‖v‖² − 2·V·Cᵀ + ‖c‖² as BLAS
+        matmuls. The prior shape evaluated the same n×k distances as
+        EXPLODED ROWS of a broadcast join, each through interpreted
+        zip_with/aggregate HOFs — Θ(n²/500) interpreted rows with
+        adaptive k (measured 855.79 s at the 100k twin, where the
+        structurally identical `sim_knn_join_ivf` matmuls take 18.7 s).
+        Past _SEM_COARSE_MIN cells a two-level coarse quantizer
+        (√k coarse cells over the FINE CENTROIDS, nprobe nearest
+        probed — the faiss IMI tier, same shape as
+        `similarity.ivf_probe`) bounds the per-vector work at
+        Θ(√k·d): assignment is Θ(n·√k·d) total instead of Θ(n·k·d) =
+        Θ(n²·d/500). The coarse tier only engages past the fixture
+        scale, so oracle-checked assignments stay the exact all-cells
+        argmin; beyond it, a vector probing the wrong coarse cell just
+        lands in a near-optimal fine cell — the same approximation
+        class as SemDeDup's missing cross-cell pairs. Argmin
+        tie-break matches the oracle's ORDER BY (d2, cl): rows are
+        sorted by cl and np.argmin keeps the first minimum.
+
+        Output carries (v, nrm) through so neither downstream use
+        (centroid means; per-cell pair mining) re-joins the corpus —
+        the r3 shape's two membership joins are gone entirely."""
+        import numpy as np
+
+        rows = bounded(cents, k).orderBy("cl").collect()
+        cl_ids = np.array([r["cl"] for r in rows], dtype=np.int64)
+        C = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+        cn2 = (C * C).sum(axis=1)
+        n_coarse = 0
+        if len(cl_ids) > _SEM_COARSE_MIN:
+            n_coarse = max(2, int(round(len(cl_ids) ** 0.5)))
+            # deterministic coarse Lloyd over the fine centroids:
+            # seeds = first √k in cl order, 3 iterations
+            G = C[:n_coarse].copy()
+            for _ in range(3):
+                Dg = (
+                    (C * C).sum(axis=1)[:, None]
+                    - 2.0 * (C @ G.T)
+                    + (G * G).sum(axis=1)[None, :]
+                )
+                ga = np.argmin(Dg, axis=1)
+                for j in range(n_coarse):
+                    members = C[ga == j]
+                    if len(members):
+                        G[j] = members.mean(axis=0)
+            Dg = (
+                (C * C).sum(axis=1)[:, None]
+                - 2.0 * (C @ G.T)
+                + (G * G).sum(axis=1)[None, :]
             )
-            + F.aggregate(
-                F.zip_with("cv", "cv", lambda u, c: u * c), F.lit(0.0), lambda a, z: a + z
+            coarse_of = np.argmin(Dg, axis=1)  # fine cell → coarse cell
+            gn2 = (G * G).sum(axis=1)
+            # empty coarse cells must never win a probe slot
+            empty = np.array(
+                [(coarse_of == j).sum() == 0 for j in range(n_coarse)]
             )
-        )
-        # argmin as MIN(struct(d2, cl)) — lexicographic min is exactly
-        # the old row_number(orderBy d2, cl) pick, but partial
-        # aggregation collapses the n×k broadcast-join rows map-side:
-        # the shuffle carries n 16-byte structs, where the window form
-        # shuffled all n×k rows WITH their 512-byte vector payloads
-        # into a per-vector sort (measured 177 s at 20k×40 cells; this
-        # form is seconds).
-        return (
-            e.join(F.broadcast(bounded(cents, k)))
-            .select("vec_id", d2.alias("d2"), "cl")
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cl")).alias("m"))
-            .select("vec_id", F.col("m.cl").alias("cl"), F.col("m.d2").alias("d2"))
+            nprobe = min(_SEM_COARSE_NPROBE, int((~empty).sum()))
+
+        def assign_batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                if len(pdf) == 0:  # Arrow may deliver empty batches
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                vn2 = (V * V).sum(axis=1)
+                if n_coarse == 0:
+                    D = vn2[:, None] - 2.0 * (V @ C.T) + cn2[None, :]
+                    best = np.argmin(D, axis=1)
+                    d2 = D[np.arange(len(V)), best]
+                else:
+                    Dg = vn2[:, None] - 2.0 * (V @ G.T) + gn2[None, :]
+                    Dg[:, empty] = np.inf
+                    probed = np.argpartition(Dg, nprobe - 1, axis=1)[:, :nprobe]
+                    best = np.full(len(V), -1, dtype=np.int64)
+                    bestd = np.full(len(V), np.inf)
+                    for j in range(n_coarse):
+                        hit = (probed == j).any(axis=1)
+                        fine = np.nonzero(coarse_of == j)[0]
+                        if not hit.any() or len(fine) == 0:
+                            continue
+                        idx = np.nonzero(hit)[0]
+                        Df = (
+                            vn2[idx, None]
+                            - 2.0 * (V[idx] @ C[fine].T)
+                            + cn2[fine][None, :]
+                        )
+                        loc = np.argmin(Df, axis=1)
+                        cf = fine[loc]
+                        cd = Df[np.arange(len(idx)), loc]
+                        upd = (cd < bestd[idx]) | (
+                            (cd == bestd[idx]) & (cf < best[idx])
+                        )
+                        best[idx] = np.where(upd, cf, best[idx])
+                        bestd[idx] = np.where(upd, cd, bestd[idx])
+                    d2 = bestd
+                out = pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "v": pdf["v"].to_numpy(),
+                        "nrm": pdf["nrm"].to_numpy(),
+                        "cl": cl_ids[best],
+                        "d2": d2,
+                    }
+                )
+                yield out
+
+        return e.mapInPandas(
+            assign_batches,
+            "vec_id long, v array<double>, nrm double, cl long, d2 double",
         )
 
-    a1 = assign(c0).select("vec_id", "cl")
     m = (
-        e.join(a1, "vec_id")
+        assign(c0)
         .select("cl", F.posexplode("v").alias("i", "x"))
         .groupBy("cl", "i")
         .agg(
@@ -1598,12 +1737,11 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
         ).alias("cv")
     )
-    mem = assign(c1).join(e, "vec_id").persist()
+    mem = assign(c1).persist()
 
-    _cand_cols = ["cl", "vec_a", "vec_b", "va", "vb", "na", "nb", "d2a", "d2b"]
+    _cand_cols = ["cl", "vec_a", "vec_b", "cos", "d2a", "d2b"]
     _cand_schema = (
-        "cl long, vec_a long, vec_b long, va array<double>, vb array<double>, "
-        "na double, nb double, d2a double, d2b double"
+        "cl long, vec_a long, vec_b long, cos double, d2a double, d2b double"
     )
 
     def cell_candidates(pdf):
@@ -1611,10 +1749,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         if len(pdf) < 2:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="object" if c in ("va", "vb") else "float64")
-                 for c in _cand_cols}
-            )
+            return pd.DataFrame({c: pd.Series(dtype="float64") for c in _cand_cols})
         mv = np.stack(list(pdf["v"])).astype(np.float64)
         nrm = pdf["nrm"].to_numpy()
         ids = pdf["vec_id"].to_numpy()
@@ -1622,32 +1757,41 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos = (mv @ mv.T) / np.outer(nrm, nrm)
         mask = (cos >= _SEM_TAU - 1e-6) & (ids[:, None] < ids[None, :])
         ia, ib = np.nonzero(mask)
-        # emit BOTH members' payloads with the pair: the worker already
-        # holds them, so the exact re-score needs no join at all —
-        # the r03 shape re-joined through TWO broadcasts of the entire
-        # membership relation, the unbounded-broadcast 100 TB killer.
+        # exact re-score IN the kernel: the matmul cosine above uses
+        # pairwise/SIMD summation, so it is only the candidate filter
+        # (threshold minus a 1e-6 margin); the authoritative cosine is
+        # a per-DIMENSION vectorized fold — acc += A[:,d]·B[:,d] in
+        # dimension order — which reproduces DuckDB's sequential
+        # list_dot_product bit for bit across every pair at once. The
+        # r05 shape instead shipped BOTH 64-double payloads with every
+        # pair and re-scored with an unrolled 128-term interpreted
+        # expression; on a clustered corpus (where within-cell pair
+        # counts are the operator's real output size) that meant ~1 KB
+        # Arrow+shuffle bytes and an interpreted expression per pair —
+        # this emits 48-byte rows and does the same arithmetic as ~d
+        # vectorized BLAS-speed ops per cell.
+        A, B = mv[ia], mv[ib]
+        acc = np.zeros(len(ia), dtype=np.float64)
+        for d in range(A.shape[1]):
+            acc += A[:, d] * B[:, d]
+        cosx = acc / (nrm[ia] * nrm[ib])
+        keep = cosx >= _SEM_TAU
         return pd.DataFrame(
             {
-                "cl": np.full(len(ia), pdf["cl"].iat[0], dtype="int64"),
-                "vec_a": ids[ia],
-                "vec_b": ids[ib],
-                "va": list(mv[ia]),
-                "vb": list(mv[ib]),
-                "na": nrm[ia],
-                "nb": nrm[ib],
-                "d2a": d2c[ia],
-                "d2b": d2c[ib],
+                "cl": np.full(int(keep.sum()), pdf["cl"].iat[0], dtype="int64"),
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cos": cosx[keep],
+                "d2a": d2c[ia[keep]],
+                "d2b": d2c[ib[keep]],
             }
         )
 
     cand = mem.select("cl", "vec_id", "v", "nrm", "d2").groupBy("cl").applyInPandas(
         cell_candidates, _cand_schema
     )
-    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
-        cand.withColumn("cos", cos)
-        .filter(F.col("cos") >= _SEM_TAU)
-        .select(
+        cand.select(
             F.col("cl").cast("int").alias("cluster"),
             "vec_a",
             "vec_b",
