@@ -107,38 +107,40 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_semantic_decontamination",
     "sim_knn_join_exact",
     "q_asof_join",
-    # X5 hash agg, X6 rollup/cube/grouping sets
+    # X5 hash agg (+ the IVM maintenance flagship, r6 rotation),
+    # X6 rollup/cube/grouping sets (rotates q_rollup → q_grouping_sets)
     "q_hash_agg_functions",
-    "q_rollup",
-    # CDC/merge family: delete-branch MERGE (r03 flagship, unattested)
+    "q_ivm_join_maintenance",
+    "q_grouping_sets",
+    # CDC/merge family: delete-branch MERGE (r03 flagship)
     "q_merge_with_delete",
-    # X7 approx aggs + sketches (exact equi-depth + its approx
-    # production twin, r4 flagship — approx is rows-only by design)
+    # X7 approx aggs + sketches (approx equi-depth twin rotated out
+    # after its by-design rows-only r5 attestation; exact stays)
     "q_histogram_equi_depth",
-    "q_histogram_equi_depth_approx",
+    "q_table_checksum",
     "text_bigram_kn_score",
-    # X8 windows, X9 sort/limit/top-k
-    "q_window_rank",
+    # X8 windows (rotates to the two-pass scalable global rank — the
+    # 100 TB answer to single-partition ORDER BY), X9 top-k
+    "q_global_ranks_scalable",
     "q_topk_per_group",
     # governance: l-diversity joins the k-anonymity gate (r4 flagship)
     "q_l_diversity_audit",
     # X10 set ops, X11 scalar function library
     "q_set_ops",
-    "text_vocab_growth",
+    "text_paragraph_dedup",
     "q_json_extract",
-    # SCD2 time travel (r4 flagships — engine-native as-of snapshot +
-    # one-pass snapshot diff, the answer to env-blocked Delta/Iceberg)
-    "ts_scd2_as_of_snapshot",
-    "ts_time_travel_diff",
-    # X12 dedup (exact, banded-LSH scale path; CC family rotates to the
-    # r5 production composition dedup_clusters_lsh — dedup_clusters
-    # r02-green, graph_cc_pointer_jumping r04-green)
+    # SCD2 family rotates to the apply-changes MERGE form (as-of
+    # snapshot + time-travel diff both r5-attested)
+    "q_scd2_apply_changes",
+    # X12 dedup (exact, plus the r5 incremental-CC flagship — the
+    # label-graph remap; dedup_clusters_lsh r05-green)
     "dedup_exact_text",
-    "dedup_clusters_lsh",
+    "dedup_incremental_clusters",
     "mm_webdataset_read",
-    # X13 similarity / ANN
+    # X13 similarity / ANN; ts family rotates holt_winters →
+    # STL-residual anomaly flags (ts_holt_winters r05-green)
     "sim_topk_bruteforce",
-    "ts_holt_winters",
+    "ts_stl_anomaly",
     # X14 text analysis + LLM filters
     "text_stats",
     "text_repeated_ngrams",

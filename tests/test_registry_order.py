@@ -26,7 +26,7 @@ FAMILY_REPRESENTATIVES = {
     "X5": ["q_hash_agg_functions", "q1_pricing_summary"],
     "X6": ["q_rollup", "q_cube", "q_grouping_sets"],
     "X7": ["q_percentiles", "q_bitmap_distinct_rollup", "q_histogram_equi_depth"],
-    "X8": ["q_window_rank", "q_window_range_frame"],
+    "X8": ["q_window_rank", "q_window_range_frame", "q_global_ranks_scalable"],
     "X9": ["q_topk_per_group", "q18_large_volume_customers"],
     "X10": ["q_set_ops", "q_union_by_name_drift"],
     "X11": ["q_json_extract", "q_variant_json", "q_from_xml"],
@@ -51,12 +51,24 @@ FAMILY_REPRESENTATIVES = {
     # round-4 rotation partners (previously unattested flagships)
     "X13+ kNN join": ["sim_knn_join_exact"],
     "X15+ shard writer": ["mm_webdataset_write", "q_webdataset_shard_plan"],
-    "ts forecasting": ["ts_holt_winters", "ts_stl_decompose"],
+    "ts forecasting": ["ts_holt_winters", "ts_stl_decompose", "ts_stl_anomaly"],
     "SQL recursion": ["q_recursive_month_spine"],
     # round-5 rotation partners (r4 flagships, previously unattested)
-    "SCD2 time travel": ["ts_scd2_as_of_snapshot", "ts_time_travel_diff"],
+    "SCD2 time travel": [
+        "ts_scd2_as_of_snapshot",
+        "ts_time_travel_diff",
+        "q_scd2_apply_changes",
+    ],
     "X14+ retention sweep": ["text_quality_threshold_sweep"],
     "X7+ equi-depth": ["q_histogram_equi_depth", "q_histogram_equi_depth_approx"],
+    # round-6 rotation partners (previously unattested families)
+    "X5+ IVM": ["q_ivm_join_maintenance"],
+    "X12+ incremental clusters": [
+        "dedup_incremental_clusters",
+        "dedup_clusters_lsh",
+    ],
+    "X12+ paragraph dedup": ["text_paragraph_dedup"],
+    "ops/table checksum": ["q_table_checksum"],
 }
 
 DRIVER_SAMPLE = 50
