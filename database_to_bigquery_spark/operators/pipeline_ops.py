@@ -971,3 +971,87 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l_distinct") < 3)
     )
+
+
+# ------------------------------------------- differentially-private release ----
+
+_DP_EPSILON = 0.5  # per-release budget; sensitivity 1 → Laplace b = 1/ε
+_DP_SCALE = 1.0 / _DP_EPSILON
+_DP_TAU = 10.0  # post-noise suppression threshold (small-count release gate)
+_DP_SEED = "dp1"  # release tag: a re-release with a new tag redraws all noise
+
+
+@query(
+    "q_dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS grp_n
+      FROM customer GROUP BY 1, 2),
+    u AS (
+      SELECT c_nationkey, c_mktsegment, grp_n,
+             (CAST(('0x' || substr(md5(
+                 concat_ws(':', '{_DP_SEED}', c_nationkey, c_mktsegment)
+               ), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0 AS un
+      FROM g)
+    SELECT c_nationkey AS nation, c_mktsegment AS segment,
+           ROUND(grp_n - {_DP_SCALE} * sign(un - 0.5)
+                 * ln(1.0 - 2.0 * abs(un - 0.5)), 4) AS noisy_count
+    FROM u
+    WHERE grp_n - {_DP_SCALE} * sign(un - 0.5)
+          * ln(1.0 - 2.0 * abs(un - 0.5)) >= {_DP_TAU}
+    """,
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: per-(nation, segment)
+    user counts with Laplace(1/ε) noise (ε = 0.5, sensitivity 1 —
+    each user lands in exactly one group) and post-noise suppression
+    of releases below τ = 10 — the standard small-count gate layered
+    on top of the DP noise, as census-style engines release marginals.
+
+    The noise is DETERMINISTIC given the release tag: uniform u =
+    md5(tag:group)[0:8] mapped into (0,1), Laplace via the inverse
+    CDF −b·sign(u−½)·ln(1−2|u−½|). Seeding noise from a keyed hash is
+    how distributed DP systems make releases reproducible across
+    retries (a re-run must not average the noise away — that would
+    spend budget ε per run); a NEW release draws fresh noise by
+    changing the tag. Determinism is also what lets the whole
+    operator be oracle-checked end to end: both engines compute the
+    identical closed form (the +0.5 offset keeps u strictly inside
+    (0,1), so the log never sees 0, and u = ½ exactly is impossible
+    for an integer hash).
+
+    Scale: one partial-aggregated shuffle on the group key; the noise
+    is a per-GROUP scalar expression over the already-aggregated
+    relation (groups ≪ rows), so the DP layer costs nothing beyond
+    the count itself. Reference parity: none — the reference ships
+    raw counts; this is the §2b governance extension beside
+    q_k_anonymity_audit / q_l_diversity_audit."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("grp_n"))
+    un = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(_DP_SEED), "c_nationkey", "c_mktsegment"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    noisy = F.col("grp_n") - F.lit(_DP_SCALE) * F.signum(un - 0.5) * F.log(
+        1.0 - 2.0 * F.abs(un - 0.5)
+    )
+    return (
+        g.filter(noisy >= _DP_TAU)
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round(noisy, 4).alias("noisy_count"),
+        )
+    )

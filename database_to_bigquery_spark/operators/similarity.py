@@ -1757,3 +1757,184 @@ def ivf_probe(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# --------------------------------------- covariance / PCA whitening ----
+
+
+@query(
+    "sim_covariance_matrix",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    x AS (
+      SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS xi FROM e),
+    p AS (
+      SELECT a.i AS i, b.i AS j, a.xi * b.xi AS prod
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i),
+    ex AS (
+      SELECT i, CAST(SUM(CAST(xi AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
+      FROM x GROUP BY i),
+    ep AS (
+      SELECT i, j,
+             CAST(SUM(CAST(prod AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS e2
+      FROM p GROUP BY i, j)
+    SELECT CAST(ep.i AS INT) AS i, CAST(ep.j AS INT) AS j,
+           ROUND(ep.e2 - ma.m * mb.m, 4) + 0.0 AS cov
+    FROM ep JOIN ex ma ON ma.i = ep.i JOIN ex mb ON mb.i = ep.j
+    """,
+)
+def sim_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed embedding covariance — the building block under
+    PCA, ZCA whitening, Mahalanobis outlier scoring, and isotropy
+    audits (this repo's own round-5 discovery that the fixture
+    embeddings are isotropic noise is exactly a covariance-spectrum
+    question). Emits the upper triangle (i ≤ j, 1-based dims) of
+    cov = E[x xᵀ] − μμᵀ.
+
+    Determinism: products are IEEE doubles (identical in any engine),
+    the SUMS are DECIMAL(20,10) — order-independent, so the result is
+    bit-stable under any partitioning — and the final cov arithmetic
+    is scalar double ops; the whole matrix is oracle-checked. This is
+    the `sim_kmeans_2iter` DECIMAL-centroid scheme applied to second
+    moments.
+
+    Scale: the d² expansion rides a per-vector explode⨝explode (d²
+    rows per vector, aggregated with map-side partial DECIMAL sums —
+    one shuffle of ≤ P·d² partials). For d where d² per-row expansion
+    dominates (d ≳ 10³), the production form is the numpy Gram
+    partial in `sim_whiten_identity_check` below: V_pᵀV_p per
+    partition in BLAS, shuffling P·d² floats with no row expansion —
+    same shuffle budget, none of the row machinery. At d = 64 the
+    expanded form costs n·2080 rows and stays fully oracle-exact."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    x = e.select(
+        "vec_id", F.posexplode("v").alias("i0", "xi")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "xi")
+    dec = lambda c: F.sum(c.cast("decimal(20,10)")).cast("double") / F.count("*")
+    ex = x.groupBy("i").agg(dec(F.col("xi")).alias("m"))
+    p = (
+        x.alias("a")
+        .join(
+            x.select(
+                "vec_id", F.col("i").alias("j"), F.col("xi").alias("xj")
+            ).alias("b"),
+            (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") <= F.col("j")),
+        )
+        .select("a.i", "j", (F.col("a.xi") * F.col("xj")).alias("prod"))
+    )
+    ep = p.groupBy("i", "j").agg(dec(F.col("prod")).alias("e2"))
+    ma = ex.select(F.col("i").alias("i"), F.col("m").alias("mi"))
+    mb = ex.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+    return (
+        ep.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            # + 0.0 canonicalizes IEEE -0.0 (the ts_stl_decompose trick)
+            (F.round(F.col("e2") - F.col("mi") * F.col("mj"), 4) + 0.0).alias("cov"),
+        )
+    )
+
+
+@query("sim_whiten_identity_check")  # float spectrum → rows-only check
+def sim_whiten_identity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening, end to end, self-auditing: train the whitening
+    transform W = Λ^(−1/2) Qᵀ from the corpus covariance (driver-side
+    eigendecomposition of the d×d matrix — index training on
+    metadata-sized statistics, like `sim_knn_join_ivf`'s centroids),
+    apply y = W(x − μ) across the corpus, and emit the WHITENED
+    covariance so the caller can verify it is the identity — the
+    isotropy repair step run before cosine-based ANN when embeddings
+    are anisotropic (round 5 measured the inverse defect: isotropic
+    fixtures defeat LSH; anisotropic production embeddings defeat
+    plain cosine buckets).
+
+    Scale (the production covariance shape): both covariance passes
+    here are per-partition numpy GRAM PARTIALS — mapInPandas computes
+    Vᵀ·V, Σv, and the row count per Arrow batch in BLAS and emits one
+    (d², d, 1)-sized partial per batch; the only shuffle carries
+    P·(d²+d+1) floats, with zero per-row expansion. That is the shape
+    the DECIMAL-exact `sim_covariance_matrix` documents as its d ≳ 10³
+    production tier. Spectrum arithmetic is float (pairwise BLAS sums)
+    → rows-only driver check; the pytest floor asserts ‖cov_w − I‖∞ <
+    1e-6 and cross-checks the raw Gram covariance against the DECIMAL
+    oracle form at 4dp."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+
+    gram_schema = "i int, j int, s double"
+
+    def gram_partials(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            G = V.T @ V
+            sums = V.sum(axis=0)
+            d = G.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    # 1-based dims; row 0,0 with j=-1 carries Σv_i; row
+                    # (-1,-1) carries the count — one tagged partial
+                    # stream instead of three passes
+                    "i": np.concatenate([iu + 1, np.arange(1, d + 1), [-1]]),
+                    "j": np.concatenate([ju + 1, np.full(d, -1), [-1]]),
+                    "s": np.concatenate([G[iu, ju], sums, [float(len(V))]]),
+                }
+            )
+
+    def covariance(df: DataFrame) -> "tuple[np.ndarray, np.ndarray]":
+        parts = (
+            df.mapInPandas(gram_partials, gram_schema)
+            .groupBy("i", "j")
+            .agg(F.sum("s").alias("s"))
+            .collect()  # d²/2 + d + 1 rows — statistics, not corpus
+        )
+        n = next(r["s"] for r in parts if r["i"] == -1)
+        d = max(r["i"] for r in parts)
+        mu = np.zeros(d)
+        G = np.zeros((d, d))
+        for r in parts:
+            if r["i"] == -1:
+                continue
+            if r["j"] == -1:
+                mu[r["i"] - 1] = r["s"] / n
+            else:
+                G[r["i"] - 1, r["j"] - 1] = G[r["j"] - 1, r["i"] - 1] = r["s"] / n
+        return G - np.outer(mu, mu), mu
+
+    cov, mu = covariance(e)
+    evals, evecs = np.linalg.eigh(cov)
+    Wm = (evecs / np.sqrt(np.maximum(evals, 1e-12))).T  # Λ^(-1/2) Qᵀ
+
+    def whiten(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Y = (V - mu) @ Wm.T
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "v": list(Y)}
+            )
+
+    whitened = e.mapInPandas(whiten, "vec_id long, v array<double>")
+    cov_w, _ = covariance(whitened)
+    iu, ju = np.triu_indices(cov_w.shape[0])
+    out = [
+        (int(i + 1), int(j + 1), float(round(cov_w[i, j], 4)))
+        for i, j in zip(iu, ju)
+    ]
+    return spark.createDataFrame(out, "i int, j int, cov_w double")

@@ -654,3 +654,79 @@ def mm_tar_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "data_offset"
         ),
     )
+
+
+# ------------------------------------------------- curriculum interleave ----
+
+
+@query(
+    "llm_curriculum_order",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+               AS src_rank
+      FROM documents)
+    SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY src_rank, source) AS BIGINT)
+             AS global_pos
+    FROM r
+    """,
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering with source interleave: rank each source's
+    documents easy→hard (n_chars as the difficulty proxy; swap in any
+    scored column), then emit the GLOBAL training order that walks
+    rank 1 of every source, then rank 2, ... — the round-robin
+    interleave that keeps a training run from consuming an entire
+    source (or an entire difficulty band) contiguously. Mixture
+    sampling (q_dataset_mixture / q_temperature_mixture) decides HOW
+    MUCH of each source to take; this decides the ORDER the samples
+    arrive in.
+
+    Scale: the per-source rank is an ordinary partitioned window (no
+    global sort), and the interleave position is the two-pass global
+    rank core of `q_global_ranks_scalable` applied to the composite
+    key (src_rank, source): repartitionByRange gives a parallel
+    distributed sort, ranks are local per range partition, and the
+    only SinglePartition stage is the 32-row partition-count
+    cumulative — never the corpus. A naive ROW_NUMBER() OVER (ORDER
+    BY ...) here funnels 100 TB through one task; this plan funnels
+    32 longs. The persist() pins the range boundaries across the
+    probe/offset consumers (RangePartitioner re-samples per exchange
+    instance — the q_decile_lift lesson)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ranked = d.withColumn(
+        "src_rank",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("long"),
+    ).drop("n_chars")
+    ranged = (
+        ranked.repartitionByRange(32, "src_rank", "source")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    local = ranged.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("pid").orderBy("src_rank", "source")),
+    )
+    counts = local.groupBy("pid").agg(F.count("*").alias("c"))
+    offsets = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "source",
+            "src_rank",
+            (F.col("off") + F.col("rn")).cast("long").alias("global_pos"),
+        )
+    )

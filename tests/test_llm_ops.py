@@ -833,3 +833,52 @@ def test_webdataset_reader_handles_foreign_tars(spark, tmp_path):
         ("subdir/short.json", "short", "json", hashlib.md5(b"{}").hexdigest()),
     }
     assert by_shard == {"gnu.tar": want, "pax.tar": want}
+
+
+def test_whitened_covariance_is_identity(spark, sf_dir):
+    """sim_whiten_identity_check's output IS its own audit: the
+    whitened covariance must be the identity to float precision
+    (diagonal 1, off-diagonal 0) — the property that makes PCA
+    whitening an isotropy repair. Rows-only in the driver gate, so
+    the floor lives here."""
+    from database_to_bigquery_spark.operators.similarity import (
+        sim_whiten_identity_check,
+    )
+
+    rows = sim_whiten_identity_check(spark, sf_dir).collect()
+    assert rows, "whitening emitted no covariance cells"
+    for r in rows:
+        expect = 1.0 if r["i"] == r["j"] else 0.0
+        assert abs(r["cov_w"] - expect) < 1e-6, (r["i"], r["j"], r["cov_w"])
+
+
+def test_gram_covariance_matches_decimal_form(spark, sf_dir):
+    """The numpy Gram-partial covariance inside
+    sim_whiten_identity_check (the production shape for wide d) must
+    agree with the DECIMAL-exact oracle-checked sim_covariance_matrix
+    at the published 4dp — pairwise BLAS summation vs
+    order-independent DECIMAL sums differ only below that grid."""
+    from database_to_bigquery_spark.operators.similarity import (
+        sim_covariance_matrix,
+    )
+
+    dec = {
+        (r["i"], r["j"]): r["cov"]
+        for r in sim_covariance_matrix(spark, sf_dir).collect()
+    }
+    # re-derive the Gram covariance exactly as the whitening op does
+    import numpy as np
+
+    from database_to_bigquery_spark.data import load_table
+
+    vecs = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    cov = np.cov(vecs, rowvar=False, bias=True)
+    for (i, j), v in dec.items():
+        assert abs(cov[i - 1, j - 1] - v) < 2e-4, (i, j, v, cov[i - 1, j - 1])
