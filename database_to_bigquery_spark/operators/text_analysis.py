@@ -1269,19 +1269,32 @@ def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     half.
 
     Scale: tokenize + gram expansion are narrow (one generator per
-    doc, no Python); the single shuffle is the gram-keyed partial
-    aggregate — map-side combine collapses each partition's repeats
-    before the exchange, and gram cardinality ~ corpus tokens, the
-    same budget every inverted-index build pays. The final TOP-N
-    ordering runs on the already-aggregated (filtered, >= MIN_OCC)
-    relation, which is orders of magnitude smaller than the input."""
+    doc, no Python); aggregation is an EXPLICIT two-phase — first
+    (gram, doc_id) with a count, then gram — instead of one
+    groupBy(gram) mixing COUNT(*) with COUNT(DISTINCT doc_id):
+    Catalyst plans the mixed form through RewriteDistinctAggregates'
+    Expand, which ships TWO projected copies of every gram occurrence
+    through the exchange; the manual split ships one (map-side
+    combine collapses a doc's repeated grams — exactly the rows a
+    boilerplate-heavy corpus repeats most — before the first
+    exchange), and the second exchange carries only per-partition
+    (gram, doc) partials. Gram cardinality ~ corpus tokens either
+    way, the same budget every inverted-index build pays — Θ(tokens)
+    is this operator's floor, every token must cross once. The final
+    TOP-N ordering runs on the already-aggregated (filtered,
+    >= MIN_OCC) relation, orders of magnitude smaller than the
+    input."""
     d = load_table(spark, sf_dir, "documents")
-    return (
+    per_doc = (
         _doc_grams(d)
-        .groupBy("gram")
+        .groupBy("gram", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_doc.groupBy("gram")
         .agg(
-            F.count("*").alias("occurrences"),
-            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("c").alias("occurrences"),
+            F.count("*").alias("n_docs"),
             F.min("doc_id").alias("example_doc"),
         )
         .filter(F.col("occurrences") >= _RN_MIN_OCC)
