@@ -45,6 +45,13 @@ TWIN_PROBES = {
     "sim_knn_join_ivf",
     "dedup_semdedup",
     "sim_ivf_incremental_add",
+    # round-6: the census's remaining >=2.5s entries whose exponents
+    # were fit on the fixtures' single decade only
+    "dedup_triangle_count_lsh",
+    "text_repetition_filter",
+    "mm_phash_neardup",
+    "text_corpus_overlap",
+    "sim_topk_ivfpq",
 }
 
 # scale-critical representatives: scans/joins/aggs (lineitem-bound),
@@ -96,6 +103,10 @@ DEFAULT_PROBES = [
     # incremental label maintenance over the label graph
     "dedup_clusters_lsh",
     "dedup_incremental_clusters",
+    # round-6: previously unprobed census entries now twin-probed
+    "text_repetition_filter",
+    "text_corpus_overlap",
+    "sim_topk_ivfpq",
 ]
 
 # the table whose row count drives each probe's input size
@@ -131,6 +142,9 @@ DRIVER_TABLE = {
     "sim_ivf_incremental_add": "embeddings",
     "dedup_clusters_lsh": "documents",
     "dedup_incremental_clusters": "documents",
+    "text_repetition_filter": "documents",
+    "text_corpus_overlap": "documents",
+    "sim_topk_ivfpq": "embeddings",
 }
 
 
