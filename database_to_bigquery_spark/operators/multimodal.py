@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import load_table, load_table_spread
 from ..registry import query
 
 DECODE_SCHEMA = "doc_id long, width int, height int, mean_luma double"
@@ -275,42 +275,83 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PH_BITS = 56  # 8 bands x 7 bits; pigeonhole: hamming <= 7 => some band equal
-_PH_BANDS = 8
+_PH_PIXELS = 128  # strided sample positions ("pixels") per payload
+_PH_BANDS = 8  # pigeonhole: hamming <= 7 => some band equal
+_PH_BAND_BITS = _PH_PIXELS // _PH_BANDS  # 16 → 65536 bucket values/band
+# Output cut ≈ the old 7-of-56 relative threshold. Detection is
+# pigeonhole-GUARANTEED only to hamming ≤ 7 (8 bands); 8–20 rides on
+# edit locality: each band is a contiguous slice of the document's
+# strided pixels, so a localized edit concentrates its flipped bits in
+# few bands and leaves clean bands to collide on.
+_PH_HAMMING_MAX = 20
+
+
+def _ahash_band_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, text) → (doc_id, bands: array<int>[8]) — the 128-pixel
+    aHash packed as 8 independent 16-bit band values, one Arrow batch
+    at a time. Pure per-row arithmetic (no state), identical to the
+    oracle's closed form: pixel i (1-based) is the codepoint at
+    1 + (i−1)·len/128 of lower(text), bit i set iff code·128 > Σcodes,
+    band j = bits [16j, 16j+16) packed little-endian."""
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        out = []
+        for text in pdf["text"]:
+            s = text.lower()
+            L = len(text)
+            codes = [ord(s[(k * L) // _PH_PIXELS]) for k in range(_PH_PIXELS)]
+            tot = sum(codes)
+            bands = [0] * _PH_BANDS
+            for j in range(_PH_BANDS):
+                base = j * _PH_BAND_BITS
+                v = 0
+                for k in range(_PH_BAND_BITS):
+                    if codes[base + k] * _PH_PIXELS > tot:
+                        v |= 1 << k
+                bands[j] = v
+            out.append(bands)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "bands": out})
 
 
 @query(
     "mm_phash_neardup",
-    oracle="""
+    oracle=f"""
     WITH px AS (
       SELECT doc_id,
-             list_transform(range(1, 57), i ->
+             list_transform(range(1, {_PH_PIXELS + 1}), i ->
                ascii(substr(lower(text),
-                 CAST(1 + ((i - 1) * LENGTH(text)) // 56 AS BIGINT), 1))) AS codes
-      FROM documents WHERE LENGTH(text) >= 56),
-    h AS (
+                 CAST(1 + ((i - 1) * LENGTH(text)) // {_PH_PIXELS} AS BIGINT),
+                 1))) AS codes
+      FROM documents WHERE LENGTH(text) >= {_PH_PIXELS}),
+    t AS (SELECT doc_id, codes, list_sum(codes) AS tot FROM px),
+    hb AS (
       SELECT doc_id,
-             list_sum(list_transform(range(1, 57), i ->
-               CASE WHEN codes[i] * 56 > list_sum(codes)
-                    THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS phash
-      FROM px),
-    bands AS (
-      SELECT doc_id, phash, j AS band_idx,
-             (phash >> (7 * j)) & 127 AS band_val
-      FROM h, LATERAL (SELECT unnest(range(0, 8)) AS j)),
+             list_transform(range(0, {_PH_BANDS}), j ->
+               list_sum(list_transform(range(0, {_PH_BAND_BITS}), k ->
+                 CASE WHEN codes[{_PH_BAND_BITS} * j + k + 1] * {_PH_PIXELS}
+                           > tot
+                      THEN (1 << k) ELSE 0 END))) AS bvals
+      FROM t),
+    bandrows AS (
+      SELECT doc_id, bvals, j AS band_idx, bvals[j + 1] AS band_val
+      FROM hb, LATERAL (SELECT unnest(range(0, {_PH_BANDS})) AS j)),
     capped AS (
       SELECT * FROM (
         SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz
-        FROM bands) WHERE bsz <= 64),
+        FROM bandrows) WHERE bsz <= 64),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.phash AS ha, b.phash AS hb
+             a.bvals AS ba, b.bvals AS bb
       FROM capped a JOIN capped b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
-           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(ha, hb)) <= 7
+       AND a.doc_id < b.doc_id),
+    h AS (
+      SELECT doc_a, doc_b,
+             CAST(list_sum(list_transform(range(1, {_PH_BANDS + 1}), j ->
+               bit_count(xor(ba[j], bb[j])))) AS INT) AS hamming
+      FROM cand)
+    SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= {_PH_HAMMING_MAX}
     """,
 )
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,68 +360,58 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 bit) with banded pigeonhole blocking, the standard cheap
     image-dedup tier below embedding similarity.
 
-    Pixels are proxied by 56 codepoints STRIDED across the payload
-    (position 1 + (i-1)·len/56 — the downsampling a real aHash does to
-    the image grid; sampling only a fixed prefix collapses a templated
-    corpus into a handful of hashes and melts the band join)
-    (the fixture corpus has no real images — same honest stand-in as
-    the rest of this module), which keeps every step a JVM expression
-    and makes the WHOLE pipeline oracle-checkable — unlike
-    dedup_simhash, nothing here is rows-only. The mean-threshold test
-    uses integer cross-multiplication (code·56 > Σcodes), so no
-    division, no floats, no rounding anywhere. Buckets larger than 64
-    docs are SKIPPED (the standard LSH hot-bucket rule: a mega-bucket
-    is a mega-cluster of exact/near-exact copies that
-    dedup_exact_text/dedup_minhash_lsh already catch, and joining it
-    is quadratic — the sf0.1 census measured 111 s without the cap,
-    1.5 s with it).
+    Pixels are proxied by 128 codepoints STRIDED across the payload
+    (position 1 + (i−1)·len/128 — the downsampling a real aHash does
+    to the image grid; the fixture corpus has no real images, same
+    honest stand-in as the rest of this module). The hash is stored
+    as its 8 band values directly (array<int>, 16 bits each) — no
+    sign games with a packed 128-bit word, and the bucket key space
+    is 2¹⁶ per band, so buckets stay discriminative deep into the
+    millions of docs. The previous 56-bit/7-bit-band form had only
+    1024 possible buckets: at the 250k-doc twin EVERY bucket blew
+    past the cap and the operator returned zero pairs — band width
+    must scale with corpus size or the cap silently deletes recall
+    (grow _PH_PIXELS before the corpus nears 64·2¹⁶ eligible docs).
 
-    Scale: hash build is map-only; the 56-bit hash splits into 8
-    bands of 7 bits, so any pair within hamming distance 7 shares at
-    least one identical band (pigeonhole) and is found by the
-    (band_idx, band_val) equi-join — candidates only form within a
-    bucket, never all-pairs. Exact hamming (bit_count of XOR) then
-    filters the candidates. Same banded-join shape as
-    dedup_simhash/dedup_minhash_lsh; at 100 TB the bucket key is
-    already uniform because high bits of real aHashes are balanced."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= _PH_BITS
+    Hash build is ONE Arrow-batched pass (`mapInPandas`): per doc, a
+    single lower() + 128 codepoint reads. The pure-expression form
+    (transform(sequence(...), i -> ascii(substr(lower(text), ...))))
+    re-evaluates lower(text) per lambda ELEMENT — Spark HOF lambda
+    bodies are interpreted per element with no common-subexpression
+    elimination — measured 51 s of the x50 twin's 74 s wall for the
+    hash build alone; the batched pass does the identical arithmetic
+    (integer cross-multiplication code·128 > Σcodes — no division, no
+    floats) in ~3 s. Same trade as dedup_semdedup's vectorized
+    assignment; the closed form stays oracle-checked end to end.
+
+    Buckets larger than 64 docs are SKIPPED (the standard LSH
+    hot-bucket rule: a mega-bucket is a mega-cluster of exact/near-
+    exact copies that dedup_exact_text/dedup_minhash_lsh already
+    catch, and joining it is quadratic — the sf0.1 census measured
+    111 s without the cap, 1.5 s with it).
+
+    Scale: hash build is map-only; 8 bands × 16 bits means any pair
+    within hamming distance 7 shares at least one identical band
+    (pigeonhole) and is found by the (band_idx, band_val) equi-join —
+    candidates only form within a bucket, never all-pairs. Exact
+    hamming (Σ bit_count(xor) over the 8 band values, unrolled so it
+    stays in codegen) then cuts at _PH_HAMMING_MAX = 20 — the old
+    form's 7-of-56 relative threshold. Detection is guaranteed only
+    to h ≤ 7; 8–20 relies on edit locality (a band is a contiguous
+    slice of the doc's strided pixels, so a localized edit leaves
+    clean bands to collide on); the pigeonhole-complete variant in
+    this family is dedup_simhash. Same banded-join shape as
+    dedup_simhash/dedup_minhash_lsh."""
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id").filter(
+        F.length("text") >= _PH_PIXELS
     )
-    # strided sample positions need the lambda index in substr's start
-    # argument — expressed via expr (same portability note as
-    # mm_audio_frames)
-    px = d.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, {_PH_BITS}), i -> "
-            f"ascii(substr(lower(text), "
-            f"CAST(1 + ((i - 1) * length(text)) div {_PH_BITS} AS INT), 1)))"
-        ).alias("codes"),
+    h = d.select("doc_id", "text").mapInPandas(
+        _ahash_band_batches, "doc_id long, bands array<int>"
     )
-    total = F.aggregate(F.col("codes"), F.lit(0), lambda a, x: a + x)
-    # bit weights precomputed as Python literals (F.shiftleft takes only
-    # literal shift counts); powers of two stay exact through the fold
-    powers = F.array(*[F.lit(1 << k).cast("long") for k in range(_PH_BITS)])
-    phash = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            powers,
-            lambda c, p: F.when(c * _PH_BITS > F.col("t"), p).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    h = px.withColumn("t", total).select("doc_id", phash.alias("phash"))
     bands = h.select(
         "doc_id",
-        "phash",
-        F.explode(F.sequence(F.lit(0), F.lit(_PH_BANDS - 1))).alias("band_idx"),
-    ).withColumn(
-        # SQL form: shiftright accepts a column shift count there
-        "band_val",
-        F.expr("shiftright(phash, band_idx * 7) & 127"),
+        "bands",
+        F.posexplode("bands").alias("band_idx", "band_val"),
     )
     bucket_w = W.partitionBy("band_idx", "band_val")
     bands = bands.withColumn("bsz", F.count("*").over(bucket_w)).filter(
@@ -388,26 +419,31 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("phash").alias("ha"),
+        F.col("bands").alias("ba"),
         "band_idx",
         "band_val",
     )
     b = bands.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("phash").alias("hb"),
+        F.col("bands").alias("bb"),
         "band_idx",
         "band_val",
     )
     cand = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
+        .select("doc_a", "doc_b", "ba", "bb")
         .distinct()
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    hamming = sum(
+        F.bit_count(
+            F.element_at("ba", j).bitwiseXOR(F.element_at("bb", j))
+        )
+        for j in range(1, _PH_BANDS + 1)
+    ).cast("int")
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 7)
+        .filter(F.col("hamming") <= _PH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
 
