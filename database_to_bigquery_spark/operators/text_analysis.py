@@ -1238,24 +1238,36 @@ _HOT_GRAMS_SQL = f"""
 
 def _doc_grams(d: DataFrame) -> DataFrame:
     """(doc_id, pos, gram) for every word-{_RN_N}-gram — positions are
-    1-based so the Spark plan and the DuckDB oracle index identically."""
+    1-based so the Spark plan and the DuckDB oracle index identically.
+
+    Built from {_RN_N} SHIFTED slices of the word array zipped
+    together, NOT transform(sequence, i -> slice(w, i, n)): a lambda
+    body referencing the word array gets the split(lower(text))
+    expression inlined by projection collapse and re-evaluated per
+    ELEMENT (HOF lambdas are interpreted, no CSE) — the doc was
+    re-split once per gram, measured 20 s of the x50 twin's 39 s.
+    Here `w` is referenced {_RN_N}+1 times in one projection, which
+    makes CollapseProject keep it materialized (multi-referenced
+    non-cheap aliases are never inlined), every expression is
+    non-HOF codegen, and the gram string is assembled AFTER the
+    explode from struct fields — per exploded row, no array in
+    sight."""
     w = F.split(F.lower(F.col("text")), " ")
+    span = F.size(F.col("w")) - (_RN_N - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("w"), i + 1, span).alias(f"w{i}") for i in range(_RN_N)]
+    )
     return (
         d.select("doc_id", w.alias("w"))
         .filter(F.size("w") >= _RN_N)
+        .select("doc_id", F.posexplode(zipped).alias("pos0", "g"))
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - (_RN_N - 1)),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.array_join(F.slice("w", i, _RN_N), " ").alias("gram"),
-                    ),
-                )
-            ).alias("g"),
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.concat_ws(
+                " ", *[F.col(f"g.w{i}") for i in range(_RN_N)]
+            ).alias("gram"),
         )
-        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
     )
 
 
@@ -1284,7 +1296,7 @@ def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     TOP-N ordering runs on the already-aggregated (filtered,
     >= MIN_OCC) relation, orders of magnitude smaller than the
     input."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     per_doc = (
         _doc_grams(d)
         .groupBy("gram", "doc_id")
@@ -1340,7 +1352,7 @@ def text_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materialize more than N rows per gram occurrence."""
     from ..data import bounded
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     hot = text_repeated_ngrams(spark, sf_dir).select("gram")
     grams = _doc_grams(d)
     covered = (
