@@ -605,24 +605,32 @@ def text_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan runs over any source count, and a real deployment would
     pre-hash grams to fixed-width ints (dedup.py's shingle hashing)
     to shrink the shuffle payload."""
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id").filter(
         F.col("source").isin("src0", "src1", "src2", "src3")
     )
     ws = F.split(F.lower(F.col("text")), " ")
+    # zipped shifted slices, not transform(sequence, i -> element_at):
+    # a lambda referencing the word array gets split(lower(text))
+    # inlined and re-evaluated per ELEMENT (the _doc_grams lesson —
+    # measured 53 s at the 250k twin in this exact shape); the multi-
+    # referenced alias keeps the split materialized once per row and
+    # the gram string is assembled after the explode
+    span = F.size(F.col("w")) - 2
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("w"), i + 1, span).alias(f"w{i}") for i in range(3)]
+    )
     grams = (
         d.filter(F.size(ws) >= 3)
+        .select("source", ws.alias("w"))
+        .select("source", F.explode(zipped).alias("g"))
         .select(
             "source",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - 2),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
-                    ),
-                )
-            ).alias("gram"),
+            F.concat_ws(" ", "g.w0", "g.w1", "g.w2").alias("gram"),
         )
         .distinct()
+        # three consumers (sizes + both join sides) — without the
+        # persist the gram build and its dedup shuffle run three times
+        .persist()
     )
     sizes = grams.groupBy("source").agg(F.count("*").cast("long").alias("n"))
     a = grams.select(F.col("source").alias("src_a"), "gram")
