@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..data import load_table, load_table_spread, maybe_broadcast
 from ..registry import query
+from .ngram_util import sliding_ngrams, sliding_structs
 
 
 @query(
@@ -166,21 +167,16 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     ws = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 4),
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at(ws, i + k) for k in range(5)],
-            ),
-        )
-    )
     # persist: the exploded shingle relation feeds three consumers
     # (eval-set distinct, per-doc totals, probe join) — without it the
     # shingling map stage re-runs per consumer (3× the dominant cost)
     ex = (
-        d.filter(F.size(ws) >= 5)
-        .select("doc_id", F.explode(shingles).alias("sh"))
+        d.select("doc_id", ws.alias("w"))
+        .filter(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(sliding_ngrams("w", 5))).alias("sh"),
+        )
         .persist()
     )
     bench = ex.filter(F.col("doc_id") % 37 == 0).select("sh").distinct()
@@ -241,22 +237,14 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     ws = F.split(F.col("text"), " ")
     bg = (
-        d.filter(F.size(ws) >= 2)
+        d.select("doc_id", ws.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(sliding_structs("w", 2)).alias("e"))
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - 1),
-                    lambda i: F.struct(
-                        F.concat_ws(
-                            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
-                        ).alias("bigram"),
-                        F.element_at(ws, i).alias("w1"),
-                    ),
-                )
-            ).alias("e"),
+            F.concat_ws(" ", "e.w0", "e.w1").alias("bigram"),
+            F.col("e.w0").alias("w1"),
         )
-        .select("doc_id", "e.bigram", "e.w1")
         .persist()  # feeds c2, c1, vocab AND the scoring join — one
         # materialization instead of four explode re-runs
     )
@@ -320,18 +308,20 @@ def text_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     ws = F.split(F.col("text"), " ")
-    spans = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 9),
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(10)]),
-    )
     # spans are ~60-byte strings; the frequency shuffle and the join
     # back only need equality, so ship 8-byte xxhash64 keys instead
     # (collision odds ~(n_spans)^2 / 2^64 — immaterial to the scores)
     # and persist: the span relation feeds both the frequency count
     # and the score join.
     sp = (
-        d.filter(F.size(ws) >= 10)
-        .select("doc_id", F.explode(F.array_distinct(spans)).alias("span_str"))
+        d.select("doc_id", ws.alias("w"))
+        .filter(F.size("w") >= 10)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(sliding_ngrams("w", 10))).alias(
+                "span_str"
+            ),
+        )
         .select("doc_id", F.xxhash64("span_str").alias("span"))
         .persist()
     )
@@ -611,18 +601,12 @@ def text_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.split(F.lower(F.col("text")), " ")
     # zipped shifted slices, not transform(sequence, i -> element_at):
     # a lambda referencing the word array gets split(lower(text))
-    # inlined and re-evaluated per ELEMENT (the _doc_grams lesson —
-    # measured 53 s at the 250k twin in this exact shape); the multi-
-    # referenced alias keeps the split materialized once per row and
-    # the gram string is assembled after the explode
-    span = F.size(F.col("w")) - 2
-    zipped = F.arrays_zip(
-        *[F.slice(F.col("w"), i + 1, span).alias(f"w{i}") for i in range(3)]
-    )
+    # inlined and re-evaluated per ELEMENT (the ngram_util lesson —
+    # measured 53 s at the 250k twin in this exact shape)
     grams = (
-        d.filter(F.size(ws) >= 3)
-        .select("source", ws.alias("w"))
-        .select("source", F.explode(zipped).alias("g"))
+        d.select("source", ws.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("source", F.explode(sliding_structs("w", 3)).alias("g"))
         .select(
             "source",
             F.concat_ws(" ", "g.w0", "g.w1", "g.w2").alias("gram"),
@@ -841,20 +825,14 @@ def text_bigram_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     ws = F.split(F.col("text"), " ")
     bg = (
-        d.filter(F.size(ws) >= 2)
+        d.select("doc_id", ws.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(sliding_structs("w", 2)).alias("b"))
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - 1),
-                    lambda i: F.struct(
-                        F.element_at(ws, i).alias("w1"),
-                        F.element_at(ws, i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("b"),
+            F.col("b.w0").alias("w1"),
+            F.col("b.w1").alias("w2"),
         )
-        .select("doc_id", "b.w1", "b.w2")
         .persist()
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))

@@ -21,6 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..data import load_table, load_table_spread, maybe_broadcast
+from .ngram_util import sliding_structs
 from ..registry import query
 
 
@@ -864,18 +865,8 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     nu = uni.agg(F.sum("c").alias("n_uni"))
     pairs = (
         toks.filter(F.size("ws") >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("ws"), i).alias("w1"),
-                        F.element_at(F.col("ws"), i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("p")
-        )
-        .select("p.w1", "p.w2")
+        .select(F.explode(sliding_structs("ws", 2)).alias("p"))
+        .select(F.col("p.w0").alias("w1"), F.col("p.w1").alias("w2"))
         .filter((F.length("w1") > 0) & (F.length("w2") > 0))
     )
     bi_all = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
@@ -1253,10 +1244,7 @@ def _doc_grams(d: DataFrame) -> DataFrame:
     explode from struct fields — per exploded row, no array in
     sight."""
     w = F.split(F.lower(F.col("text")), " ")
-    span = F.size(F.col("w")) - (_RN_N - 1)
-    zipped = F.arrays_zip(
-        *[F.slice(F.col("w"), i + 1, span).alias(f"w{i}") for i in range(_RN_N)]
-    )
+    zipped = sliding_structs("w", _RN_N)
     return (
         d.select("doc_id", w.alias("w"))
         .filter(F.size("w") >= _RN_N)
