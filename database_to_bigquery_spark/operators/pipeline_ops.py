@@ -1055,3 +1055,85 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(noisy, 4).alias("noisy_count"),
         )
     )
+
+
+_DP_SUM_CLIP = 200000.0  # per-user contribution bound → sensitivity
+_DP_SUM_EPS = 0.5
+_DP_SUM_SCALE = _DP_SUM_CLIP / _DP_SUM_EPS  # Laplace b = Δ/ε
+_DP_SUM_SEED = "dpsum1"
+
+
+@query(
+    "q_dp_noisy_sum",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT o_custkey,
+             LEAST(SUM(o_totalprice), {_DP_SUM_CLIP}) AS contrib
+      FROM orders GROUP BY 1),
+    g AS (
+      SELECT c.c_nationkey AS nation,
+             SUM(u.contrib) AS raw_sum, COUNT(*) AS n_users
+      FROM per_user u JOIN customer c ON c.c_custkey = u.o_custkey
+      GROUP BY 1),
+    noised AS (
+      SELECT nation, n_users,
+             (CAST(('0x' || substr(md5(
+                 concat_ws(':', '{_DP_SUM_SEED}', nation)
+               ), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0 AS un,
+             raw_sum
+      FROM g)
+    SELECT nation, CAST(n_users AS BIGINT) AS n_users,
+           ROUND(raw_sum - {_DP_SUM_SCALE} * sign(un - 0.5)
+                 * ln(1.0 - 2.0 * abs(un - 0.5)), 2) AS noisy_sum
+    FROM noised
+    """,
+)
+def q_dp_noisy_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private SUM release with per-user contribution
+    CLIPPING — the second DP primitive beside `q_dp_noisy_counts`: a
+    user's order total is capped at the clip bound BEFORE aggregation
+    (one user appears in exactly one nation group, so the release's
+    sensitivity is exactly the clip, not the unbounded order value),
+    then per-nation revenue gets Laplace(clip/ε) noise from the same
+    keyed-hash inverse-CDF scheme as the count release (deterministic
+    per release tag → retries don't re-spend budget; both engines
+    compute the identical closed form, so the whole mechanism is
+    oracle-checked).
+
+    Scale: the clip is a per-user aggregate (one shuffle on the user
+    key, map-side combined), the group sum a second bounded shuffle on
+    the group key, and the noise a per-GROUP scalar over the
+    aggregated relation — the DP layer itself costs nothing extra.
+    Decimal sums stay exact through both aggregations (o_totalprice is
+    DECIMAL), so the only floats are the final noise arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_user = o.groupBy("o_custkey").agg(
+        F.least(F.sum("o_totalprice"), F.lit(_DP_SUM_CLIP)).alias("contrib")
+    )
+    g = (
+        per_user.join(
+            c.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+            "o_custkey",
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.sum("contrib").alias("raw_sum"), F.count("*").alias("n_users"))
+    )
+    un = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(_DP_SUM_SEED), "nation")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    noisy = F.col("raw_sum") - F.lit(_DP_SUM_SCALE) * F.signum(
+        un - 0.5
+    ) * F.log(1.0 - 2.0 * F.abs(un - 0.5))
+    return g.select(
+        "nation",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(noisy, 2).alias("noisy_sum"),
+    )

@@ -730,3 +730,112 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off") + F.col("rn")).cast("long").alias("global_pos"),
         )
     )
+
+
+# ------------------------------------------------- GPT-style chunk manifest ----
+
+_SEQ_LEN = 2048  # tokens per packed training sequence
+
+
+@query(
+    "llm_chunk_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+    o AS (
+      SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      FROM t),
+    c AS (
+      SELECT doc_id, n, st,
+             unnest(range(CAST(st // {_SEQ_LEN} AS BIGINT),
+                          CAST((st + n - 1) // {_SEQ_LEN} + 1 AS BIGINT)))
+               AS chunk_id
+      FROM o)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(GREATEST(st, chunk_id * {_SEQ_LEN}) - st AS BIGINT)
+             AS tok_start_in_doc,
+           CAST(LEAST(st + n, (chunk_id + 1) * {_SEQ_LEN})
+                - GREATEST(st, chunk_id * {_SEQ_LEN}) AS BIGINT)
+             AS n_tok_in_chunk,
+           st = GREATEST(st, chunk_id * {_SEQ_LEN}) AS is_doc_start
+    FROM c
+    """,
+)
+def llm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk manifest: documents are laid out
+    end-to-end in doc_id order and cut into fixed {_SEQ_LEN}-token
+    training sequences, documents SPLITTING across sequence boundaries
+    — one row per (doc, chunk) overlap with the in-document token
+    range, exactly what a data loader consumes to assemble sequence k
+    without materializing the packed corpus. `text_pack_sequences` is
+    the no-split per-shard bin view (occupancy accounting); this is
+    the split-across-boundaries layout itself.
+
+    Scale: the global token offset is the two-pass cumulative-sum core
+    (q_global_ranks_scalable): repartitionByRange gives a parallel
+    range-sorted layout, offsets are local per partition, and the only
+    SinglePartition stage is the 32-row partition-total cumulative —
+    a naive SUM() OVER (ORDER BY doc_id) funnels the corpus through
+    one task; this funnels 32 longs. Chunk rows come from a bounded
+    per-doc explode (ceil(n/{_SEQ_LEN}) + 1 rows). The persist pins
+    the range boundaries across the two consumers (RangePartitioner
+    re-samples per exchange instance — the q_decile_lift lesson).
+    Everything downstream is integer arithmetic, so the whole layout
+    is oracle-exact; at 100 TB the same manifest shards by
+    floor(chunk_id / chunks_per_shard) into independent writer tasks."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n"),
+    )
+    ranged = (
+        d.repartitionByRange(32, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    local = ranged.withColumn(
+        "lc",
+        F.sum("n").over(
+            Window.partitionBy("pid")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    totals = ranged.groupBy("pid").agg(F.sum("n").alias("c"))
+    offsets = totals.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("pid", "off")
+    st = (F.col("off") + F.col("lc") - F.col("n")).alias("st")
+    spans = (
+        local.join(F.broadcast(offsets), "pid")
+        .select("doc_id", "n", st)
+        .select(
+            "doc_id",
+            "n",
+            "st",
+            F.explode(
+                F.sequence(
+                    (F.col("st") / _SEQ_LEN).cast("long"),
+                    ((F.col("st") + F.col("n") - 1) / _SEQ_LEN).cast("long"),
+                )
+            ).alias("chunk_id"),
+        )
+    )
+    chunk_start = F.greatest(F.col("st"), F.col("chunk_id") * _SEQ_LEN)
+    chunk_end = F.least(
+        F.col("st") + F.col("n"), (F.col("chunk_id") + 1) * _SEQ_LEN
+    )
+    return spans.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (chunk_start - F.col("st")).cast("long").alias("tok_start_in_doc"),
+        (chunk_end - chunk_start).cast("long").alias("n_tok_in_chunk"),
+        (F.col("st") == chunk_start).alias("is_doc_start"),
+    )

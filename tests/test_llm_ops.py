@@ -882,3 +882,37 @@ def test_gram_covariance_matches_decimal_form(spark, sf_dir):
     cov = np.cov(vecs, rowvar=False, bias=True)
     for (i, j), v in dec.items():
         assert abs(cov[i - 1, j - 1] - v) < 2e-4, (i, j, v, cov[i - 1, j - 1])
+
+
+def test_chunk_manifest_invariants(spark, sf_dir):
+    """The concat-then-chunk manifest must tile the token stream
+    exactly: every chunk except the last holds exactly _SEQ_LEN
+    tokens, per-doc spans reassemble the doc's token count, and
+    is_doc_start marks exactly one span per doc."""
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.operators.training_prep import (
+        _SEQ_LEN,
+        llm_chunk_manifest,
+    )
+
+    m = llm_chunk_manifest(spark, sf_dir).cache()
+    per_chunk = (
+        m.groupBy("chunk_id").agg(F.sum("n_tok_in_chunk").alias("tok")).collect()
+    )
+    last = max(r["chunk_id"] for r in per_chunk)
+    for r in per_chunk:
+        if r["chunk_id"] != last:
+            assert r["tok"] == _SEQ_LEN, (r["chunk_id"], r["tok"])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    per_doc = m.groupBy("doc_id").agg(
+        F.sum("n_tok_in_chunk").alias("tok"),
+        F.sum(F.col("is_doc_start").cast("int")).alias("starts"),
+    )
+    bad = per_doc.join(docs, "doc_id").filter(
+        (F.col("tok") != F.col("n")) | (F.col("starts") != 1)
+    )
+    assert bad.count() == 0
+    m.unpersist()
