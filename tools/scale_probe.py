@@ -52,6 +52,8 @@ TWIN_PROBES = {
     "mm_phash_neardup",
     "text_corpus_overlap",
     "sim_topk_ivfpq",
+    # round-6: global-cumsum packing manifest
+    "llm_chunk_manifest",
 }
 
 # scale-critical representatives: scans/joins/aggs (lineitem-bound),
@@ -107,6 +109,8 @@ DEFAULT_PROBES = [
     "text_repetition_filter",
     "text_corpus_overlap",
     "sim_topk_ivfpq",
+    # round-6: global-cumsum packing manifest
+    "llm_chunk_manifest",
 ]
 
 # the table whose row count drives each probe's input size
@@ -145,6 +149,7 @@ DRIVER_TABLE = {
     "text_repetition_filter": "documents",
     "text_corpus_overlap": "documents",
     "sim_topk_ivfpq": "embeddings",
+    "llm_chunk_manifest": "documents",
 }
 
 
