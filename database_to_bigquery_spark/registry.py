@@ -156,11 +156,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # X17 UDF surface
     "udf_pandas_scalar",
     "q_recursive_month_spine",
-    "udf_arrow_grouped_span",
     # behavioral / training-prep / skew representatives
-    "stream_knn_probe",
     "mm_webdataset_write",
-    "mm_tar_member_index",
+    # round-6 rotation: the rebuilt perceptual-hash dedup (new 16-bit
+    # band semantics need fresh external attestation), the GPT-style
+    # chunk manifest, and the new DP-release family (stream_knn_probe,
+    # mm_tar_member_index, udf_arrow_grouped_span rotate out — all
+    # r4/r5-attested)
+    "mm_phash_neardup",
+    "llm_chunk_manifest",
+    "q_dp_noisy_counts",
 )
 
 

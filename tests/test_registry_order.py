@@ -69,6 +69,10 @@ FAMILY_REPRESENTATIVES = {
     ],
     "X12+ paragraph dedup": ["text_paragraph_dedup"],
     "ops/table checksum": ["q_table_checksum"],
+    # round-6 rotation partners
+    "governance DP": ["q_dp_noisy_counts", "q_dp_noisy_sum"],
+    "training-prep packing": ["llm_chunk_manifest", "text_pack_sequences"],
+    "X15+ perceptual hash": ["mm_phash_neardup", "dedup_simhash"],
 }
 
 DRIVER_SAMPLE = 50
