@@ -32,9 +32,11 @@ from pyspark.sql import functions as F
 def sliding_structs(col: str, n: int) -> Column:
     """``array<struct<w0..w{n-1}>>`` of all length-n sliding windows of
     the materialized array column ``col`` (empty when the array is
-    shorter than n). Explode it and read fields per row — nothing
-    row-level is ever evaluated per element."""
-    span = F.size(F.col(col)) - (n - 1)
+    shorter than n — the span clamps at 0 because ``slice`` raises on
+    negative lengths at RUNTIME, a data-dependent failure no test on
+    well-formed fixtures would catch). Explode it and read fields per
+    row — nothing row-level is ever evaluated per element."""
+    span = F.greatest(F.size(F.col(col)) - (n - 1), F.lit(0))
     return F.arrays_zip(
         *[F.slice(F.col(col), i + 1, span).alias(f"w{i}") for i in range(n)]
     )

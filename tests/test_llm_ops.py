@@ -916,3 +916,48 @@ def test_chunk_manifest_invariants(spark, sf_dir):
     )
     assert bad.count() == 0
     m.unpersist()
+
+
+def test_sliding_ngram_helpers_match_python_reference(spark):
+    """ngram_util's zipped-slice builders must produce exactly the
+    grams a straightforward Python loop produces — order included —
+    and handle the shorter-than-n edge as an empty array. This is the
+    contract every migrated gram consumer (repeated-ngrams, corpus
+    overlap, LM scorers, C4 spans, PMI) now rests on."""
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.operators.ngram_util import (
+        sliding_ngrams,
+        sliding_structs,
+    )
+
+    texts = [
+        "a b c d e",
+        "x y",
+        "solo",
+        "p q p q p",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    ).select("id", F.split("text", " ").alias("w"))
+    got = {
+        r["id"]: r["g"]
+        for r in df.select("id", sliding_ngrams("w", 3).alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        want = [" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)]
+        assert got[i] == want, (t, got[i], want)
+    # struct form explodes to the same pairs a window-lead would give
+    pairs = (
+        df.select("id", F.explode(sliding_structs("w", 2)).alias("p"))
+        .select("id", "p.w0", "p.w1")
+        .collect()
+    )
+    want_pairs = [
+        (i, ws[j], ws[j + 1])
+        for i, t in enumerate(texts)
+        for ws in [t.split(" ")]
+        for j in range(len(ws) - 1)
+    ]
+    assert sorted((r["id"], r["w0"], r["w1"]) for r in pairs) == sorted(want_pairs)
