@@ -26,8 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..data import bounded, load_table
+from ..data import bounded, load_table, load_table_spread
 from ..registry import query
+from .ngram_util import sliding_structs
 
 # ------------------------------------------------------------- exact ----
 
@@ -508,29 +509,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- simhash ----
 
-_SIMHASH_BITS = 48  # wide enough that shared-vocabulary docs don't collide
+_SIMHASH_BITS = 60  # 4 bands x 15 bits; fits a signed long (no 1<<63)
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // 4
 
 
 @query("dedup_simhash")  # approximate → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 48-bit fingerprint from word
-    hashes; pairs within hamming distance ≤ 3 found via the pigeonhole
-    band join (4 bands × 12 bits → a pair within distance 3 has its ≤3
-    differing bits spread over ≤3 bands, so at least one of the 4 bands
-    matches exactly). Output (doc_a, doc_b, hamming).
+    """SimHash near-dup candidates: 60-bit fingerprint voted from word
+    BIGRAM hashes; pairs within hamming distance ≤ 3 found via the
+    pigeonhole band join (4 bands × 15 bits → a pair within distance 3
+    has its ≤3 differing bits spread over ≤3 bands, so at least one of
+    the 4 bands matches exactly). Output (doc_a, doc_b, hamming).
+
+    Feature choice is the scale lesson here (round 6): the original
+    unigram form DEGENERATES on a shared-vocabulary corpus — same
+    word-frequency profile ⇒ same vote signs ⇒ near-identical
+    fingerprints for unrelated docs. At 5k fixture docs it emitted
+    298 338 hamming ≤ 3 "pairs" (background, not near-dups), and at
+    the 250k twin the band self-join went quadratic (exponent 2.33,
+    385.7 s): fingerprint saturation and bucket blowup are the SAME
+    failure. Bigram features de-correlate the votes (word salad
+    shares words, not word ORDER), collapsing the fixture output to
+    the actual mutated-copy pairs and the twin run to seconds. Also
+    upgraded: xxhash64 (F.hash is 32-bit — bits 32+ of the old 48-bit
+    mask were sign-extension, not entropy) and a 64-member hot-bucket
+    cap as backstop (the drop_hot_buckets rule; with bigram features
+    it only binds on a degenerate corpus — exact-dup mega-clusters
+    that dedup_exact_text already owns).
 
     Scale: fingerprints are one narrow agg; the band join buckets on
     (band_idx, band_val) — bounded fanout, no doc² shuffle.
     """
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    ws = F.split(F.col("text"), " ")
+    bg = (
+        d.select("doc_id", ws.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(sliding_structs("w", 2)).alias("b"))
+        .select("doc_id", F.concat_ws(" ", "b.w0", "b.w1").alias("gram"))
     )
-    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
-        F.length("word") > 0
-    )
-    w = w.withColumn(
-        "h", F.hash("word").cast("long").bitwiseAND(F.lit((1 << _SIMHASH_BITS) - 1))
-    )
+    h = F.xxhash64("gram").bitwiseAND(F.lit((1 << _SIMHASH_BITS) - 1))
+    w = bg.withColumn("h", h)
     # per-bit signed vote: +1 if bit set else -1, summed per doc
     votes = [
         F.sum(
@@ -544,20 +563,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         fp_bits = bit if fp_bits is None else fp_bits + bit
     fp = agg.select("doc_id", fp_bits.alias("simhash"))
-    # pigeonhole bands: 4 bands × 12 bits — a pair within hamming
-    # distance 3 must agree exactly on at least one band
+    # pigeonhole bands: a pair within hamming distance 3 must agree
+    # exactly on at least one of the 4 bands
     bands = fp.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 12 * i).bitwiseAND(F.lit(4095))
+                    F.shiftright(
+                        F.col("simhash"), _SIMHASH_BAND_BITS * i
+                    ).bitwiseAND(F.lit((1 << _SIMHASH_BAND_BITS) - 1))
                     for i in range(4)
                 ]
             )
         ).alias("band_idx", "band_val"),
     )
+    # hot-bucket backstop (see docstring)
+    bucket_w = W.partitionBy("band_idx", "band_val")
+    bands = bands.withColumn("_bn", F.count("*").over(bucket_w)).filter(
+        F.col("_bn") <= 64
+    ).drop("_bn")
     cand = (
         bands.alias("x")
         .join(

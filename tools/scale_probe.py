@@ -54,6 +54,13 @@ TWIN_PROBES = {
     "sim_topk_ivfpq",
     # round-6: global-cumsum packing manifest
     "llm_chunk_manifest",
+    # round-6 second sweep: remaining >=2.5s census entries on
+    # twin-capable tables, previously fit on the fixtures only
+    "dedup_simhash",
+    "text_bigram_kn_score",
+    "graph_cc_pointer_jumping",
+    "llm_corpus_prepare",
+    "sim_topk_lsh",
 }
 
 # scale-critical representatives: scans/joins/aggs (lineitem-bound),
@@ -111,6 +118,8 @@ DEFAULT_PROBES = [
     "sim_topk_ivfpq",
     # round-6: global-cumsum packing manifest
     "llm_chunk_manifest",
+    "dedup_simhash",
+    "text_bigram_kn_score",
 ]
 
 # the table whose row count drives each probe's input size
@@ -150,6 +159,8 @@ DRIVER_TABLE = {
     "text_corpus_overlap": "documents",
     "sim_topk_ivfpq": "embeddings",
     "llm_chunk_manifest": "documents",
+    "dedup_simhash": "documents",
+    "text_bigram_kn_score": "documents",
 }
 
 
