@@ -393,12 +393,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg; the band join only shuffles (doc, band) pairs — never doc².
     Output: (doc_a, doc_b, est_jaccard, jaccard) for true pairs ≥ 0.6.
     """
+    return minhash_verified_pairs(char_shingles(spark, sf_dir))
+
+
+def minhash_verified_pairs(raw_shingles: DataFrame) -> DataFrame:
+    """The banded-MinHash mine-and-verify core over ANY (doc_id, g)
+    shingle relation — shared by the corpus-wide miner
+    (`dedup_minhash_lsh`) and the production corpus-prep funnel
+    (`llm_corpus_prepare_lsh`, which runs it on the quality-gate
+    survivors). Returns (doc_a < doc_b, est_jaccard, jaccard ≥ 0.6)."""
     # One shingle pass, persisted: the (doc, gram) relation feeds the
     # signature agg AND three verification consumers (sizes + both
     # sides of the intersection join); without the persist each
     # consumer re-shingles the full corpus (4 scans of the most
     # expensive map stage). MEMORY_AND_DISK default spills at scale.
-    shingles = char_shingles(spark, sf_dir).persist()
+    shingles = raw_shingles.persist()
     # cache: the signature table is tiny (n_docs × 64 longs) but its
     # lineage re-shingles the whole corpus; it feeds three consumers
     # (band explode + both sides of the estimate join), so without a

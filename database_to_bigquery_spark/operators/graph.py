@@ -269,7 +269,14 @@ def _cc_oracle() -> str:
     return CLUSTERS_ORACLE
 
 
-@query("graph_cc_pointer_jumping", oracle=_cc_oracle())
+@query(
+    "graph_cc_pointer_jumping",
+    oracle=_cc_oracle(),
+    # the ALGORITHM is the O(log d) production CC; this query feeds it
+    # from the exact all-pairs miner so the oracle can check it — the
+    # banded-miner composition is the form that runs at 100 TB
+    scale_twin="dedup_clusters_lsh",
+)
 def graph_cc_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components by min-label propagation WITH pointer
     jumping (path halving): each round first takes the minimum label

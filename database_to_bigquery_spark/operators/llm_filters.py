@@ -394,6 +394,7 @@ def text_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_corpus_prepare",
+    scale_twin="llm_corpus_prepare_lsh",
     oracle=f"""
     WITH quality AS (
       SELECT doc_id, source, text,
@@ -860,3 +861,71 @@ def text_bigram_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.avg(F.log("pkn")) < -6.0).alias("low_quality"),
         )
     )
+
+
+@query("llm_corpus_prepare_lsh")  # banded candidates → rows-only check
+def llm_corpus_prepare_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep funnel at production scale: identical quality
+    gate and keep-first dedup policy as `llm_corpus_prepare`, but the
+    near-dup pairs come from the banded-MinHash mine-and-verify core
+    (`dedup.minhash_verified_pairs` — O(docs × bands + collisions))
+    instead of the exact blocked all-pairs intersection (Θ(n²/B),
+    which is why the exact form is scale-twin-fenced to this one).
+    Pairs are exact-verified (J ≥ 0.6 on true shingle sets), so
+    precision is 1.0 and only banding recall separates the two
+    funnels — on the fixtures recall is 1.0 and the reports agree
+    exactly (pytest-pinned), the same relationship dedup_clusters_lsh
+    holds to dedup_clusters.
+
+    Rows-only in the driver gate (banding recall < 1 is possible on
+    adversarial corpora); the exact twin carries the DuckDB oracle."""
+    from .dedup import minhash_verified_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(F.split(F.col("text"), " "))
+    punct_ratio = F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")) / n_chars
+    q = (
+        F.when((n_chars >= 100) & (n_chars <= 400), 1.0).otherwise(0.5)
+        * F.when(n_words >= 20, 1.0).otherwise(0.6)
+        * F.when(punct_ratio < 0.1, 1.0).otherwise(0.7)
+    )
+    quality = d.select("doc_id", "source", "text", q.alias("q"))
+    kept_q = quality.filter(F.col("q") >= 0.6)
+
+    # same 5-char shingles as the exact funnel, over the survivors
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(5)),
+        )
+    )
+    sh = kept_q.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.explode(grams).alias("g"))
+    pairs = minhash_verified_pairs(sh)  # doc_a < doc_b, jaccard >= 0.6
+    dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = kept_q.join(dups, "doc_id", "left_anti")
+
+    report = (
+        quality.alias("q")
+        .join(
+            final.select(
+                "doc_id", F.size(F.split(F.col("text"), " ")).alias("nw")
+            ).alias("f"),
+            "doc_id",
+            "left",
+        )
+        .groupBy(F.col("q.source").alias("source"))
+        .agg(
+            F.count("*").cast("long").alias("docs_in"),
+            F.count(F.when(F.col("q.q") >= 0.6, 1)).cast("long").alias(
+                "docs_quality"
+            ),
+            F.count("f.nw").cast("long").alias("docs_final"),
+            F.coalesce(F.sum("f.nw"), F.lit(0)).cast("long").alias(
+                "ws_tokens_final"
+            ),
+        )
+    )
+    return report

@@ -961,3 +961,25 @@ def test_sliding_ngram_helpers_match_python_reference(spark):
         for j in range(len(ws) - 1)
     ]
     assert sorted((r["id"], r["w0"], r["w1"]) for r in pairs) == sorted(want_pairs)
+
+
+def test_lsh_funnel_matches_exact_funnel(spark, sf_dir):
+    """llm_corpus_prepare_lsh must reproduce the exact funnel's report
+    on the fixtures, where banding recall is 1.0 — the same twin
+    relationship dedup_clusters_lsh holds to dedup_clusters. Any drift
+    means the banded miner lost a verified pair the exact intersection
+    found."""
+    from database_to_bigquery_spark.operators.llm_filters import (
+        llm_corpus_prepare,
+        llm_corpus_prepare_lsh,
+    )
+
+    exact = {
+        r["source"]: (r["docs_in"], r["docs_quality"], r["docs_final"], r["ws_tokens_final"])
+        for r in llm_corpus_prepare(spark, sf_dir).collect()
+    }
+    lsh = {
+        r["source"]: (r["docs_in"], r["docs_quality"], r["docs_final"], r["ws_tokens_final"])
+        for r in llm_corpus_prepare_lsh(spark, sf_dir).collect()
+    }
+    assert lsh == exact

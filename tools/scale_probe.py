@@ -58,9 +58,12 @@ TWIN_PROBES = {
     # twin-capable tables, previously fit on the fixtures only
     "dedup_simhash",
     "text_bigram_kn_score",
-    "graph_cc_pointer_jumping",
-    "llm_corpus_prepare",
     "sim_topk_lsh",
+    # NOT twin-probed: graph_cc_pointer_jumping and llm_corpus_prepare
+    # ride EXACT all-pairs upstreams (scale-twin-fenced to
+    # dedup_clusters_lsh / llm_corpus_prepare_lsh); probing them at the
+    # twins just measures the fenced quadratic
+    "llm_corpus_prepare_lsh",
 }
 
 # scale-critical representatives: scans/joins/aggs (lineitem-bound),
@@ -161,6 +164,7 @@ DRIVER_TABLE = {
     "llm_chunk_manifest": "documents",
     "dedup_simhash": "documents",
     "text_bigram_kn_score": "documents",
+    "llm_corpus_prepare_lsh": "documents",
 }
 
 
