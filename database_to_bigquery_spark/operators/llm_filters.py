@@ -863,7 +863,10 @@ def text_bigram_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_corpus_prepare_lsh")  # banded candidates → rows-only check
+@query("llm_corpus_prepare_lsh", headline=True)  # rows-only check
+# headline: the end-to-end production composition (quality gate +
+# banded dedup + funnel report) — the llm-pipeline counterpart of
+# dedup_clusters_lsh in the bench set
 def llm_corpus_prepare_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-prep funnel at production scale: identical quality
     gate and keep-first dedup policy as `llm_corpus_prepare`, but the
