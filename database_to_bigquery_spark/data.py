@@ -89,6 +89,39 @@ def load_table_spread(spark: SparkSession, sf_dir: str, name: str, key: str) -> 
     )
 
 
+def range_fanout(df: DataFrame, floor: int = 32) -> int:
+    """Width for the two-pass global-rank family's repartitionByRange.
+
+    Derived, not hardcoded: the pattern's SinglePartition offsets stage
+    only ever sees one long per range partition, so the width can grow
+    with the input at zero metadata cost — while a FIXED 32 means ~3 TB
+    per task at 100 TB (a straggler/spill wall no plan census can see).
+    Width = max(floor, defaultParallelism, plan-estimated input bytes /
+    files.maxPartitionBytes) — the same "size the narrow work to the
+    cluster" convention as load_table_spread. At fixture scale all
+    three terms collapse to the floor, so local plans are unchanged.
+    The result is still an EXPLICIT partition count, so AQE will not
+    re-coalesce it and both consumers of the persisted range exchange
+    see identical boundaries. SPARK_GRAFT_RANGE_FANOUT overrides for
+    tests (the global ranks are width-agnostic by construction —
+    tests/test_range_fanout.py proves it at two widths).
+    """
+    override = os.environ.get("SPARK_GRAFT_RANGE_FANOUT")
+    if override:
+        return max(1, int(override))
+    spark = df.sparkSession
+    width = max(floor, spark.sparkContext.defaultParallelism)
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        target = _parse_byte_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        width = max(width, -(-est // max(target, 1)))
+    except Exception:
+        pass  # Spark Connect: no _jdf — defaultParallelism still applies
+    return width
+
+
 def _parse_byte_conf(value: str) -> int:
     """Parse Spark size confs like ``10485760b`` / ``10MB`` / ``-1``."""
     v = value.strip().lower()

@@ -397,11 +397,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_verified_pairs(raw_shingles: DataFrame) -> DataFrame:
-    """The banded-MinHash mine-and-verify core over ANY (doc_id, g)
+    """The banded-MinHash mine-and-verify core over a (doc_id, g)
     shingle relation — shared by the corpus-wide miner
     (`dedup_minhash_lsh`) and the production corpus-prep funnel
     (`llm_corpus_prepare_lsh`, which runs it on the quality-gate
-    survivors). Returns (doc_a < doc_b, est_jaccard, jaccard ≥ 0.6)."""
+    survivors). Returns (doc_a < doc_b, est_jaccard, jaccard ≥ 0.6).
+
+    PRECONDITION: `raw_shingles` must be (doc_id, g)-DISTINCT. The
+    exact-Jaccard verification takes set sizes n from the signature
+    aggregation and the intersection count from a (doc, g) equi-join;
+    duplicate grams would silently inflate both counts (and hence
+    jaccard). Both callers satisfy this by construction —
+    `char_shingles` emits distinct grams per doc, and the funnel
+    explodes `array_distinct` — a new caller must too (minhash itself
+    is multiset-insensitive, so a defensive .distinct() here would be
+    a pure extra corpus shuffle for every compliant caller)."""
     # One shingle pass, persisted: the (doc, gram) relation feeds the
     # signature agg AND three verification consumers (sizes + both
     # sides of the intersection join); without the persist each
@@ -1042,7 +1052,12 @@ def label_propagation_components(e: DataFrame) -> DataFrame:
         "label", F.col("node")
     )
     prev_sum = None
-    for _ in range(20):  # >= label-graph diameter; loop exits at fixpoint
+    converged = False
+    # 64 rounds is far past any plausible contracted-label-graph
+    # diameter (contraction halves chains every round-1 pass); the cap
+    # exists only so an adversarial/buggy input fails LOUDLY below
+    # instead of looping forever — never by returning wrong labels.
+    for _ in range(64):
         obs = Observation()
         prop = (
             le.join(labels, le.src == labels.node)
@@ -1065,8 +1080,17 @@ def label_propagation_components(e: DataFrame) -> DataFrame:
         labels = prop
         s = obs.get["label_sum"]
         if prev_sum is not None and s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # Fail loudly: exhausting the cap means the label sum was still
+        # decreasing, so the labels are NOT components yet — returning
+        # them would emit silently wrong clusters.
+        raise RuntimeError(
+            "label_propagation_components did not reach a fixpoint within "
+            "64 rounds — contracted label graph deeper than expected"
+        )
     # remap every node through its partial label's final label; labels
     # not in the label graph were fully merged on round 1 already
     return (

@@ -1104,12 +1104,17 @@ def q_dp_noisy_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, map-side combined), the group sum a second bounded shuffle on
     the group key, and the noise a per-GROUP scalar over the
     aggregated relation — the DP layer itself costs nothing extra.
-    Decimal sums stay exact through both aggregations (o_totalprice is
-    DECIMAL), so the only floats are the final noise arithmetic."""
+    The clip bound is cast to DECIMAL before least(): a double literal
+    would promote contrib — and hence raw_sum — to a partition-order-
+    dependent float sum, while the oracle's LEAST/SUM stays exact
+    DECIMAL; keeping both sides DECIMAL until the final noise
+    expression makes the release order-independent and hash-stable."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     per_user = o.groupBy("o_custkey").agg(
-        F.least(F.sum("o_totalprice"), F.lit(_DP_SUM_CLIP)).alias("contrib")
+        F.least(
+            F.sum("o_totalprice"), F.lit(_DP_SUM_CLIP).cast("decimal(22,2)")
+        ).alias("contrib")
     )
     g = (
         per_user.join(

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import load_table, range_fanout
 from ..registry import query
 
 # ------------------------------------------------------------- pivot ----
@@ -382,7 +382,9 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # offsets. (q_global_ranks_scalable dodges this only because both
     # of its branches prune to the identical 2-column schema.)
     ranged = (
-        o.repartitionByRange(32, F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        o.repartitionByRange(
+            range_fanout(o), F.col("o_totalprice").desc(), F.col("o_orderkey")
+        )
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )

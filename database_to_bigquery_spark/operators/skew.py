@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import load_table, range_fanout
 from ..registry import query
 
 DEFAULT_SALT = 8
@@ -165,7 +165,7 @@ def q_global_ranks_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instance — any schema-pruning asymmetry between the branches
     # would silently corrupt the offsets (bitten in q_decile_lift).
     ranged = (
-        o.repartitionByRange(32, "o_totalprice", "o_orderkey")
+        o.repartitionByRange(range_fanout(o), "o_totalprice", "o_orderkey")
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import load_table, range_fanout
 from ..registry import query
 
 _N_SHARDS = 8  # fixture-sized; at 100 TB this is thousands
@@ -703,7 +703,7 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     ).drop("n_chars")
     ranged = (
-        ranked.repartitionByRange(32, "src_rank", "source")
+        ranked.repartitionByRange(range_fanout(ranked), "src_rank", "source")
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
@@ -790,7 +790,7 @@ def llm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n"),
     )
     ranged = (
-        d.repartitionByRange(32, "doc_id")
+        d.repartitionByRange(range_fanout(d), "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )

@@ -86,6 +86,18 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # q_salted_hot_key_join -> mm_tar_member_index, dedup_minhash_lsh ->
 # mm_webdataset_read (X12's oracle-bearing window rep stays
 # dedup_exact_text; minhash r03-attested rows-only).
+# r07 rotation (VERDICT r6 task 3): the four new r6 ops in
+# (q_dp_noisy_sum, sim_covariance_matrix, llm_curriculum_order,
+# dedup_simhash) plus one rep per large never-attested family
+# (q_funnel_time_windowed, q_survival_km, q_activity_streaks, q_ks_test,
+# q_corr_matrix, q_merkle_bucket_diff). Out — all r06-green, each family
+# still covered in-window: q_hash_agg_functions (X5 ← q1),
+# q_table_checksum (checksum ← q_merkle_bucket_diff), mm_webdataset_read,
+# text_stats (X14 ← text_quality_threshold_sweep), text_repeated_ngrams,
+# sim_ivf_incremental_add, mm_binary_metadata (X15 ← mm_webdataset_write
+# + mm_phash_neardup), text_length_outlier_filter, stream_tumbling_hourly
+# (X16 ← stream_stateful_user_totals), q_dp_noisy_counts (DP ←
+# q_dp_noisy_sum).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # S-family (reference ETL surface)
     "s1_catalog_allowlist",      # S1
@@ -107,17 +119,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_semantic_decontamination",
     "sim_knn_join_exact",
     "q_asof_join",
-    # X5 hash agg (+ the IVM maintenance flagship, r6 rotation),
-    # X6 rollup/cube/grouping sets (rotates q_rollup → q_grouping_sets)
-    "q_hash_agg_functions",
+    # statistics family first attestation (X5 hash agg rotates out —
+    # q1_pricing_summary carries X5); IVM flagship; X6 grouping sets
+    "q_corr_matrix",
     "q_ivm_join_maintenance",
     "q_grouping_sets",
     # CDC/merge family: delete-branch MERGE (r03 flagship)
     "q_merge_with_delete",
-    # X7 approx aggs + sketches (approx equi-depth twin rotated out
-    # after its by-design rows-only r5 attestation; exact stays)
+    # X7 approx aggs + sketches; table-integrity family rotates
+    # q_table_checksum → the bucketed Merkle diff (first attestation)
     "q_histogram_equi_depth",
-    "q_table_checksum",
+    "q_merkle_bucket_diff",
     "text_bigram_kn_score",
     # X8 windows (rotates to the two-pass scalable global rank — the
     # 100 TB answer to single-partition ORDER BY), X9 top-k
@@ -132,40 +144,38 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # SCD2 family rotates to the apply-changes MERGE form (as-of
     # snapshot + time-travel diff both r5-attested)
     "q_scd2_apply_changes",
-    # X12 dedup (exact, plus the r5 incremental-CC flagship — the
-    # label-graph remap; dedup_clusters_lsh r05-green)
+    # X12 dedup: exact, the incremental-CC flagship, and the r6-rebuilt
+    # bigram SimHash (rows-only — new band semantics need attestation)
     "dedup_exact_text",
     "dedup_incremental_clusters",
-    "mm_webdataset_read",
+    "dedup_simhash",
     # X13 similarity / ANN; ts family rotates holt_winters →
     # STL-residual anomaly flags (ts_holt_winters r05-green)
     "sim_topk_bruteforce",
     "ts_stl_anomaly",
-    # X14 text analysis + LLM filters
-    "text_stats",
-    "text_repeated_ngrams",
+    # statistics + behavioral families (first attestations); X14 rep
+    # stays text_quality_threshold_sweep; X13+ numerics covariance
+    "q_ks_test",
+    "q_funnel_time_windowed",
     "text_quality_threshold_sweep",
-    "sim_ivf_incremental_add",
-    # X15 multimodal
-    "mm_binary_metadata",
-    "text_length_outlier_filter",
-    # X16 streaming (batch-equivalence twins)
-    "stream_tumbling_hourly",
+    "sim_covariance_matrix",
+    # behavioral survival / streaks (first attestations)
+    "q_survival_km",
+    "q_activity_streaks",
+    # training-prep curriculum; X16 streaming rep (stateful totals)
+    "llm_curriculum_order",
     "stream_stateful_user_totals",
     "q_backfill_plan",
     # X17 UDF surface
     "udf_pandas_scalar",
     "q_recursive_month_spine",
-    # behavioral / training-prep / skew representatives
+    # X15 multimodal reps (webdataset writer + perceptual hash — the
+    # oracle-bearing rep the rows-only dedup_simhash rides beside)
     "mm_webdataset_write",
-    # round-6 rotation: the rebuilt perceptual-hash dedup (new 16-bit
-    # band semantics need fresh external attestation), the GPT-style
-    # chunk manifest, and the new DP-release family (stream_knn_probe,
-    # mm_tar_member_index, udf_arrow_grouped_span rotate out — all
-    # r4/r5-attested)
     "mm_phash_neardup",
     "llm_chunk_manifest",
-    "q_dp_noisy_counts",
+    # governance DP rotates counts → clipped-contribution sum
+    "q_dp_noisy_sum",
 )
 
 

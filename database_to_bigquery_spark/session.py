@@ -16,25 +16,53 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _cgroup_mem_limit_bytes() -> int | None:
+    """Container memory limit, if one is set: cgroup v2 ``memory.max``
+    or v1 ``memory.limit_in_bytes``. Returns None when unlimited or
+    unreadable ("max", absent file, or a sentinel ≥ 2^60 that kernels
+    use for 'no limit')."""
+    for path in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            with open(path) as fh:
+                raw = fh.read().strip()
+        except OSError:
+            continue
+        if raw == "max" or not raw.isdigit():
+            continue
+        limit = int(raw)
+        if limit < 1 << 60:  # v1 reports ~2^63 when unlimited
+            return limit
+    return None
+
+
 def _default_driver_mem() -> str:
-    """Driver-heap default scaled to the HOST, not to any one box:
-    ~40% of physical RAM, capped at 48g (local[32] puts all 32 task
-    slots in one driver JVM, so the heap must be sized like 32
-    executor cores' worth — ≥1g/task avoids heap-OOM on corpus-scale
-    sorts) and floored at 2g so tiny CI hosts still launch. A fixed
-    48g constant OOM-killed the JVM on smaller hosts; override via
+    """Driver-heap default scaled to what this process may actually
+    use: ~40% of min(host MemTotal, cgroup memory limit), capped at
+    48g (local[32] puts all 32 task slots in one driver JVM, so the
+    heap must be sized like 32 executor cores' worth — ≥1g/task avoids
+    heap-OOM on corpus-scale sorts) and floored at 2g so tiny CI hosts
+    still launch. Host MemTotal alone over-allocates inside a
+    container (40% of host RAM, not of the cgroup limit, reproduces
+    the OOM-kill this sizing exists to prevent); a fixed 48g constant
+    did the same on smaller hosts. Override via
     SPARK_GRAFT_DRIVER_MEM either way."""
     try:
         with open("/proc/meminfo") as fh:
             for line in fh:
                 if line.startswith("MemTotal:"):
-                    total_kb = int(line.split()[1])
+                    total_bytes = int(line.split()[1]) * 1024
                     break
             else:
                 return "8g"
     except OSError:  # non-Linux: keep Spark-sized conservative default
         return "8g"
-    gib = total_kb * 0.4 / (1024 * 1024)
+    cg = _cgroup_mem_limit_bytes()
+    if cg is not None:
+        total_bytes = min(total_bytes, cg)
+    gib = total_bytes * 0.4 / (1024 ** 3)
     return f"{min(48, max(2, int(gib)))}g"
 
 

@@ -32,8 +32,22 @@ FAMILY_REPRESENTATIVES = {
     "X11": ["q_json_extract", "q_variant_json", "q_from_xml"],
     "X12": ["dedup_exact_text", "dedup_clusters", "dedup_minhash_lsh"],
     "X13": ["sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_sq8"],
-    "X14": ["text_stats", "text_tfidf_top_terms", "text_repetition_filter"],
-    "X15": ["mm_binary_metadata", "mm_resize"],
+    # text_quality_threshold_sweep is an X14 attestor per VERDICT §2 —
+    # it carries the family while text_stats rotates out (r07)
+    "X14": [
+        "text_stats",
+        "text_tfidf_top_terms",
+        "text_repetition_filter",
+        "text_quality_threshold_sweep",
+    ],
+    # the WebDataset duplex + perceptual hash are X15 attestors per
+    # VERDICT §2 (multimodal columns + WebDataset duplex)
+    "X15": [
+        "mm_binary_metadata",
+        "mm_resize",
+        "mm_webdataset_write",
+        "mm_phash_neardup",
+    ],
     "X16": ["stream_tumbling_hourly", "stream_stateful_user_totals"],
     "X17": ["udf_pandas_scalar", "udf_grouped_agg_weighted", "udtf_word_chunks"],
     # round-2/3 flagship families — each lists the attested r02 member
@@ -68,11 +82,17 @@ FAMILY_REPRESENTATIVES = {
         "dedup_clusters_lsh",
     ],
     "X12+ paragraph dedup": ["text_paragraph_dedup"],
-    "ops/table checksum": ["q_table_checksum"],
+    "ops/table checksum": ["q_table_checksum", "q_merkle_bucket_diff"],
     # round-6 rotation partners
     "governance DP": ["q_dp_noisy_counts", "q_dp_noisy_sum"],
     "training-prep packing": ["llm_chunk_manifest", "text_pack_sequences"],
     "X15+ perceptual hash": ["mm_phash_neardup", "dedup_simhash"],
+    # round-7 rotation partners (first attestation for each family)
+    "X13+ numerics": ["sim_covariance_matrix", "sim_whiten_identity_check"],
+    "training-prep curriculum": ["llm_curriculum_order"],
+    "behavioral funnels": ["q_funnel_time_windowed", "q_funnel_conversion"],
+    "behavioral survival/streaks": ["q_survival_km", "q_activity_streaks"],
+    "statistics": ["q_ks_test", "q_corr_matrix"],
 }
 
 DRIVER_SAMPLE = 50

@@ -145,26 +145,219 @@ def gen_embeddings(n: int, by_label, dim: int, rng: np.random.Generator):
     )
 
 
+# ---------------------------------------------------------------------------
+# Relational / events twins (VERDICT r6 task 1): the TPC-H core and the
+# behavioral/streaming families had no measured evidence past sf0.1.
+# These reproduce the sf0.1 fixture's OBSERVED generative structure at
+# 10x/50x while preserving every key-cardinality ratio (orders/customer
+# = 10, lineitem/orders ≈ 4, part = lineitem/30, supplier = lineitem/600)
+# and the events table's sessionization structure (uniform (user, ts)
+# over the same 30-day window with users scaled 10x/50x, so the
+# per-user event rate — and hence the inter-event-gap distribution the
+# sessionizers cut on — is IDENTICAL to the fixture's). region/nation
+# are fixed-size dims at every scale (as in TPC-H itself) and are
+# copied from the fixture verbatim. Categorical vocabularies
+# (mktsegment, p_type, priorities, event types, …) are read from the
+# fixture so literal-filtering queries see the same domains. Measured
+# fixture distributions mirrored: o_totalprice ~ U(1000, 500000),
+# l_quantity ~ U{1..50}, l_extendedprice ~ U(900, 105000), discounts
+# U(0, .10) / tax U(0, .08) at 2dp, shipdate an independent day-aligned
+# uniform over its own window (measured: shipdate ⟂ orderdate, diff
+# spans ±2400 days), lines/order ~ 1+Poisson(3) (measured mean 4.0,
+# max 17), linenumber = 1+(seq mod 7) (measured cap 7), event value ~
+# Exp(50) (measured median 34.7 ≈ 50·ln 2), props = {"k": U{0..99}}.
+# ---------------------------------------------------------------------------
+
+TPCH_MULT = {"x10": 10, "x50": 50}
+
+_BASE_COUNTS = {  # sf0.1 row counts the multipliers scale from
+    "customer": 15_000,
+    "supplier": 1_000,
+    "part": 20_000,
+    "orders": 150_000,
+    "events_users": 1_500,
+    "events": 100_000,
+}
+
+_DAY_US = 86_400_000_000
+
+
+def _cat(base: str, table: str, col: str) -> np.ndarray:
+    tbl = pq.read_table(os.path.join(base, f"{table}.parquet"), columns=[col])
+    return np.array(sorted(set(tbl.column(col).to_pylist())))
+
+
+def _ts_days(start: str, days: np.ndarray) -> pa.Array:
+    origin = np.datetime64(start, "us").astype(np.int64)
+    return pa.array(origin + days.astype(np.int64) * _DAY_US, pa.timestamp("us"))
+
+
+def gen_tpch(base: str, out_dir: str, mult: int, rng: np.random.Generator) -> None:
+    n_cust = _BASE_COUNTS["customer"] * mult
+    n_supp = _BASE_COUNTS["supplier"] * mult
+    n_part = _BASE_COUNTS["part"] * mult
+    n_ord = _BASE_COUNTS["orders"] * mult
+
+    # fixed dims: verbatim fixture copies (5 regions / 25 nations)
+    for dim_table in ("region", "nation"):
+        pq.write_table(
+            pq.read_table(os.path.join(base, f"{dim_table}.parquet")),
+            os.path.join(out_dir, f"{dim_table}.parquet"),
+        )
+
+    segments = _cat(base, "customer", "c_mktsegment")
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": np.arange(n_cust, dtype=np.int64),
+                "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+                "c_nationkey": rng.integers(0, 25, n_cust).astype(np.int32),
+                "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
+                "c_mktsegment": segments[rng.integers(0, len(segments), n_cust)],
+            }
+        ),
+        os.path.join(out_dir, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": np.arange(n_supp, dtype=np.int64),
+                "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+                "s_nationkey": rng.integers(0, 25, n_supp).astype(np.int32),
+                "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2),
+            }
+        ),
+        os.path.join(out_dir, "supplier.parquet"),
+    )
+    pnames = _cat(base, "part", "p_name")
+    ptypes = _cat(base, "part", "p_type")
+    pbrands = _cat(base, "part", "p_brand")
+    pkeys = np.arange(n_part, dtype=np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pkeys,
+                "p_name": pnames[rng.integers(0, len(pnames), n_part)],
+                "p_brand": pbrands[rng.integers(0, len(pbrands), n_part)],
+                "p_type": ptypes[rng.integers(0, len(ptypes), n_part)],
+                "p_size": rng.integers(1, 51, n_part).astype(np.int32),
+                # fixture rule: 900.0 + (partkey % 1000) / 10
+                "p_retailprice": 900.0 + (pkeys % 1000) / 10.0,
+            }
+        ),
+        os.path.join(out_dir, "part.parquet"),
+    )
+
+    statuses = _cat(base, "orders", "o_orderstatus")
+    priorities = _cat(base, "orders", "o_orderpriority")
+    okeys = np.arange(n_ord, dtype=np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": okeys,
+                "o_custkey": rng.integers(0, n_cust, n_ord),
+                "o_orderstatus": statuses[rng.integers(0, len(statuses), n_ord)],
+                "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
+                "o_orderdate": _ts_days(
+                    "1995-01-01", rng.integers(0, 2405, n_ord)
+                ),
+                "o_orderpriority": priorities[
+                    rng.integers(0, len(priorities), n_ord)
+                ],
+            }
+        ),
+        os.path.join(out_dir, "orders.parquet"),
+    )
+
+    lines = 1 + rng.poisson(3.0, n_ord)
+    n_li = int(lines.sum())
+    lkeys = np.repeat(okeys, lines)
+    seq = np.arange(n_li, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(lines)[:-1])), lines
+    )
+    flags = np.array(["A", "N", "R"])
+    lstat = np.array(["F", "O"])
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": lkeys,
+                "l_partkey": rng.integers(0, n_part, n_li),
+                "l_suppkey": rng.integers(0, n_supp, n_li),
+                "l_linenumber": (1 + seq % 7).astype(np.int32),
+                "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+                "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
+                "l_discount": np.round(rng.uniform(0, 0.10, n_li), 2),
+                "l_tax": np.round(rng.uniform(0, 0.08, n_li), 2),
+                "l_returnflag": flags[rng.integers(0, 3, n_li)],
+                "l_linestatus": lstat[rng.integers(0, 2, n_li)],
+                "l_shipdate": _ts_days("1995-01-02", rng.integers(0, 2499, n_li)),
+            }
+        ),
+        os.path.join(out_dir, "lineitem.parquet"),
+    )
+
+    n_users = _BASE_COUNTS["events_users"] * mult
+    n_ev = _BASE_COUNTS["events"] * mult
+    etypes = _cat(base, "events", "event_type")
+    # uniform (user, ts) over the fixture's 30-day window — per-user
+    # rate (≈66 events/user) and gap distribution preserved exactly
+    origin = np.datetime64("2024-01-01", "us").astype(np.int64)
+    span_us = 30 * _DAY_US
+    ks = rng.integers(0, 100, n_ev)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": np.arange(n_ev, dtype=np.int64),
+                "ts": pa.array(
+                    origin + rng.integers(0, span_us, n_ev), pa.timestamp("us")
+                ),
+                "user_id": rng.integers(0, n_users, n_ev),
+                "event_type": etypes[rng.integers(0, len(etypes), n_ev)],
+                "value": np.round(rng.exponential(50.0, n_ev), 2),
+                "props": [f'{{"k": {k}}}' for k in ks],
+            }
+        ),
+        os.path.join(out_dir, "events.parquet"),
+    )
+    print(
+        f"  tpch mult={mult}: customer {n_cust}, orders {n_ord}, "
+        f"lineitem {n_li}, events {n_ev} ({n_users} users)"
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--only",
+        choices=["docs", "tpch"],
+        default=None,
+        help="regenerate just the document/embedding twins or just the "
+        "relational/events twins (default: both)",
+    )
     args = ap.parse_args()
 
-    vocab, lang_dist, by_label, dim = load_fixture_stats(args.base)
-    print(f"fixture stats: |vocab|={len(vocab)}, labels={len(by_label)}, dim={dim}")
+    if args.only != "tpch":
+        vocab, lang_dist, by_label, dim = load_fixture_stats(args.base)
+        print(
+            f"fixture stats: |vocab|={len(vocab)}, labels={len(by_label)}, dim={dim}"
+        )
     for name, (n_docs, n_vecs) in SCALES.items():
-        rng = np.random.default_rng(42)
         out_dir = os.path.join(OUT_BASE, name)
         os.makedirs(out_dir, exist_ok=True)
-        pq.write_table(
-            gen_documents(n_docs, vocab, lang_dist, rng),
-            os.path.join(out_dir, "documents.parquet"),
-        )
-        pq.write_table(
-            gen_embeddings(n_vecs, by_label, dim, rng),
-            os.path.join(out_dir, "embeddings.parquet"),
-        )
-        print(f"{name}: {n_docs} docs, {n_vecs} vecs -> {out_dir}")
+        if args.only != "tpch":
+            rng = np.random.default_rng(42)
+            pq.write_table(
+                gen_documents(n_docs, vocab, lang_dist, rng),
+                os.path.join(out_dir, "documents.parquet"),
+            )
+            pq.write_table(
+                gen_embeddings(n_vecs, by_label, dim, rng),
+                os.path.join(out_dir, "embeddings.parquet"),
+            )
+            print(f"{name}: {n_docs} docs, {n_vecs} vecs -> {out_dir}")
+        if args.only != "docs":
+            gen_tpch(args.base, out_dir, TPCH_MULT[name], np.random.default_rng(7))
 
 
 if __name__ == "__main__":

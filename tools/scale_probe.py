@@ -25,12 +25,13 @@ from database_to_bigquery_spark.session import get_spark  # noqa: E402
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
-# 10x/50x synthetic twins of documents/embeddings (tools/
-# gen_scale_twin.py) — extend the dedup/ANN/text probes beyond the
-# fixtures' single decade so their exponents are fit over >= 2 decades
-# of input growth (500 -> 250k docs). Only queries driven purely by
-# documents/embeddings can ride them (the twins don't carry the TPC-H
-# side).
+# 10x/50x synthetic twins of the fixture tables (tools/
+# gen_scale_twin.py) — extend the probes beyond the fixtures' single
+# decade so exponents are fit over >= 2 decades of input growth
+# (500 -> 250k docs; 600k -> 30M lineitem rows). Since round 7 the
+# twins carry the FULL schema (documents/embeddings AND the TPC-H
+# star + events), so relational/behavioral/streaming probes ride them
+# too.
 REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TWIN_SF_DIRS = [
     os.path.join(REPO_DIR, ".scale_twin", "x10"),
@@ -64,6 +65,22 @@ TWIN_PROBES = {
     # dedup_clusters_lsh / llm_corpus_prepare_lsh); probing them at the
     # twins just measures the fenced quadratic
     "llm_corpus_prepare_lsh",
+    # round-7: the relational/behavioral/streaming headliners — the
+    # families that previously had no measured evidence past sf0.1
+    # (VERDICT r6 task 1). The twins now carry lineitem/orders/events.
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q18_large_volume_customers",
+    "q_basket_affinity_lift",
+    "q_global_ranks_scalable",
+    "q_funnel_conversion",
+    "ts_sessionize",
+    "stream_tumbling_hourly",
+    # round-7: remaining unprobed >=2.5s census entries (task 6)
+    "stream_knn_probe",
+    "q_cooccurrence_pairs",
+    "graph_label_propagation_2iter",
+    "sim_power_iteration",
 }
 
 # scale-critical representatives: scans/joins/aggs (lineitem-bound),
@@ -123,6 +140,14 @@ DEFAULT_PROBES = [
     "llm_chunk_manifest",
     "dedup_simhash",
     "text_bigram_kn_score",
+    # round-7: relational/behavioral/streaming headliners on the new
+    # full-schema twins + the last unprobed >=2.5s census entries
+    "q_global_ranks_scalable",
+    "q_funnel_conversion",
+    "stream_knn_probe",
+    "q_cooccurrence_pairs",
+    "graph_label_propagation_2iter",
+    "sim_power_iteration",
 ]
 
 # the table whose row count drives each probe's input size
@@ -165,6 +190,12 @@ DRIVER_TABLE = {
     "dedup_simhash": "documents",
     "text_bigram_kn_score": "documents",
     "llm_corpus_prepare_lsh": "documents",
+    "q_global_ranks_scalable": "orders",
+    "q_funnel_conversion": "events",
+    "stream_knn_probe": "embeddings",
+    "q_cooccurrence_pairs": "lineitem",
+    "graph_label_propagation_2iter": "lineitem",
+    "sim_power_iteration": "embeddings",
 }
 
 
