@@ -344,6 +344,44 @@ def _sig_agreement() -> F.Column:
     )
 
 
+_SIG_LO_MASK = (1 << 31) - 1  # minhash values are mod (2^31 - 1): 31 bits
+
+
+def _packed_sig() -> F.Column:
+    """`sig` (array<long>[64], each value < 2^31) packed two-per-long
+    into array<long>[32]. The est attach carries every candidate's two
+    signatures through a shuffle (13.7M candidate rows at the 250k
+    twin); halving the array halves both the shuffled bytes and the
+    zip_with iteration count of the agreement fold. Values are 31-bit
+    so hi<<31 | lo stays < 2^62 — positive, ANSI-safe."""
+    return F.array(
+        *[
+            F.shiftleft(F.element_at("sig", 2 * i + 1), 31).bitwiseOR(
+                F.element_at("sig", 2 * i + 2)
+            )
+            for i in range(_MH_K // 2)
+        ]
+    )
+
+
+def _sig_agreement_packed() -> F.Column:
+    """Position-agreement count over two PACKED signatures — exactly
+    `_sig_agreement` on the unpacked arrays (hi and lo halves compared
+    independently), at half the elements per row."""
+    lo = F.lit(_SIG_LO_MASK)
+    return F.aggregate(
+        F.zip_with(
+            "sig_a",
+            "sig_b",
+            lambda u, v: F.when(F.shiftright(u, 31) == F.shiftright(v, 31), 1)
+            .otherwise(0)
+            + F.when(u.bitwiseAND(lo) == v.bitwiseAND(lo), 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
 # Band buckets larger than this are dropped before any bucket join.
 # The bucket join's cost is Σ n_b² (n_b·m_b on asymmetric probes): at
 # 250k twin docs the top buckets reach ~8k members and 99.98% of the
@@ -417,14 +455,34 @@ def minhash_verified_pairs(raw_shingles: DataFrame) -> DataFrame:
     # sides of the intersection join); without the persist each
     # consumer re-shingles the full corpus (4 scans of the most
     # expensive map stage). MEMORY_AND_DISK default spills at scale.
-    shingles = raw_shingles.persist()
+    # sortWithinPartitions: the relation arrives hash-partitioned on
+    # doc_id (both callers spread on it), so sorting it IN the cache
+    # lets the doc_a verification SMJ below reuse the layout and skip
+    # both the exchange and the sort on the corpus side — the
+    # streaming path's probe_layout trick applied to the batch miner.
+    shingles = raw_shingles.sortWithinPartitions("doc_id").persist()
     # cache: the signature table is tiny (n_docs × 64 longs) but its
     # lineage re-shingles the whole corpus; it feeds three consumers
-    # (band explode + both sides of the estimate join), so without a
+    # (band explode + the packed attach relation below), so without a
     # persist Spark recomputes the full shingle scan per consumer. At
     # cluster scale this is the standard "materialize signatures"
     # stage of every LSH pipeline (MEMORY_AND_DISK spills if huge).
     sig = minhash_signatures(shingles).persist()
+    # The est-attach relation: signatures PACKED two-per-long (half
+    # the shuffle bytes and fold iterations — see _packed_sig) with
+    # the doc's shingle count riding along, persisted hash-partitioned
+    # + sorted on doc_id. All four corpus-side attaches below (sig_a,
+    # sig_b, na, nb) probe THIS relation through alias-preserving
+    # projects, so each SMJ elides the corpus side's exchange AND sort
+    # — at the 250k twin the est stage was the measured miner bound
+    # (13.7M candidates × two 64-long attaches through full
+    # exchange+sort on both sides).
+    attach = (
+        sig.select("doc_id", _packed_sig().alias("sigp"), "n")
+        .repartition("doc_id")
+        .sortWithinPartitions("doc_id")
+        .persist()
+    )
     # 3: bands → buckets. band_hash = md5 of the 4 joined values.
     # Hot buckets dropped first: the self-join's Σ n_b² cost is what
     # turns bucket skew into a quadratic blowup (see _LSH_BUCKET_CAP).
@@ -452,20 +510,21 @@ def minhash_verified_pairs(raw_shingles: DataFrame) -> DataFrame:
     # 4: exact verification restricted to candidates (broadcast: the
     # candidate set is tiny relative to the corpus). est_jaccard =
     # fraction of agreeing signature positions.
-    agree = _sig_agreement()
-    # merge (SMJ) on the signature side: the (doc, sig[64]) relation
-    # is corpus-sized (~200 MB at 250k docs) and post-agg misestimates
-    # would broadcast it; SMJ spills, so the sig attach stays bounded
-    # per partition at any corpus size (SHJ's unspillable hash build
-    # does not — see the bucket-join note)
+    agree = _sig_agreement_packed()
+    # merge (SMJ) on the signature side: the (doc, sig) relation is
+    # corpus-sized and post-agg misestimates would broadcast it; SMJ
+    # spills, so the sig attach stays bounded per partition at any
+    # corpus size (SHJ's unspillable hash build does not — see the
+    # bucket-join note). The corpus side is the part-sorted `attach`
+    # relation: exchange- and sort-free by layout.
     sig_est = (
         cand.join(
-            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+            attach.select(F.col("doc_id").alias("doc_a"), F.col("sigp").alias("sig_a"))
             .hint("merge"),
             "doc_a",
         )
         .join(
-            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+            attach.select(F.col("doc_id").alias("doc_b"), F.col("sigp").alias("sig_b"))
             .hint("merge"),
             "doc_b",
         )
@@ -484,8 +543,10 @@ def minhash_verified_pairs(raw_shingles: DataFrame) -> DataFrame:
 
     sh_a = shingles
     # sizes ride the signature aggregation (minhash_signatures emits
-    # n) — no second pass over the expanded shingle relation
-    sizes = sig.select("doc_id", "n")
+    # n) — no second pass over the expanded shingle relation; served
+    # from the part-sorted attach relation so the na/nb SMJs below are
+    # also exchange- and sort-free on the corpus side
+    sizes = attach.select("doc_id", "n")
     # intersection count as an equi-join on BOTH (doc, gram) keys —
     # joining on doc alone and post-filtering grams would fan out to
     # |A|×|B| rows per candidate pair before filtering. merge (SMJ)

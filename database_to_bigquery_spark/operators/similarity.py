@@ -1507,23 +1507,30 @@ def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate (probing misses cross-cell neighbors) → rows-only
     driver check; recall vs `sim_knn_join_exact` is floor-tested like
     the LSH form's."""
-    import numpy as np
-
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    n = e.count()
-    k = max(4, min(1024, int(round(n**0.5))))
+    return knn_join_ivf_core(e)
 
-    # ---- driver-side index training (deterministic: head sample by
-    # vec_id, first-k init, fixed 5 Lloyd iterations on normalized
-    # vectors so assignment is by cosine) ----
+
+def train_ivf_centroids(e: DataFrame, n: int | None = None):
+    """Driver-side IVF index training over any (vec_id, v) relation:
+    √n cells, deterministic (head sample by vec_id, first-k init,
+    fixed 5 Lloyd iterations on normalized vectors so assignment is by
+    cosine). Index training is offline work against table statistics
+    in production; the result is k·d floats (≤512 KB) — closure-sized,
+    never a corpus relation. Norms are clipped at eps (the faiss
+    convention): an all-zero embedding must yield cosine 0 everywhere,
+    not NaN-poison the centroids."""
+    import numpy as np
+
+    if n is None:
+        n = e.count()
+    k = max(4, min(1024, int(round(n**0.5))))
     sample = np.array(
         [r["v"] for r in e.orderBy("vec_id").limit(_KNN_IVF_SAMPLE).collect()],
         dtype=np.float64,
     )
-    # norm clipped at eps (the faiss convention): an all-zero embedding
-    # must yield cosine 0 everywhere, not NaN-poison the centroids
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     C = sample[:k].copy()
     k = len(C)  # tiny corpora: fewer sample rows than requested cells
@@ -1534,7 +1541,20 @@ def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(members):
                 C[c] = members.mean(axis=0)
         C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    centroids = C  # captured by the UDF closures below (k·d floats)
+    return C
+
+
+def knn_join_ivf_core(e: DataFrame) -> DataFrame:
+    """The IVF kNN-join engine over ANY (vec_id, v: array<double>)
+    relation — shared by `sim_knn_join_ivf` (raw embeddings) and
+    `sim_knn_join_ivf_whitened` (isotropy-repaired embeddings; the
+    composition the whitening operator exists for). See the caller
+    docstring for the cost/scale argument."""
+    import numpy as np
+
+    n = e.count()
+    centroids = train_ivf_centroids(e, n)  # captured by the closures
+    k = len(centroids)
     nprobe = min(_KNN_IVF_NPROBE, k)
 
     def assign_probes(it):
@@ -1604,6 +1624,113 @@ def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _KNN_K)
         .select(
             "vec_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+_PROBE_NPROBE = 3
+_PROBE_K = 3
+
+
+def ivf_probe_trained(
+    queries: DataFrame,
+    standing: DataFrame,
+    centroids=None,
+    n_probe: int = _PROBE_NPROBE,
+    k: int = _PROBE_K,
+) -> DataFrame:
+    """Asymmetric IVF probe against a TRAINED index — the production
+    tier of `ivf_probe`: rank `queries` (vec_id, v) against `standing`
+    (vec_id, v) through √n driver-trained k-means cells instead of the
+    fixture's fixed label cells. With FIXED cells, per-query cost is
+    n_probe/cells × corpus — O(n) per query, quadratic overall once
+    arrivals scale with the corpus (measured: the label-cell probe
+    went 3.2 s → 94 s over one 10× step on the clustered twin). √n
+    cells restore the faiss-IVFFlat shape: assignment O(n·√n·d) once
+    per (re)build, probing O(|queries|·n_probe·(n/√n)·d), every flop a
+    numpy matmul.
+
+    Pass `centroids` (from `train_ivf_centroids`, trained ONCE on the
+    standing corpus) to reuse the index across micro-batches — the
+    foreachBatch production loop; None trains here. Output matches
+    `ivf_probe`: (query_id, neighbor_id, cosine, rnk ≤ k).
+    Approximate (probing misses cross-cell neighbors) → rows-only."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_ivf_centroids(standing)
+    C = centroids
+    nprobe = min(n_probe, len(C))
+
+    def assign(it, width: int, member: bool):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = Vn @ C.T
+            if width == 1:
+                cells = np.argmax(sims, axis=1)[:, None]
+            else:
+                cells = np.argsort(-sims, axis=1)[:, :width]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(width),
+                    "v": pdf["v"].to_numpy().repeat(width),
+                    "cell": cells.ravel().astype("int32"),
+                    "is_member": member,
+                }
+            )
+
+    schema = "vec_id long, v array<double>, cell int, is_member boolean"
+    members = standing.mapInPandas(lambda it: assign(it, 1, True), schema)
+    probes = queries.mapInPandas(lambda it: assign(it, nprobe, False), schema)
+
+    def cell_score(pdf):
+        import pandas as pd
+
+        q = pdf[~pdf["is_member"]]
+        m = pdf[pdf["is_member"]]
+        if len(q) == 0 or len(m) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+            )
+        Q = np.stack(q["v"].to_numpy()).astype(np.float64)
+        M = np.stack(m["v"].to_numpy()).astype(np.float64)
+        S = (Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)) @ (
+            M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        ).T
+        qid = q["vec_id"].to_numpy()
+        mid = m["vec_id"].to_numpy()
+        S[qid[:, None] == mid[None, :]] = -np.inf  # self-pairs
+        kk = min(k, S.shape[1])
+        top = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+        rows = np.arange(len(qid))[:, None].repeat(kk, axis=1)
+        out = pd.DataFrame(
+            {
+                "query_id": qid[rows.ravel()],
+                "neighbor_id": mid[top.ravel()],
+                "cos": S[rows.ravel(), top.ravel()],
+            }
+        )
+        return out[np.isfinite(out["cos"])]
+
+    cand = members.unionByName(probes).groupBy("cell").applyInPandas(
+        cell_score, "query_id long, neighbor_id long, cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cand.groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
             "neighbor_id",
             F.round("cos", 4).alias("cosine"),
             F.col("rnk").cast("int").alias("rnk"),
@@ -1695,10 +1822,6 @@ def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 4).alias("cosine"),
         )
     )
-
-
-_PROBE_NPROBE = 3
-_PROBE_K = 3
 
 
 def ivf_probe(
@@ -1848,6 +1971,108 @@ def sim_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRAM_SCHEMA = "i int, j int, s double"
+
+
+def _gram_partials(it):
+    """Per-Arrow-batch Gram partials: Vᵀ·V (upper triangle), Σv, and
+    the row count, tagged into one (i, j, s) stream — the only shuffle
+    a corpus covariance needs carries P·(d²+d+1) floats."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        G = V.T @ V
+        sums = V.sum(axis=0)
+        d = G.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                # 1-based dims; (i, -1) carries Σv_i; (-1, -1) the count
+                "i": np.concatenate([iu + 1, np.arange(1, d + 1), [-1]]),
+                "j": np.concatenate([ju + 1, np.full(d, -1), [-1]]),
+                "s": np.concatenate([G[iu, ju], sums, [float(len(V))]]),
+            }
+        )
+
+
+def corpus_covariance(df: DataFrame):
+    """(cov, mu) of any (vec_id, v: array<double>) relation via one
+    distributed Gram pass (`_gram_partials`); the collect is d²/2+d+1
+    rows — statistics, never the corpus."""
+    import numpy as np
+
+    parts = (
+        df.mapInPandas(_gram_partials, _GRAM_SCHEMA)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    n = next(r["s"] for r in parts if r["i"] == -1)
+    d = max(r["i"] for r in parts)
+    mu = np.zeros(d)
+    G = np.zeros((d, d))
+    for r in parts:
+        if r["i"] == -1:
+            continue
+        if r["j"] == -1:
+            mu[r["i"] - 1] = r["s"] / n
+        else:
+            G[r["i"] - 1, r["j"] - 1] = G[r["j"] - 1, r["i"] - 1] = r["s"] / n
+    return G - np.outer(mu, mu), mu
+
+
+def whiten_corpus(e: DataFrame) -> DataFrame:
+    """y = Λ^(−1/2) Qᵀ (x − μ) across the corpus: train the PCA-
+    whitening map from `corpus_covariance` (driver-side d×d eigen-
+    decomposition — metadata-sized, like IVF centroid training) and
+    apply it in one Arrow-batched map. Input/output schema:
+    (vec_id, v: array<double>)."""
+    import numpy as np
+
+    cov, mu = corpus_covariance(e)
+    evals, evecs = np.linalg.eigh(cov)
+    Wm = (evecs / np.sqrt(np.maximum(evals, 1e-12))).T  # Λ^(-1/2) Qᵀ
+
+    def whiten(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Y = (V - mu) @ Wm.T
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "v": list(Y)})
+
+    return e.mapInPandas(whiten, "vec_id long, v array<double>")
+
+
+@query("sim_knn_join_ivf_whitened")  # approximate → rows-only check
+def sim_knn_join_ivf_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sim_knn_join_ivf` composed with PCA whitening — the production
+    reason the whitening operator exists: on ANISOTROPIC embeddings
+    (every trained encoder's output — a handful of dominant directions
+    carry most variance) plain cosine cells see mostly the dominant
+    axes, so IVF recall of true (semantic/cluster) neighbors collapses;
+    whitening rescales the space so cluster structure, not the
+    spectrum, decides the cells. Measured on the anisotropic twin
+    geometry (condition number ~30): same-cluster neighbor recall
+    whitened vs raw is floor-tested in tests/test_llm_ops.py and
+    recorded in SCALE.md.
+
+    Cost: one metadata-sized covariance pass + one Arrow-batched
+    linear map over the corpus (O(n·d²) FLOPs, map-only) in front of
+    the Θ(n^1.5·d) IVF join — asymptotically free at any corpus size.
+    Approximate (probing) → rows-only driver check."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    return knn_join_ivf_core(whiten_corpus(e))
+
+
 @query("sim_whiten_identity_check")  # float spectrum → rows-only check
 def sim_whiten_identity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA whitening, end to end, self-auditing: train the whitening
@@ -1876,69 +2101,8 @@ def sim_whiten_identity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-
-    gram_schema = "i int, j int, s double"
-
-    def gram_partials(it):
-        import pandas as pd
-
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            G = V.T @ V
-            sums = V.sum(axis=0)
-            d = G.shape[0]
-            iu, ju = np.triu_indices(d)
-            yield pd.DataFrame(
-                {
-                    # 1-based dims; row 0,0 with j=-1 carries Σv_i; row
-                    # (-1,-1) carries the count — one tagged partial
-                    # stream instead of three passes
-                    "i": np.concatenate([iu + 1, np.arange(1, d + 1), [-1]]),
-                    "j": np.concatenate([ju + 1, np.full(d, -1), [-1]]),
-                    "s": np.concatenate([G[iu, ju], sums, [float(len(V))]]),
-                }
-            )
-
-    def covariance(df: DataFrame) -> "tuple[np.ndarray, np.ndarray]":
-        parts = (
-            df.mapInPandas(gram_partials, gram_schema)
-            .groupBy("i", "j")
-            .agg(F.sum("s").alias("s"))
-            .collect()  # d²/2 + d + 1 rows — statistics, not corpus
-        )
-        n = next(r["s"] for r in parts if r["i"] == -1)
-        d = max(r["i"] for r in parts)
-        mu = np.zeros(d)
-        G = np.zeros((d, d))
-        for r in parts:
-            if r["i"] == -1:
-                continue
-            if r["j"] == -1:
-                mu[r["i"] - 1] = r["s"] / n
-            else:
-                G[r["i"] - 1, r["j"] - 1] = G[r["j"] - 1, r["i"] - 1] = r["s"] / n
-        return G - np.outer(mu, mu), mu
-
-    cov, mu = covariance(e)
-    evals, evecs = np.linalg.eigh(cov)
-    Wm = (evecs / np.sqrt(np.maximum(evals, 1e-12))).T  # Λ^(-1/2) Qᵀ
-
-    def whiten(it):
-        import pandas as pd
-
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            Y = (V - mu) @ Wm.T
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "v": list(Y)}
-            )
-
-    whitened = e.mapInPandas(whiten, "vec_id long, v array<double>")
-    cov_w, _ = covariance(whitened)
+    whitened = whiten_corpus(e)
+    cov_w, _ = corpus_covariance(whitened)
     iu, ju = np.triu_indices(cov_w.shape[0])
     out = [
         (int(i + 1), int(j + 1), float(round(cov_w[i, j], 4)))

