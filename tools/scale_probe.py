@@ -84,6 +84,7 @@ TWIN_PROBES = {
     "q_cooccurrence_pairs",
     "graph_label_propagation_2iter",
     "sim_power_iteration",
+    "sim_knn_join_ivf_whitened",
 }
 
 # scale-critical representatives: scans/joins/aggs (lineitem-bound),
@@ -151,6 +152,7 @@ DEFAULT_PROBES = [
     "q_cooccurrence_pairs",
     "graph_label_propagation_2iter",
     "sim_power_iteration",
+    "sim_knn_join_ivf_whitened",
 ]
 
 # the table whose row count drives each probe's input size
@@ -199,6 +201,7 @@ DRIVER_TABLE = {
     "q_cooccurrence_pairs": "lineitem",
     "graph_label_propagation_2iter": "lineitem",
     "sim_power_iteration": "embeddings",
+    "sim_knn_join_ivf_whitened": "embeddings",
 }
 
 
