@@ -455,12 +455,24 @@ def minhash_verified_pairs(raw_shingles: DataFrame) -> DataFrame:
     # sides of the intersection join); without the persist each
     # consumer re-shingles the full corpus (4 scans of the most
     # expensive map stage). MEMORY_AND_DISK default spills at scale.
+    # Grams are hashed to 64-bit gids AT THE BOUNDARY: the shingle
+    # relation is the miner's largest object (61M rows at the 250k
+    # twin — ~60× the corpus text), and a long gid more than halves
+    # its row bytes vs the 5-char string while making the (doc_b, g)
+    # verification join sort/compare longs. A content hash is exactly
+    # how the oracle-checked blocked exact operators encode grams
+    # (`_tagged_gid_blocks`): 64-bit collisions are negligible and
+    # per-doc (doc, gid)-distinctness is preserved.
     # sortWithinPartitions: the relation arrives hash-partitioned on
     # doc_id (both callers spread on it), so sorting it IN the cache
     # lets the doc_a verification SMJ below reuse the layout and skip
     # both the exchange and the sort on the corpus side — the
     # streaming path's probe_layout trick applied to the batch miner.
-    shingles = raw_shingles.sortWithinPartitions("doc_id").persist()
+    shingles = (
+        raw_shingles.select("doc_id", F.xxhash64("g").alias("g"))
+        .sortWithinPartitions("doc_id")
+        .persist()
+    )
     # cache: the signature table is tiny (n_docs × 64 longs) but its
     # lineage re-shingles the whole corpus; it feeds three consumers
     # (band explode + the packed attach relation below), so without a

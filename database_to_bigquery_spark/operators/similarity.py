@@ -2050,7 +2050,8 @@ def whiten_corpus(e: DataFrame) -> DataFrame:
     return e.mapInPandas(whiten, "vec_id long, v array<double>")
 
 
-@query("sim_knn_join_ivf_whitened")  # approximate → rows-only check
+# headline: the round-7 production ANN composition (whiten → IVF join)
+@query("sim_knn_join_ivf_whitened", headline=True)  # approximate → rows-only
 def sim_knn_join_ivf_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`sim_knn_join_ivf` composed with PCA whitening — the production
     reason the whitening operator exists: on ANISOTROPIC embeddings
