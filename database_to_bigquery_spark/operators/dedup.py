@@ -957,6 +957,84 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_keep_best",
+    oracle=CLUSTERS_ORACLE.replace(
+        """    comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+        """    comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id,
+             ROUND(
+               CASE WHEN LENGTH(text) BETWEEN 100 AND 400 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
+             * CASE WHEN LENGTH(string_split(text, ' ')) >= 20 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.6 AS DOUBLE) END
+             * CASE WHEN CAST(LENGTH(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                         / LENGTH(text) < 0.1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.7 AS DOUBLE) END, 4) AS quality
+      FROM documents),
+    ranked AS (
+      SELECT comp.component, comp.doc_id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY comp.component
+                                ORDER BY q.quality DESC, comp.doc_id) AS pick,
+             COUNT(*) OVER (PARTITION BY comp.component) AS cluster_size
+      FROM comp JOIN q USING (doc_id))
+    SELECT component, doc_id AS keeper_id, quality AS keeper_quality,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(cluster_size - 1 AS BIGINT) AS dropped
+    FROM ranked WHERE pick = 1
+    """,
+    ),
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster-representative selection — the policy
+    layer a production corpus-prep pipeline runs AFTER fuzzy
+    clustering: within each near-dup cluster (CC over the banded
+    miner's verified pairs, same machinery as `dedup_clusters_lsh`),
+    keep the HIGHEST-QUALITY member (the `text_quality_score`
+    heuristic; ties → min doc_id) instead of `llm_corpus_prepare`'s
+    keep-first or `dedup_clusters`' min-id convention. One row per
+    cluster: the keeper, its quality, and how many near-dups it
+    displaces — exactly the drop manifest a curation run audits.
+
+    Scale: clustering is the banded miner + contracted CC (both
+    measured sub-linear at the twins); the quality score is one
+    map-only pass over the corpus; the keeper pick is a window over
+    the CLUSTERED docs only (a vanishing fraction of the corpus) with
+    the size count riding the same partitioning. Oracle: the
+    recursive-CTE CC composed with the identical quality formula and
+    argmax."""
+    labels = label_propagation_components(
+        _symmetrized_edges(dedup_minhash_lsh(spark, sf_dir))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(F.split(F.col("text"), " "))
+    punct_ratio = F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")) / n_chars
+    quality = F.round(
+        F.when((n_chars >= 100) & (n_chars <= 400), 1.0).otherwise(0.5)
+        * F.when(n_words >= 20, 1.0).otherwise(0.6)
+        * F.when(punct_ratio < 0.1, 1.0).otherwise(0.7),
+        4,
+    )
+    scored = labels.select(F.col("node").alias("doc_id"), "label").join(
+        d.select("doc_id", quality.alias("quality")), "doc_id"
+    )
+    w = W.partitionBy("label").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        scored.withColumn("pick", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(W.partitionBy("label")))
+        .filter(F.col("pick") == 1)
+        .select(
+            F.col("label").alias("component"),
+            F.col("doc_id").alias("keeper_id"),
+            F.col("quality").alias("keeper_quality"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("cluster_size") - 1).cast("long").alias("dropped"),
+        )
+    )
+
+
 @query("dedup_incremental_clusters", oracle=CLUSTERS_ORACLE)
 def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL connected-component maintenance: a new crawl batch
