@@ -893,8 +893,15 @@ def llm_corpus_prepare_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.when(n_words >= 20, 1.0).otherwise(0.6)
         * F.when(punct_ratio < 0.1, 1.0).otherwise(0.7)
     )
-    quality = d.select("doc_id", "source", "text", q.alias("q"))
-    kept_q = quality.filter(F.col("q") >= 0.6)
+    # The gate's regexp pass is computed ONCE over the corpus and the
+    # TEXT-FREE result persisted: the policy anti-join and the report
+    # aggregate both ride this slim relation, so neither re-scans the
+    # text bytes nor re-runs the regexp (measured at the 250k twin:
+    # the report stage was 16.5 s of which most was two redundant
+    # full-text gate passes). Only the shingle build still reads text
+    # — it inlines the gate predicate into its own scan.
+    slim = d.select("doc_id", "source", n_words.alias("nw"), q.alias("q")).persist()
+    kept_q = d.select("doc_id", "text").where(q >= 0.6)
 
     # same 5-char shingles as the exact funnel, over the survivors
     grams = F.array_distinct(
@@ -908,17 +915,11 @@ def llm_corpus_prepare_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.explode(grams).alias("g"))
     pairs = minhash_verified_pairs(sh)  # doc_a < doc_b, jaccard >= 0.6
     dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    final = kept_q.join(dups, "doc_id", "left_anti")
+    final = slim.filter(F.col("q") >= 0.6).join(dups, "doc_id", "left_anti")
 
     report = (
-        quality.alias("q")
-        .join(
-            final.select(
-                "doc_id", F.size(F.split(F.col("text"), " ")).alias("nw")
-            ).alias("f"),
-            "doc_id",
-            "left",
-        )
+        slim.alias("q")
+        .join(final.select("doc_id", "nw").alias("f"), "doc_id", "left")
         .groupBy(F.col("q.source").alias("source"))
         .agg(
             F.count("*").cast("long").alias("docs_in"),
