@@ -82,13 +82,27 @@ SHINGLE_LEN = 5
 
 def shingles_of(docs: DataFrame) -> DataFrame:
     """(doc_id, g) distinct character 5-grams of any (doc_id, text)
-    relation — sequence/transform/explode, all codegen, no UDF. The
-    DataFrame-level core of `char_shingles`, reused by the streaming
-    fuzzy-dedup path where the documents arrive as micro-batches."""
+    relation, encoded as 64-bit gids — sequence/transform/explode, all
+    codegen, no UDF. The DataFrame-level core of `char_shingles`,
+    reused by the streaming fuzzy-dedup path where the documents
+    arrive as micro-batches.
+
+    Gids, not strings (round 7): the shingle relation is ~60× the
+    corpus text and the single largest object every MinHash consumer
+    shuffles, sorts, and caches; `xxhash64` of the gram (the SAME
+    pure-function encoding the oracle-checked blocked exact operators
+    use in `_tagged_gid_blocks`) halves its row bytes and turns every
+    downstream gram comparison into a long compare. Hashing INSIDE the
+    transform keeps it one codegen stage; array_distinct then dedups
+    longs instead of strings. 64-bit collisions are negligible and
+    per-doc distinctness is preserved. Emitting gids at the SOURCE —
+    rather than per consumer — is what keeps batch and standing-corpus
+    signatures/bands comparable across calls, runs, and the streaming
+    path's persisted probe layouts."""
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length("text") - (SHINGLE_LEN - 1), F.lit(1))),
-            lambda i: F.col("text").substr(i, F.lit(SHINGLE_LEN)),
+            lambda i: F.xxhash64(F.col("text").substr(i, F.lit(SHINGLE_LEN))),
         )
     )
     return docs.select("doc_id", F.explode(grams).alias("g"))
@@ -434,6 +448,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_verified_pairs(char_shingles(spark, sf_dir))
 
 
+def _as_gids(sh: DataFrame) -> DataFrame:
+    """Idempotent gram→gid boundary: hash a string `g` column to the
+    canonical xxhash64 gid encoding; pass gid (long) relations through
+    untouched. Lets every MinHash entry point accept either raw string
+    grams or `shingles_of` output without double-hashing."""
+    from pyspark.sql import types as T
+
+    if isinstance(sh.schema["g"].dataType, T.StringType):
+        return sh.select("doc_id", F.xxhash64("g").alias("g"))
+    return sh
+
+
 def minhash_verified_pairs(raw_shingles: DataFrame) -> DataFrame:
     """The banded-MinHash mine-and-verify core over a (doc_id, g)
     shingle relation — shared by the corpus-wide miner
@@ -455,24 +481,17 @@ def minhash_verified_pairs(raw_shingles: DataFrame) -> DataFrame:
     # sides of the intersection join); without the persist each
     # consumer re-shingles the full corpus (4 scans of the most
     # expensive map stage). MEMORY_AND_DISK default spills at scale.
-    # Grams are hashed to 64-bit gids AT THE BOUNDARY: the shingle
-    # relation is the miner's largest object (61M rows at the 250k
-    # twin — ~60× the corpus text), and a long gid more than halves
-    # its row bytes vs the 5-char string while making the (doc_b, g)
-    # verification join sort/compare longs. A content hash is exactly
-    # how the oracle-checked blocked exact operators encode grams
-    # (`_tagged_gid_blocks`): 64-bit collisions are negligible and
-    # per-doc (doc, gid)-distinctness is preserved.
+    # Grams arrive as 64-bit gids (`shingles_of` hashes at the source;
+    # a caller with raw string grams gets the same encoding applied
+    # here) — the shingle relation is the miner's largest object (61M
+    # rows at the 250k twin, ~60× the corpus text) and gids halve its
+    # row bytes while the verification joins sort/compare longs.
     # sortWithinPartitions: the relation arrives hash-partitioned on
     # doc_id (both callers spread on it), so sorting it IN the cache
     # lets the doc_a verification SMJ below reuse the layout and skip
     # both the exchange and the sort on the corpus side — the
     # streaming path's probe_layout trick applied to the batch miner.
-    shingles = (
-        raw_shingles.select("doc_id", F.xxhash64("g").alias("g"))
-        .sortWithinPartitions("doc_id")
-        .persist()
-    )
+    shingles = _as_gids(raw_shingles).sortWithinPartitions("doc_id").persist()
     # cache: the signature table is tiny (n_docs × 64 longs) but its
     # lineage re-shingles the whole corpus; it feeds three consumers
     # (band explode + the packed attach relation below), so without a
@@ -1360,6 +1379,11 @@ def cross_minhash_pairs(
     probe join's per-bucket cost is n_batch × n_corpus, so either
     side's hot bucket blows it up (see _LSH_BUCKET_CAP).
     Returns (batch_id, corpus_id, est_jaccard, jaccard ≥ 0.6)."""
+    # canonical gid encoding on both sides (no-op for shingles_of
+    # output — see _as_gids; a string-gram caller must NOT mix with
+    # precomputed sigs derived from a different encoding)
+    batch_sh = _as_gids(batch_sh)
+    corpus_sh = _as_gids(corpus_sh)
     sig_b = batch_sig if batch_sig is not None else minhash_signatures(batch_sh)
     sig_c = corpus_sig if corpus_sig is not None else minhash_signatures(corpus_sh)
     bands_c = (

@@ -904,15 +904,12 @@ def llm_corpus_prepare_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_q = d.select("doc_id", "text").where(q >= 0.6)
 
     # same 5-char shingles as the exact funnel, over the survivors
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
-            lambda i: F.col("text").substr(i, F.lit(5)),
-        )
+    # (shingles_of — gid-encoded at the source like every MinHash path)
+    from .dedup import shingles_of
+
+    sh = shingles_of(
+        kept_q.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    sh = kept_q.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).select("doc_id", F.explode(grams).alias("g"))
     pairs = minhash_verified_pairs(sh)  # doc_a < doc_b, jaccard >= 0.6
     dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     final = slim.filter(F.col("q") >= 0.6).join(dups, "doc_id", "left_anti")
