@@ -32,6 +32,42 @@ def test_minhash_finds_all_true_near_dups(spark, sf_dir):
     assert len(truth) > 0  # fixture plants near-dups — the test is non-vacuous
 
 
+def test_gid_boundary_is_encoding_invariant(spark, sf_dir):
+    """`_as_gids` must make string-gram callers and `shingles_of`
+    (gid-at-source) callers indistinguishable to the miner: the
+    verified pair set AND the exact jaccard values agree — the
+    consistency invariant that keeps batch/corpus/streaming signatures
+    comparable across one shared encoding."""
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.operators.dedup import (
+        SHINGLE_LEN,
+        minhash_verified_pairs,
+        shingles_of,
+    )
+
+    d = load_table(spark, sf_dir, "documents").repartition(8, "doc_id")
+    # the pre-r7 string-gram shape a legacy caller would pass
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text") - (SHINGLE_LEN - 1), F.lit(1))
+            ),
+            lambda i: F.col("text").substr(i, F.lit(SHINGLE_LEN)),
+        )
+    )
+    legacy = d.select("doc_id", F.explode(grams).alias("g"))
+    a = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_verified_pairs(legacy).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_verified_pairs(shingles_of(d)).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     truth = {
         (r["query_id"], r["neighbor_id"])
