@@ -85,6 +85,7 @@ TWIN_PROBES = {
     "graph_label_propagation_2iter",
     "sim_power_iteration",
     "sim_knn_join_ivf_whitened",
+    "dedup_cluster_keep_best",
 }
 
 # scale-critical representatives: scans/joins/aggs (lineitem-bound),
@@ -153,6 +154,7 @@ DEFAULT_PROBES = [
     "graph_label_propagation_2iter",
     "sim_power_iteration",
     "sim_knn_join_ivf_whitened",
+    "dedup_cluster_keep_best",
 ]
 
 # the table whose row count drives each probe's input size
@@ -202,6 +204,7 @@ DRIVER_TABLE = {
     "graph_label_propagation_2iter": "lineitem",
     "sim_power_iteration": "embeddings",
     "sim_knn_join_ivf_whitened": "embeddings",
+    "dedup_cluster_keep_best": "documents",
 }
 
 
