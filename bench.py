@@ -20,6 +20,11 @@ Measurement hygiene (the VM shows ±40% run-to-run variance):
 - if a prior round's BENCH file exists, a per-query ratio vs that
   baseline is attached under "delta_vs_baseline" (extra key; the
   driver contract keys are unchanged)
+- a pinned CPU-bound workload is timed before AND after the pass and
+  reported under "calibration" with a recorded idle-machine reference,
+  so any consumer can normalize this pass's walls by machine speed
+  (divide by calibration.ratio) before comparing across rounds —
+  see BASELINE.md "Bench calibration" for the rule
 """
 
 from __future__ import annotations
@@ -42,6 +47,37 @@ from database_to_bigquery_spark.session import get_spark
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+# Reference wall seconds for _calibration() on an idle host of this
+# class (32 vCPU / 128 GiB, measured 2026-08-16 as the median of 5
+# warm reps: [0.769, 0.727, 0.841, 0.775, 0.770]). The VM this bench
+# runs on shows ±40% phases with no local
+# cause (BASELINE.md), which has twice produced garbage cross-round
+# ratios (r4: uniform 1.3x; r7: 1.162x that an idle rerun showed was
+# 0.90x) — the pinned workload below measures the MACHINE, so any
+# consumer can divide the query walls by `calibration.ratio` before
+# comparing across rounds (VERDICT r7 task 3; rule in BASELINE.md).
+_CAL_REFERENCE_SEC = 0.77
+
+
+def _calibration(spark) -> float:
+    """One pinned CPU-bound measurement: xxhash64 over 3.2B longs on 32
+    fixed partitions — pure JVM whole-stage codegen, no I/O, no Python
+    workers, independent of the query set and the SF dir. The %-mod
+    keeps the ANSI sum inside long range. Returns wall seconds; callers
+    take a median of a few reps."""
+    df = (
+        spark.range(0, 3_200_000_000, 1, 32)
+        .select(F.sum(F.xxhash64("id") % 100000).alias("h"))
+    )
+    t0 = time.time()
+    force(df)
+    return time.time() - t0
+
+
+def _calibrate(spark, reps: int = 3) -> float:
+    return round(statistics.median(_calibration(spark) for _ in range(reps)), 3)
 
 
 def load_baseline() -> tuple[str, dict] | None:
@@ -108,12 +144,19 @@ def main() -> None:
 
         force(dedup_ngram_jaccard(spark, warm_dir))
 
+    # calibrate the machine before AND after the timed section: a slow
+    # VM phase that starts or ends mid-pass shows up as a before/after
+    # split instead of being averaged away
+    cal_before = _calibrate(spark)
+
     samples: dict[str, list[float]] = {name: [] for name in specs}
     for _ in range(n_runs):
         for name in sorted(specs):
             t0 = time.time()
             force(specs[name].fn(spark, sf_dir))
             samples[name].append(time.time() - t0)
+
+    cal_after = _calibrate(spark)
 
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in sorted(samples.items())
@@ -140,6 +183,19 @@ def main() -> None:
             "n_queries": sum(1 for n in timings if n not in twins),
             "excluded_twins": twins,
         },
+        # machine-speed normalizer (see _CAL_REFERENCE_SEC). ratio > 1
+        # = this pass ran on a slower-than-reference machine phase;
+        # divide the walls by `ratio` before any cross-round compare.
+        "calibration": {
+            "before_sec": cal_before,
+            "after_sec": cal_after,
+            "reference_sec": _CAL_REFERENCE_SEC,
+            "ratio": round(
+                ((cal_before + cal_after) / 2) / _CAL_REFERENCE_SEC, 3
+            ),
+            "vm_slow_phase": ((cal_before + cal_after) / 2)
+            > 1.2 * _CAL_REFERENCE_SEC,
+        },
     }
     baseline = load_baseline()
     if baseline is not None:
@@ -147,18 +203,28 @@ def main() -> None:
         base_q = base.get("queries", {})
         common = {n for n in timings if isinstance(base_q.get(n), (int, float))}
         if common:
+            total_ratio = round(
+                sum(timings[n] for n in common)
+                / max(1e-9, sum(base_q[n] for n in common)),
+                3,
+            )
             out["delta_vs_baseline"] = {
                 "baseline": tag,
-                "total_ratio": round(
-                    sum(timings[n] for n in common)
-                    / max(1e-9, sum(base_q[n] for n in common)),
-                    3,
-                ),
+                "total_ratio": total_ratio,
                 "per_query_ratio": {
                     n: round(timings[n] / max(1e-9, base_q[n]), 2)
                     for n in sorted(common)
                 },
             }
+            # machine-speed-normalized cross-round ratio: each side's
+            # walls divided by its own calibration ratio first, so a
+            # VM slow phase in either pass cancels out
+            base_cal = base.get("calibration", {}).get("ratio")
+            this_cal = out["calibration"]["ratio"]
+            if isinstance(base_cal, (int, float)) and base_cal > 0 and this_cal > 0:
+                out["delta_vs_baseline"]["total_ratio_calibrated"] = round(
+                    total_ratio * base_cal / this_cal, 3
+                )
     print(json.dumps(out))
 
 

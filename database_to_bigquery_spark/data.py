@@ -108,7 +108,14 @@ def range_fanout(df: DataFrame, floor: int = 32) -> int:
     """
     override = os.environ.get("SPARK_GRAFT_RANGE_FANOUT")
     if override:
-        return max(1, int(override))
+        try:
+            n = int(override)
+        except ValueError:
+            raise ValueError(
+                f"SPARK_GRAFT_RANGE_FANOUT={override!r} is not an integer "
+                "(it is a partition count, e.g. 64)"
+            ) from None
+        return max(1, n)
     spark = df.sparkSession
     width = max(floor, spark.sparkContext.defaultParallelism)
     try:
@@ -116,10 +123,29 @@ def range_fanout(df: DataFrame, floor: int = 32) -> int:
         target = _parse_byte_conf(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
-        width = max(width, -(-est // max(target, 1)))
+        # Two guards on the estimate (advisor r7 — the helper is a
+        # general utility, not every caller hands it a file scan):
+        # stats-less leaves report the defaultSizeInBytes sentinel
+        # (Long.MaxValue-ish) and JOINS MULTIPLY child estimates, so an
+        # un-clamped width could be 10^13 — int overflow inside
+        # repartitionByRange or millions of scheduled tasks. Ignore
+        # sentinel-sized estimates outright, and cap the derived term
+        # at _RANGE_FANOUT_CEILING (2^18 tasks × maxPartitionBytes
+        # ≈ 32 TB of ranked relation per pattern instance — beyond
+        # that a fixed ceiling just means fatter, still-bounded range
+        # partitions, not a correctness change).
+        sentinel = _parse_byte_conf(
+            spark.conf.get("spark.sql.defaultSizeInBytes", str(1 << 62))
+        )
+        if 0 <= est < sentinel:
+            width = max(width, min(-(-est // max(target, 1)), _RANGE_FANOUT_CEILING))
     except Exception:
         pass  # Spark Connect: no _jdf — defaultParallelism still applies
     return width
+
+
+# Upper clamp for range_fanout's size-derived term; see its body.
+_RANGE_FANOUT_CEILING = 1 << 18
 
 
 def _parse_byte_conf(value: str) -> int:

@@ -21,6 +21,7 @@ deliberately restricted to candidate sets.
 from __future__ import annotations
 
 import random
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -137,15 +138,20 @@ def _tagged_gid_blocks(spark: SparkSession, sh: DataFrame, n_blocks: int = 8) ->
     ``sh`` is any (doc_id, g)-distinct relation.
 
     Gram ids are ``xxhash64(g)`` — a PURE FUNCTION of the gram, not a
-    dictionary. The earlier dictionary (distinct → monotonically_
-    increasing_id) handed out ids nondeterministically after a
-    shuffle, so the two union branches below could in principle see
-    different encodings if Catalyst ever recomputed the exchange
-    (advisor finding), and pinning it cost an extra materialization
-    pass. A content hash is recomputation-proof by construction,
-    needs no distinct/join/checkpoint (one groupBy(doc) total), and
-    the numpy side never needed dense ids — ``np.unique`` +
-    ``searchsorted`` densify any sortable values per block pair.
+    dictionary — applied through the same idempotent ``_as_gids``
+    boundary every MinHash entry point uses, so a caller handing in
+    `shingles_of` output (already-long gids) is passed through
+    untouched rather than double-hashed, and blocked-path gids stay
+    value-comparable with minhash-path gids (advisor r7). The earlier
+    dictionary (distinct → monotonically_increasing_id) handed out ids
+    nondeterministically after a shuffle, so the two union branches
+    below could in principle see different encodings if Catalyst ever
+    recomputed the exchange (advisor finding), and pinning it cost an
+    extra materialization pass. A content hash is recomputation-proof
+    by construction, needs no distinct/join/checkpoint (one
+    groupBy(doc) total), and the numpy side never needed dense ids —
+    ``np.unique`` + ``searchsorted`` densify any sortable values per
+    block pair.
     64-bit collisions would conflate two grams; over a per-corpus
     vocabulary V the expected collisions are V²/2^65 — ~0.003 even
     at 10^10 grams, and the fixture gate is deterministic either way.
@@ -156,8 +162,9 @@ def _tagged_gid_blocks(spark: SparkSession, sh: DataFrame, n_blocks: int = 8) ->
     cost — stays modest. Larger B shrinks per-task matmuls (already
     far from the FLOP bound) while inflating transfer linearly."""
     vecs = (
-        sh.groupBy("doc_id")
-        .agg(F.collect_list(F.xxhash64("g")).alias("gids"))
+        _as_gids(sh)
+        .groupBy("doc_id")
+        .agg(F.collect_list("g").alias("gids"))
         .withColumn("blk", (F.col("doc_id") % n_blocks).cast("int"))
     )
     block_pairs = spark.createDataFrame(
@@ -446,6 +453,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_a, doc_b, est_jaccard, jaccard) for true pairs ≥ 0.6.
     """
     return minhash_verified_pairs(char_shingles(spark, sf_dir))
+
+
+# Signature relations that already passed _check_sig_encoding — keyed
+# by DataFrame object identity (weak, so unpersisted relations don't
+# leak): the streaming job probes the SAME standing corpus/tier sig
+# objects every micro-batch and must pay the check once, not per batch.
+_validated_sigs: weakref.WeakSet = weakref.WeakSet()
+
+
+def _check_sig_encoding(sig: DataFrame, sh: DataFrame, arg: str) -> None:
+    """Loud-failure guard for PRECOMPUTED signature relations (advisor
+    r7): a sig built under a different gram encoding than the current
+    xxhash64-gid one (e.g. pre-r7 string-gram signatures a production
+    loop persisted) produces band hashes that collide with nothing, so
+    the probe would silently return ZERO pairs. Recompute ONE sampled
+    doc's signature from the (already gid-encoded) shingle side and
+    compare — the fixed permutations make signatures a pure function
+    of the gram encoding, so a single doc witnesses the whole
+    relation. Mismatch (or a sig doc absent from the shingle side —
+    the two relations out of sync, also silent-zero territory) raises
+    ValueError. An empty sig relation is trivially consistent. Cost:
+    two metadata-sized jobs, once per relation object lifetime."""
+    if sig in _validated_sigs:
+        return
+    row = sig.select("doc_id", "sig").limit(1).collect()
+    if not row:
+        _validated_sigs.add(sig)
+        return
+    doc_id, expect = row[0]["doc_id"], list(row[0]["sig"])
+    got = (
+        minhash_signatures(sh.filter(F.col("doc_id") == F.lit(doc_id)))
+        .select("sig")
+        .collect()
+    )
+    if not got:
+        raise ValueError(
+            f"{arg}: sampled doc_id={doc_id} has a precomputed signature but no "
+            "shingles on the matching side — the sig and shingle relations are "
+            "out of sync (the probe would silently miss its pairs)"
+        )
+    if list(got[0]["sig"]) != expect:
+        raise ValueError(
+            f"{arg}: precomputed signature for doc_id={doc_id} does not match a "
+            "recompute from the shingle side — the sig was built under a "
+            "DIFFERENT gram encoding (e.g. pre-gid string-gram signatures). "
+            "Mixed encodings make every band hash diverge and the probe "
+            "silently returns zero pairs; re-materialize the signatures with "
+            "the current minhash_signatures()."
+        )
+    _validated_sigs.add(sig)
 
 
 def _as_gids(sh: DataFrame) -> DataFrame:
@@ -1223,15 +1280,33 @@ def label_propagation_components(e: DataFrame) -> DataFrame:
     )
     prev_sum = None
     converged = False
-    # 64 rounds is far past any plausible contracted-label-graph
-    # diameter (contraction halves chains every round-1 pass); the cap
-    # exists only so an adversarial/buggy input fails LOUDLY below
-    # instead of looping forever — never by returning wrong labels.
+    # Each round unions THREE label candidates per node before the min:
+    # its current label, the one-hop edge propagation, and the POINTER
+    # JUMP label(label(v)) — label values are themselves label-graph
+    # node ids (every label is a min over node ids and e's symmetry
+    # puts every node in `labels`), so composing the label relation
+    # with itself halves every chain's remaining depth per round.
+    # Hop alone converges in O(diameter) rounds (a 65-deep chain of
+    # partial components — e.g. gradually mutated near-dup chains at
+    # corpus scale — would exhaust the cap, advisor r7); hop + jump
+    # converges in O(log diameter), so 64 rounds tolerates label-graph
+    # diameters up to ~2^64 — genuinely unreachable. The cap exists
+    # only so a buggy input fails LOUDLY below instead of looping
+    # forever — never by returning wrong labels.
     for _ in range(64):
         obs = Observation()
+        jump = (
+            labels.join(
+                labels.select(F.col("node").alias("label"), F.col("label").alias("jl")),
+                "label",
+                "left",  # defensive: an unmatched label keeps the node
+            )
+            .select("node", F.coalesce("jl", "label").alias("label"))
+        )
         prop = (
             le.join(labels, le.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
+            .unionByName(jump)
             .unionByName(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
@@ -1380,10 +1455,16 @@ def cross_minhash_pairs(
     side's hot bucket blows it up (see _LSH_BUCKET_CAP).
     Returns (batch_id, corpus_id, est_jaccard, jaccard ≥ 0.6)."""
     # canonical gid encoding on both sides (no-op for shingles_of
-    # output — see _as_gids; a string-gram caller must NOT mix with
-    # precomputed sigs derived from a different encoding)
+    # output — see _as_gids); PRECOMPUTED sigs are sample-verified
+    # against their shingle side so a sig persisted under a different
+    # encoding fails loudly instead of silently matching nothing
+    # (advisor r7) — memoized per relation, see _check_sig_encoding
     batch_sh = _as_gids(batch_sh)
     corpus_sh = _as_gids(corpus_sh)
+    if batch_sig is not None:
+        _check_sig_encoding(batch_sig, batch_sh, "batch_sig")
+    if corpus_sig is not None:
+        _check_sig_encoding(corpus_sig, corpus_sh, "corpus_sig")
     sig_b = batch_sig if batch_sig is not None else minhash_signatures(batch_sh)
     sig_c = corpus_sig if corpus_sig is not None else minhash_signatures(corpus_sh)
     bands_c = (

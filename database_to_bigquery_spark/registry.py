@@ -98,6 +98,22 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # + mm_phash_neardup), text_length_outlier_filter, stream_tumbling_hourly
 # (X16 ← stream_stateful_user_totals), q_dp_noisy_counts (DP ←
 # q_dp_noisy_sum).
+# r08 rotation (VERDICT r7 task 2): the three r7-new ops in
+# (dedup_cluster_keep_best — oracle, sim_knn_join_ivf_whitened +
+# stream_knn_probe_ivf — rows-only beside oracle-bearing family mates)
+# plus one oracle-bearing rep per large never-attested family
+# (q_chi_square_independence, q_cohort_retention, ts_gapfill_hourly,
+# q_variant_json, text_pack_sequences, q_stratified_sample;
+# q_zorder_layout deferred to r9 — only 9 slots free without evicting
+# a sole-family representative). Out — all r07-attested, each family
+# still covered in-window: q_corr_matrix + q_ks_test (statistics ←
+# q_chi_square_independence), q_json_extract (X11 ← q_variant_json),
+# dedup_exact_text (X12 ← dedup_cluster_keep_best), dedup_simhash
+# (X15+ phash ← mm_phash_neardup), sim_topk_bruteforce (X13 ←
+# sim_topk_ivfpq), q_survival_km + q_activity_streaks
+# (survival/retention ← q_cohort_retention — retention curves ARE the
+# survival function of churn), llm_chunk_manifest (packing ←
+# text_pack_sequences).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # S-family (reference ETL surface)
     "s1_catalog_allowlist",      # S1
@@ -119,9 +135,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_semantic_decontamination",
     "sim_knn_join_exact",
     "q_asof_join",
-    # statistics family first attestation (X5 hash agg rotates out —
-    # q1_pricing_summary carries X5); IVM flagship; X6 grouping sets
-    "q_corr_matrix",
+    # statistics family rep rotates corr_matrix/ks_test → chi-square
+    # independence (r08 first attestation); IVM flagship; X6 grouping
+    "q_chi_square_independence",
     "q_ivm_join_maintenance",
     "q_grouping_sets",
     # CDC/merge family: delete-branch MERGE (r03 flagship)
@@ -140,28 +156,30 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # X10 set ops, X11 scalar function library
     "q_set_ops",
     "text_paragraph_dedup",
-    "q_json_extract",
+    "q_variant_json",
     # SCD2 family rotates to the apply-changes MERGE form (as-of
     # snapshot + time-travel diff both r5-attested)
     "q_scd2_apply_changes",
-    # X12 dedup: exact, the incremental-CC flagship, and the r6-rebuilt
-    # bigram SimHash (rows-only — new band semantics need attestation)
-    "dedup_exact_text",
+    # X12 dedup: the r7 quality-argmax cluster representative (oracle)
+    # and the incremental-CC flagship; the fenced streaming ANN probe
+    # (rows-only — trained-cell semantics need attestation)
+    "dedup_cluster_keep_best",
     "dedup_incremental_clusters",
-    "dedup_simhash",
-    # X13 similarity / ANN; ts family rotates holt_winters →
-    # STL-residual anomaly flags (ts_holt_winters r05-green)
-    "sim_topk_bruteforce",
+    "stream_knn_probe_ivf",
+    # X13 ANN: the r7 whitened IVF kNN join (rows-only, rides beside
+    # sim_topk_ivfpq/sim_knn_join_exact oracles); ts STL anomaly stays
+    "sim_knn_join_ivf_whitened",
     "ts_stl_anomaly",
-    # statistics + behavioral families (first attestations); X14 rep
-    # stays text_quality_threshold_sweep; X13+ numerics covariance
-    "q_ks_test",
+    # ts gapfill first attestation; X14 rep stays
+    # text_quality_threshold_sweep; X13+ numerics covariance
+    "ts_gapfill_hourly",
     "q_funnel_time_windowed",
     "text_quality_threshold_sweep",
     "sim_covariance_matrix",
-    # behavioral survival / streaks (first attestations)
-    "q_survival_km",
-    "q_activity_streaks",
+    # behavioral cohort retention + stratified sampling (first
+    # attestations; retention curve = survival function of churn)
+    "q_cohort_retention",
+    "q_stratified_sample",
     # training-prep curriculum; X16 streaming rep (stateful totals)
     "llm_curriculum_order",
     "stream_stateful_user_totals",
@@ -169,11 +187,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # X17 UDF surface
     "udf_pandas_scalar",
     "q_recursive_month_spine",
-    # X15 multimodal reps (webdataset writer + perceptual hash — the
-    # oracle-bearing rep the rows-only dedup_simhash rides beside)
+    # X15 multimodal reps (webdataset writer + perceptual hash);
+    # training-prep packing rotates chunk_manifest → pack_sequences
     "mm_webdataset_write",
     "mm_phash_neardup",
-    "llm_chunk_manifest",
+    "text_pack_sequences",
     # governance DP rotates counts → clipped-contribution sum
     "q_dp_noisy_sum",
 )

@@ -30,8 +30,21 @@ FAMILY_REPRESENTATIVES = {
     "X9": ["q_topk_per_group", "q18_large_volume_customers"],
     "X10": ["q_set_ops", "q_union_by_name_drift"],
     "X11": ["q_json_extract", "q_variant_json", "q_from_xml"],
-    "X12": ["dedup_exact_text", "dedup_clusters", "dedup_minhash_lsh"],
-    "X13": ["sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_sq8"],
+    "X12": [
+        "dedup_exact_text",
+        "dedup_clusters",
+        "dedup_minhash_lsh",
+        # r08: the quality-argmax cluster representative carries X12
+        # while dedup_exact_text rotates out
+        "dedup_cluster_keep_best",
+    ],
+    "X13": [
+        "sim_topk_bruteforce",
+        "sim_topk_ivf",
+        "sim_topk_sq8",
+        # r08: the IVF+PQ form carries X13 while bruteforce rotates out
+        "sim_topk_ivfpq",
+    ],
     # text_quality_threshold_sweep is an X14 attestor per VERDICT §2 —
     # it carries the family while text_stats rotates out (r07)
     "X14": [
@@ -91,8 +104,20 @@ FAMILY_REPRESENTATIVES = {
     "X13+ numerics": ["sim_covariance_matrix", "sim_whiten_identity_check"],
     "training-prep curriculum": ["llm_curriculum_order"],
     "behavioral funnels": ["q_funnel_time_windowed", "q_funnel_conversion"],
-    "behavioral survival/streaks": ["q_survival_km", "q_activity_streaks"],
-    "statistics": ["q_ks_test", "q_corr_matrix"],
+    # retention curves are the survival function of churn — cohort
+    # retention attests this family while km/streaks rotate out (r08)
+    "behavioral survival/streaks": [
+        "q_survival_km",
+        "q_activity_streaks",
+        "q_cohort_retention",
+    ],
+    # r08: chi-square independence carries statistics while ks_test and
+    # corr_matrix rotate out
+    "statistics": ["q_ks_test", "q_corr_matrix", "q_chi_square_independence"],
+    # round-8 rotation partners (first attestation for each family)
+    "ts gapfill": ["ts_gapfill_hourly"],
+    "sampling": ["q_stratified_sample", "q_class_balanced_sample"],
+    "X11+ VARIANT": ["q_variant_json"],
 }
 
 DRIVER_SAMPLE = 50

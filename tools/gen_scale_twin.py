@@ -43,7 +43,15 @@ import pyarrow.parquet as pq
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT_BASE = os.path.join(REPO, ".scale_twin")
 
-SCALES = {"x10": (50_000, 20_000), "x50": (250_000, 100_000)}
+# x250 (VERDICT r7 task 1) is a documents/embeddings-only tier: it
+# exists to give the dedup/ANN production headliners a THIRD measured
+# decade (50k -> 250k -> 1.25M docs); the relational families' ladder
+# stops at x50 where their exponents were already fit over two decades.
+SCALES = {
+    "x10": (50_000, 20_000),
+    "x50": (250_000, 100_000),
+    "x250": (1_250_000, 500_000),
+}
 
 
 def load_fixture_stats(base: str):
@@ -350,6 +358,14 @@ def main() -> None:
         help="regenerate just the document/embedding twins or just the "
         "relational/events twins (default: both)",
     )
+    ap.add_argument(
+        "--tier",
+        choices=list(SCALES),
+        default=None,
+        help="regenerate just one tier (default: all); generation is "
+        "seeded per-tier so a single-tier run is byte-identical to the "
+        "same tier from a full run",
+    )
     args = ap.parse_args()
 
     if args.only != "tpch":
@@ -358,6 +374,8 @@ def main() -> None:
             f"fixture stats: |vocab|={len(vocab)}, labels={len(by_label)}, dim={dim}"
         )
     for name, (n_docs, n_vecs) in SCALES.items():
+        if args.tier is not None and name != args.tier:
+            continue
         out_dir = os.path.join(OUT_BASE, name)
         os.makedirs(out_dir, exist_ok=True)
         if args.only != "tpch":
@@ -377,7 +395,7 @@ def main() -> None:
                 os.path.join(out_dir, "embeddings_aniso.parquet"),
             )
             print(f"{name}: {n_docs} docs, {n_vecs} vecs -> {out_dir}")
-        if args.only != "docs":
+        if args.only != "docs" and name in TPCH_MULT:
             gen_tpch(args.base, out_dir, TPCH_MULT[name], np.random.default_rng(7))
 
 

@@ -253,13 +253,17 @@ def main() -> None:
         "(bounded — an aggregate's output collapses to one partition,",
         "not the raw relation), `RAW ⚠` = at least one stage collapses",
         "an unbounded relation (the scale killer; CI requires a",
-        "scale-twin annotation for these); scale-twin = non-empty for",
+        "scale-twin annotation for these); bcast = BroadcastExchange",
+        "census by input class (`agg:` aggregate/limit-bounded, `dim:`",
+        "fixed-size dimension, `raw:` unbounded relation — hint-forced",
+        "raw broadcasts are flagged `HINT-RAW ⚠` and CI-gated);",
+        "scale-twin = non-empty for",
         "queries that are INTENTIONALLY scale-unsafe (exact oracle twins /",
         "pedagogical stock forms) — the named query is the in-repo",
         "scale-safe alternative to use at 100 TB.",
         "",
-        "| query | scans | exch | bhj | smj | shj | bnlj | cart | py | 1part | scale-twin |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "| query | scans | exch | bhj | smj | shj | bnlj | cart | py | 1part | bcast | scale-twin |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, a in rows:
         if "error" in a:
