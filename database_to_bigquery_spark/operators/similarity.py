@@ -2025,17 +2025,10 @@ def corpus_covariance(df: DataFrame):
     return G - np.outer(mu, mu), mu
 
 
-def whiten_corpus(e: DataFrame) -> DataFrame:
-    """y = Λ^(−1/2) Qᵀ (x − μ) across the corpus: train the PCA-
-    whitening map from `corpus_covariance` (driver-side d×d eigen-
-    decomposition — metadata-sized, like IVF centroid training) and
-    apply it in one Arrow-batched map. Input/output schema:
-    (vec_id, v: array<double>)."""
+def _apply_whitener(e: DataFrame, Wm, mu) -> DataFrame:
+    """Apply a trained whitening map y = Wm(x − μ) in one Arrow-batched
+    map over a (vec_id, v: array<double>) relation."""
     import numpy as np
-
-    cov, mu = corpus_covariance(e)
-    evals, evecs = np.linalg.eigh(cov)
-    Wm = (evecs / np.sqrt(np.maximum(evals, 1e-12))).T  # Λ^(-1/2) Qᵀ
 
     def whiten(it):
         import pandas as pd
@@ -2048,6 +2041,53 @@ def whiten_corpus(e: DataFrame) -> DataFrame:
             yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "v": list(Y)})
 
     return e.mapInPandas(whiten, "vec_id long, v array<double>")
+
+
+def whiten_corpus(e: DataFrame) -> DataFrame:
+    """y = Λ^(−1/2) Qᵀ (x − μ) across the corpus: train the PCA-
+    whitening map from `corpus_covariance` (driver-side d×d eigen-
+    decomposition — metadata-sized, like IVF centroid training) and
+    apply it in one Arrow-batched map. Input/output schema:
+    (vec_id, v: array<double>)."""
+    import numpy as np
+
+    cov, mu = corpus_covariance(e)
+    evals, evecs = np.linalg.eigh(cov)
+    Wm = (evecs / np.sqrt(np.maximum(evals, 1e-12))).T  # Λ^(-1/2) Qᵀ
+    return _apply_whitener(e, Wm, mu)
+
+
+# Gate threshold for `whiten_if_anisotropic`. Measured spectra (x10
+# twin geometries, d=64): isotropic fixture noise cond(cov) ≈ 4.2,
+# clustered-isotropic twin ≈ 14.5 (cluster directions carry ~10× the
+# per-dim noise variance — NORMAL structure whitening would flatten,
+# hurting purity), rogue-dimension anisotropic twin ≈ 12 400. 100 sits
+# an order of magnitude above the benign geometries and two below the
+# pathological one; SCALE.md §15 records the measurements.
+WHITEN_COND_THRESHOLD = 100.0
+
+
+def whiten_if_anisotropic(
+    e: DataFrame, cond_threshold: float = WHITEN_COND_THRESHOLD
+):
+    """Condition-number-gated whitening (advisor/judge r7 task 4):
+    compute the corpus covariance once (metadata-sized — the decision
+    is free relative to any downstream ANN pass), whiten ONLY when
+    cond(cov) = λ_max/λ_min exceeds `cond_threshold`, reusing the
+    already-computed eigendecomposition for the map. Whitening benign
+    clustered geometry is not a no-op — it flattens exactly the
+    cluster directions ANN relies on — so production corpora must NOT
+    be whitened unconditionally; the gate makes the composition safe
+    to apply corpus-blind. Returns (df, cond, applied)."""
+    import numpy as np
+
+    cov, mu = corpus_covariance(e)
+    evals, evecs = np.linalg.eigh(cov)
+    cond = float(evals[-1] / max(evals[0], 1e-12))
+    if cond <= cond_threshold:
+        return e, cond, False
+    Wm = (evecs / np.sqrt(np.maximum(evals, 1e-12))).T
+    return _apply_whitener(e, Wm, mu), cond, True
 
 
 # headline: the round-7 production ANN composition (whiten → IVF join)
@@ -2072,6 +2112,28 @@ def sim_knn_join_ivf_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double("embedding").alias("v")
     )
     return knn_join_ivf_core(whiten_corpus(e))
+
+
+@query("sim_knn_join_ivf_auto")  # approximate → rows-only
+def sim_knn_join_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-blind production ANN entry: `whiten_if_anisotropic` →
+    `knn_join_ivf_core`. The r7 headline `sim_knn_join_ivf_whitened`
+    whitens unconditionally — correct on the anisotropic geometry it
+    was built for (purity 0.612→0.992) but wrong as a default, because
+    whitening CLUSTERED-isotropic embeddings flattens the cluster
+    directions themselves (measured: the x10 twin's top eigenvalues
+    ARE the label directions, ~10× noise variance). This entry decides
+    per corpus from cond(cov) (measured: 4.2 isotropic / 14.5
+    clustered-isotropic / 12 400 rogue-dimension vs threshold 100);
+    the covariance pass it decides from is d²/2+d+1 rows — free at any
+    corpus size. Behavior pinned on BOTH twin geometries in
+    tests/test_llm_ops.py; gate decision + purity recorded in
+    SCALE.md §15. Approximate (probing) → rows-only driver check."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    gated, _cond, _applied = whiten_if_anisotropic(e)
+    return knn_join_ivf_core(gated)
 
 
 @query("sim_whiten_identity_check")  # float spectrum → rows-only check

@@ -89,6 +89,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Subset-key co-partitioning: let a join reuse a child already
+        # hash-partitioned on a PREFIX/SUBSET of the join keys instead
+        # of reshuffling both sides on the full key set. The engine's
+        # big corpus relations are persisted hash-partitioned on their
+        # entity key (doc_id / vec_id) and probed by joins keyed
+        # (entity, attribute) — e.g. the miner's (doc_b, g) exact-
+        # verification join over the (doc_id, g)-sorted shingle cache;
+        # with the Spark default (true) that corpus side pays a full
+        # exchange+sort per consumer (measured: the residual x50 miner
+        # bound, SCALE.md §14), with false it is exchange- AND sort-
+        # free and only the small candidate stream shuffles. The skew
+        # hazard the default guards against (few distinct subset keys)
+        # does not apply to high-cardinality entity keys, and AQE skew
+        # handling stays on for the rest.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # Arrow batches for every pandas_udf / applyInPandas crossing.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # ...and for Python UDTFs too (ArrowEvalPythonUDTF instead of

@@ -37,6 +37,17 @@ TWIN_SF_DIRS = [
     os.path.join(REPO_DIR, ".scale_twin", "x10"),
     os.path.join(REPO_DIR, ".scale_twin", "x50"),
 ]
+# x250 (1.25M docs / 500k vecs — documents/embeddings only; VERDICT r7
+# task 1): a THIRD measured decade for the dedup/ANN production
+# headliners, whose r7 exponents rested on the single 50k→250k step.
+X250_DIR = os.path.join(REPO_DIR, ".scale_twin", "x250")
+X250_PROBES = {
+    "dedup_minhash_lsh",
+    "dedup_clusters_lsh",
+    "dedup_cluster_keep_best",
+    "llm_corpus_prepare_lsh",
+    "sim_knn_join_ivf_whitened",
+}
 TWIN_PROBES = {
     "dedup_minhash_lsh",
     "dedup_incremental_clusters",
@@ -214,7 +225,10 @@ def force(df) -> None:
 
 def _dirs_for(name: str) -> list[str]:
     if name in TWIN_PROBES:
-        return SF_DIRS + [d for d in TWIN_SF_DIRS if os.path.isdir(d)]
+        dirs = SF_DIRS + [d for d in TWIN_SF_DIRS if os.path.isdir(d)]
+        if name in X250_PROBES and os.path.isdir(X250_DIR):
+            dirs.append(X250_DIR)
+        return dirs
     return SF_DIRS
 
 
@@ -233,13 +247,15 @@ HEADER = [
     "The dedup/ANN/text production probes additionally run on 10x/50x",
     "synthetic twins of documents/embeddings (`tools/gen_scale_twin.py`,",
     "same schema + duplicate structure), so their exponents span >= 2",
-    "decades (500 → 250 000 docs) with the final step fit at 50k → 250k",
-    "rows — where constant job overheads no longer mask real growth.",
+    "decades (500 → 250 000 docs); the five production headliners add",
+    "an x250 tier (1.25M docs / 500k vecs) so their exponent is fit at",
+    "250k → 1.25M rows — a third measured decade where constant job",
+    "overheads no longer mask real growth.",
     "",
     "| query | driver table | " + " | ".join(
         f"{os.path.basename(sf)} rows / sec" for sf in SF_DIRS
-    ) + " | x10 twin | x50 twin | exponent |",
-    "|---|---|" + "---|" * (len(SF_DIRS) + 3),
+    ) + " | x10 twin | x50 twin | x250 twin | exponent |",
+    "|---|---|" + "---|" * (len(SF_DIRS) + 4),
 ]
 
 
@@ -286,7 +302,7 @@ def main() -> None:
             n = rows_in(sf, t)
             points.append((n, wall))
             cells.append(f"{n:,} / {wall:.2f}s")
-        while len(cells) < len(SF_DIRS) + 2:  # twin columns for non-twin rows
+        while len(cells) < len(SF_DIRS) + 3:  # twin columns for non-twin rows
             cells.append("—")
         (n1, w1), (n2, w2) = points[-2], points[-1]
         exponent = math.log(w2 / w1) / math.log(n2 / n1) if n2 > n1 and w1 > 0 else float("nan")
@@ -304,11 +320,14 @@ def main() -> None:
             line = line.rstrip("\n")
             if not line.startswith("| ") or line.split("|")[1].strip() == "query":
                 continue
-            if line.count("|") == len(SF_DIRS) + 6:
+            if line.count("|") == len(SF_DIRS) + 7:
                 merged[line.split("|")[1].strip()] = line
+            elif line.count("|") == len(SF_DIRS) + 6:  # pre-x250 format
+                head, exp = line.rsplit("|", 2)[0], line.rsplit("|", 2)[1]
+                merged[line.split("|")[1].strip()] = f"{head}| — |{exp}|"
             elif line.count("|") == len(SF_DIRS) + 4:  # pre-twin format
                 head, exp = line.rsplit("|", 2)[0], line.rsplit("|", 2)[1]
-                merged[line.split("|")[1].strip()] = f"{head}| — | — |{exp}|"
+                merged[line.split("|")[1].strip()] = f"{head}| — | — | — |{exp}|"
     merged.update(new_rows)
     ordered = [n for n in DEFAULT_PROBES if n in merged] + [
         n for n in merged if n not in DEFAULT_PROBES
