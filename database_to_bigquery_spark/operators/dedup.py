@@ -334,13 +334,17 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     )
 
 
-def signature_bands(sig: DataFrame) -> DataFrame:
+def signature_bands(sig: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Explode signatures into (doc_id, band_idx, band_hash) bucket
     keys (md5 of each 4-row band) — the LSH bucketing shared by every
-    MinHash consumer."""
+    MinHash consumer. ``carry`` names extra columns of ``sig`` to ride
+    the explode onto every band row (e.g. the packed signature, so the
+    bucket join can estimate Jaccard inline without a later per-
+    candidate attach join — the r8 miner restructure)."""
     rows_per_band = _MH_K // _MH_BANDS
     return sig.select(
         "doc_id",
+        *carry,
         F.posexplode(
             F.array(
                 *[
@@ -385,15 +389,15 @@ def _packed_sig() -> F.Column:
     )
 
 
-def _sig_agreement_packed() -> F.Column:
+def _sig_agreement_packed(a: str = "sig_a", b: str = "sig_b") -> F.Column:
     """Position-agreement count over two PACKED signatures — exactly
     `_sig_agreement` on the unpacked arrays (hi and lo halves compared
     independently), at half the elements per row."""
     lo = F.lit(_SIG_LO_MASK)
     return F.aggregate(
         F.zip_with(
-            "sig_a",
-            "sig_b",
+            a,
+            b,
             lambda u, v: F.when(F.shiftright(u, 31) == F.shiftright(v, 31), 1)
             .otherwise(0)
             + F.when(u.bitwiseAND(lo) == v.bitwiseAND(lo), 1).otherwise(0),
@@ -565,25 +569,42 @@ def minhash_verified_pairs(raw_shingles: DataFrame) -> DataFrame:
     # cluster scale this is the standard "materialize signatures"
     # stage of every LSH pipeline (MEMORY_AND_DISK spills if huge).
     sig = minhash_signatures(shingles).persist()
-    # The est-attach relation: signatures PACKED two-per-long (half
-    # the shuffle bytes and fold iterations — see _packed_sig) with
-    # the doc's shingle count riding along, persisted hash-partitioned
-    # + sorted on doc_id. All four corpus-side attaches below (sig_a,
-    # sig_b, na, nb) probe THIS relation through alias-preserving
-    # projects, so each SMJ elides the corpus side's exchange AND sort
-    # — at the 250k twin the est stage was the measured miner bound
-    # (13.7M candidates × two 64-long attaches through full
-    # exchange+sort on both sides).
-    attach = (
-        sig.select("doc_id", _packed_sig().alias("sigp"), "n")
+    # Size relation for the exact-Jaccard denominators, persisted
+    # hash-partitioned + sorted on doc_id so the na/nb SMJs at the
+    # bottom probe it exchange- and sort-free through alias-preserving
+    # projects.
+    sizes = (
+        sig.select("doc_id", "n")
         .repartition("doc_id")
         .sortWithinPartitions("doc_id")
         .persist()
     )
-    # 3: bands → buckets. band_hash = md5 of the 4 joined values.
-    # Hot buckets dropped first: the self-join's Σ n_b² cost is what
-    # turns bucket skew into a quadratic blowup (see _LSH_BUCKET_CAP).
-    bands = drop_hot_buckets(signature_bands(sig))
+    # 3: bands → buckets, with the PACKED signature riding each band
+    # row. band_hash = md5 of the 4 joined values. Hot buckets dropped
+    # first: the self-join's Σ n_b² cost is what turns bucket skew into
+    # a quadratic blowup (see _LSH_BUCKET_CAP).
+    #
+    # Why the signature rides the band explode (r8): the previous
+    # shape — skinny band join → distinct pairs → per-candidate sig
+    # attach joins — was measured SUPERLINEAR on the third twin decade
+    # (x250 ladder): band-collision background grows ~n^1.3 through
+    # the hot-bucket cap's long transition regime (13.4M candidates at
+    # 250k docs → 111.3M at 1.25M docs, 99.94% of them est-filter
+    # background), and the attach stage shuffled that candidate
+    # relation three times (distinct + two SMJ attaches: 6.7 s →
+    # 97.2 s, the whole regression — tools/miner_decompose.py). Bands
+    # derive FROM the signature relation, so carrying the 32-long
+    # packed sig costs NO extra join — the est_jaccard estimate and
+    # its ≥ 0.45 filter now run PIPELINED inside the bucket join's
+    # output stage, before any exchange: the 111M-row background dies
+    # in place, and only the ~0.06% survivors reach distinct +
+    # verification. The traded cost is payload width on the one band
+    # shuffle (the hot-bucket window's, which the join reuses) —
+    # linear in docs, spillable, and shared with the probe-layout
+    # streaming path's economics.
+    bands = drop_hot_buckets(
+        signature_bands(sig.withColumn("sigp", _packed_sig()), carry=("sigp",))
+    )
     # merge (SMJ) hint: the bucket self-join's inputs are CORPUS-
     # derived (docs × 16 band rows) — Catalyst's post-explode size
     # estimate undershoots badly enough that at 250k docs it tries to
@@ -592,7 +613,14 @@ def minhash_verified_pairs(raw_shingles: DataFrame) -> DataFrame:
     # dies at 250k docs with 32 concurrent tasks sharing the pool
     # ("Can't acquire ... to build hash relation"); SMJ sorts spill to
     # disk, the only join shape that survives corpus×corpus at 100 TB.
-    cand = (
+    #
+    # est ≥ 0.45 is ~2.5σ below the J = 0.6 output threshold
+    # (σ = √(0.6·0.4/64) ≈ 0.06), so true pairs survive w.h.p. while
+    # the band-collision background is dropped before anything
+    # shuffles. distinct AFTER the filter is the same set as before
+    # (est is a pure function of the two signatures, so duplicate
+    # collisions of a pair filter identically).
+    sig_est = (
         bands.alias("x")
         .hint("merge")
         .join(
@@ -601,49 +629,19 @@ def minhash_verified_pairs(raw_shingles: DataFrame) -> DataFrame:
             & (F.col("x.band_hash") == F.col("y.band_hash"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # 4: exact verification restricted to candidates (broadcast: the
-    # candidate set is tiny relative to the corpus). est_jaccard =
-    # fraction of agreeing signature positions.
-    agree = _sig_agreement_packed()
-    # merge (SMJ) on the signature side: the (doc, sig) relation is
-    # corpus-sized and post-agg misestimates would broadcast it; SMJ
-    # spills, so the sig attach stays bounded per partition at any
-    # corpus size (SHJ's unspillable hash build does not — see the
-    # bucket-join note). The corpus side is the part-sorted `attach`
-    # relation: exchange- and sort-free by layout.
-    sig_est = (
-        cand.join(
-            attach.select(F.col("doc_id").alias("doc_a"), F.col("sigp").alias("sig_a"))
-            .hint("merge"),
-            "doc_a",
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.round(
+                _sig_agreement_packed("x.sigp", "y.sigp").cast("double") / _MH_K,
+                4,
+            ).alias("est_jaccard"),
         )
-        .join(
-            attach.select(F.col("doc_id").alias("doc_b"), F.col("sigp").alias("sig_b"))
-            .hint("merge"),
-            "doc_b",
-        )
-        .withColumn("est_jaccard", F.round(agree.cast("double") / _MH_K, 4))
-        .drop("sig_a", "sig_b")
-        # cheap signature-based pre-filter before the exact (doc, gram)
-        # verification join: a shared-vocabulary corpus produces ~1.5 M
-        # band-collision candidates at sf0.1 (background J ≈ 0.3 ⇒ a
-        # 4-row band agrees with p ≈ 0.3⁴ per band), and verifying all
-        # of them costs a ~300 M-row join (46 s). est ≥ 0.45 is ~2.5σ
-        # below the J = 0.6 output threshold (σ = √(0.6·0.4/64) ≈ 0.06),
-        # so true pairs survive w.h.p. while the background is dropped
-        # before the expensive stage.
         .filter(F.col("est_jaccard") >= 0.45)
+        .distinct()
     )
 
     sh_a = shingles
-    # sizes ride the signature aggregation (minhash_signatures emits
-    # n) — no second pass over the expanded shingle relation; served
-    # from the part-sorted attach relation so the na/nb SMJs below are
-    # also exchange- and sort-free on the corpus side
-    sizes = attach.select("doc_id", "n")
     # intersection count as an equi-join on BOTH (doc, gram) keys —
     # joining on doc alone and post-filtering grams would fan out to
     # |A|×|B| rows per candidate pair before filtering. merge (SMJ)

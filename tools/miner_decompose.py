@@ -1,7 +1,7 @@
 """Decompose the banded-MinHash miner's wall at a twin scale: which of
-the shared stages (shingle build, signature agg, band join, est
-attach, exact verification) owns the x50 cost now that the est-attach
-diet landed (SCALE.md §14)?
+the shared stages (shingle build, signature agg, band join with
+inline est filter, exact verification) owns the twin-scale cost now
+that the est filter runs inside the bucket join (SCALE.md §15)?
 
 Stages are forced cumulatively from the persisted upstreams, so each
 wall is the incremental cost of that stage alone.
@@ -45,25 +45,32 @@ def main() -> None:
         print(f"{label}: {time.time()-t0:.1f}s rows={n}", flush=True)
         return df
 
+    # mirrors minhash_verified_pairs: char_shingles emits gids at the
+    # source (shingles_of), and the cache is part-sorted on (doc_id, g)
+    # so BOTH verification attaches below reuse the layout (r8)
     shingles = (
         char_shingles(spark, sf_dir)
-        .select("doc_id", F.xxhash64("g").alias("g"))
-        .sortWithinPartitions("doc_id")
+        .sortWithinPartitions("doc_id", "g")
         .persist()
     )
     step("A shingles build+persist", shingles)
     sig = minhash_signatures(shingles).persist()
     step("B signature agg", sig)
-    attach = (
-        sig.select("doc_id", _packed_sig().alias("sigp"), "n")
+    sizes = (
+        sig.select("doc_id", "n")
         .repartition("doc_id")
         .sortWithinPartitions("doc_id")
         .persist()
     )
-    step("C attach relation", attach)
-    bands = drop_hot_buckets(signature_bands(sig)).persist()
-    step("D bands + hot-bucket cap", bands)
-    cand = (
+    step("C sizes relation", sizes)
+    bands = drop_hot_buckets(
+        signature_bands(sig.withColumn("sigp", _packed_sig()), carry=("sigp",))
+    ).persist()
+    step("D bands(+sigp) + hot-bucket cap", bands)
+    # r8 shape: est estimated + filtered INSIDE the bucket join output
+    # stage, before any exchange (the candidate background never
+    # shuffles); distinct only on the survivors
+    sig_est = (
         bands.alias("x")
         .hint("merge")
         .join(
@@ -72,31 +79,19 @@ def main() -> None:
             & (F.col("x.band_hash") == F.col("y.band_hash"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.round(
+                _sig_agreement_packed("x.sigp", "y.sigp").cast("double") / _MH_K,
+                4,
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.45)
         .distinct()
         .persist()
     )
-    step("E band self-join + distinct", cand)
-    sig_est = (
-        cand.join(
-            attach.select(F.col("doc_id").alias("doc_a"), F.col("sigp").alias("sig_a"))
-            .hint("merge"),
-            "doc_a",
-        )
-        .join(
-            attach.select(F.col("doc_id").alias("doc_b"), F.col("sigp").alias("sig_b"))
-            .hint("merge"),
-            "doc_b",
-        )
-        .withColumn(
-            "est_jaccard",
-            F.round(_sig_agreement_packed().cast("double") / _MH_K, 4),
-        )
-        .drop("sig_a", "sig_b")
-        .filter(F.col("est_jaccard") >= 0.45)
-        .persist()
-    )
-    step("F est attach + filter", sig_est)
+    step("E band join + inline est filter + distinct", sig_est)
     pair_grams = (
         sig_est.join(
             shingles.select(F.col("doc_id").alias("doc_a"), "g").hint("merge"),
