@@ -75,6 +75,13 @@ def main() -> None:
         )
         .localCheckpoint(eager=True)
     )
+    # Release the truth side's caches before the corpus-wide mine: at
+    # x250 the miner's own persisted relations + SMJ sort buffers fill
+    # the execution pool, and the probe's extra ~4 GB shingle cache
+    # tipped it into UNABLE_TO_ACQUIRE_MEMORY (truth is checkpointed,
+    # so nothing below recomputes it).
+    sh.unpersist()
+    spark.catalog.clearCache()
 
     found = minhash_verified_pairs(
         shingles_of(docs.select("doc_id", "text"))
