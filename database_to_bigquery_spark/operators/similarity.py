@@ -2066,6 +2066,11 @@ def whiten_corpus(e: DataFrame) -> DataFrame:
 # pathological one; SCALE.md §15 records the measurements.
 WHITEN_COND_THRESHOLD = 100.0
 
+# Eigenvalues below this fraction of λ_max are treated as degenerate
+# (rank deficiency / float cancellation), both for the condition-number
+# gate and for the whitening map — see `whiten_if_anisotropic`.
+_EIG_REL_FLOOR = 1e-8
+
 
 def whiten_if_anisotropic(
     e: DataFrame, cond_threshold: float = WHITEN_COND_THRESHOLD
@@ -2083,10 +2088,27 @@ def whiten_if_anisotropic(
 
     cov, mu = corpus_covariance(e)
     evals, evecs = np.linalg.eigh(cov)
-    cond = float(evals[-1] / max(evals[0], 1e-12))
+    # Relative eigenvalue floor (advisor r8): a rank-deficient
+    # covariance — zero-padded or constant embedding dims, or a
+    # slightly NEGATIVE smallest eigenvalue from G − μμᵀ float
+    # cancellation — would clamp to an absolute 1e-12, making cond
+    # astronomical (forcing whitening on benign geometry) and then
+    # scaling those zero-variance directions by ~1e6 so pure float
+    # noise competes with real signal downstream. Flooring at
+    # eps·λ_max instead treats directions carrying < 1e-8 of the top
+    # eigenvalue as degenerate: they neither trip the gate nor get
+    # inflated past 1e4× by the map.
+    lam_floor = _EIG_REL_FLOOR * max(float(evals[-1]), 0.0)
+    live = evals[evals > lam_floor]
+    # the gate reads the spread of the LIVE spectrum only — a constant
+    # dim must not make benign geometry look anisotropic (a degenerate
+    # direction carries no data to rescale: its centered coordinate is
+    # ~0, so the decision about it is moot)
+    cond = float(live[-1] / live[0]) if len(live) else 1.0
     if cond <= cond_threshold:
         return e, cond, False
-    Wm = (evecs / np.sqrt(np.maximum(evals, 1e-12))).T
+    lam = np.maximum(evals, max(lam_floor, 1e-300))
+    Wm = (evecs / np.sqrt(lam)).T
     return _apply_whitener(e, Wm, mu), cond, True
 
 

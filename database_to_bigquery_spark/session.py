@@ -102,7 +102,18 @@ def get_spark(
         # free and only the small candidate stream shuffles. The skew
         # hazard the default guards against (few distinct subset keys)
         # does not apply to high-cardinality entity keys, and AQE skew
-        # handling stays on for the rest.
+        # handling stays on for the rest. Scope note (advisor r8): the
+        # knob is session-global, so it can also let OTHER joins reuse
+        # subset-key partitionings — audited under the new default by
+        # regenerating the full 288-query PLANS.md census (0 cartesian
+        # products, broadcast/SMJ mix unchanged except the intended
+        # miner attaches) and the 288/288 oracle gate + plan-quality
+        # pytest suite; the only relations the engine persists
+        # pre-partitioned on a key subset are the miner/probe caches
+        # (doc_id, vec_id — highest-cardinality keys), while the
+        # low-cardinality keys the advisor flags (band buckets, labels,
+        # IVF cells) are never persisted partitioned, so no join can
+        # inherit a collapsed layout from them.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # Arrow batches for every pandas_udf / applyInPandas crossing.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

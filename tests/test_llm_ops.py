@@ -751,6 +751,33 @@ def test_whitening_gate_decides_per_geometry(spark):
     assert purity(knn_join_ivf_core(gated)) >= 0.9
 
 
+def test_whitening_gate_ignores_degenerate_dimensions(spark):
+    """Rank-deficient covariance must NOT trip the whitening gate
+    (advisor r8): zero-variance (constant / zero-padded) embedding
+    dims give λ_min ≈ 0 — with an absolute clamp the condition number
+    went astronomical and the map then inflated pure float noise in
+    those directions by ~1e6 to unit variance. The relative eigenvalue
+    floor treats them as degenerate: benign isotropic data with a
+    constant dim appended stays un-whitened."""
+    import numpy as np
+
+    from database_to_bigquery_spark.operators.similarity import (
+        whiten_if_anisotropic,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 2000, 16
+    x = rng.standard_normal((n, d))
+    x[:, -1] = 0.0  # zero-padded dimension → exactly rank-deficient cov
+    x[:, -2] = 3.0  # constant dimension (centering zeroes its variance)
+    df = spark.createDataFrame(
+        [(int(i), x[i].tolist()) for i in range(n)], "vec_id long, v array<double>"
+    )
+    gated, cond, applied = whiten_if_anisotropic(df)
+    assert not applied, (cond, applied)
+    assert gated is df
+
+
 def test_knn_join_lsh_recall_vs_exact(spark, sf_dir):
     """The sub-quadratic kNN join must recover ≥0.7 of the exact kNN
     join's (vec, neighbor) edges across ALL vectors (not just the 10

@@ -135,11 +135,14 @@ def gen_documents(n: int, vocab, lang_dist, rng: np.random.Generator):
             "n_chars": n_chars,
         }
     )
+    # explicit string type: with zero duplication events (tiny n) an
+    # empty Python list would infer a null-typed 'kind' column and
+    # break readers that groupBy('kind') (advisor r8)
     pairs_tbl = pa.table(
         {
             "a": np.array(pair_a, dtype=np.int64),
             "b": np.array(pair_b, dtype=np.int64),
-            "kind": pair_kind,
+            "kind": pa.array(pair_kind, type=pa.string()),
         }
     )
     return docs_tbl, pairs_tbl

@@ -34,6 +34,52 @@ from database_to_bigquery_spark.session import get_spark  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def close_over_exact(rows: list[tuple[int, int, str]]) -> list[tuple[int, int, str]]:
+    """Close the recorded (a, b, kind) duplication events transitively
+    over the EXACT events (advisor r8): exact copies are J = 1 cliques,
+    so every member of a's exact-class stands in the same relation to
+    every member of b's — a near event (a, b) implies (a', b') with the
+    identical Jaccard for all a' ≡ a, b' ≡ b, and within-class pairs
+    are exact by construction. Chains of NEAR events remain out of
+    scope (their pairwise J is not derivable from the events; the JSON
+    states this). Driver-side DSU — the event list is ~5% of docs."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b, kind in rows:
+        if kind == "exact":
+            parent[find(a)] = find(b)
+    nodes = {x for a, b, _ in rows for x in (a, b)}
+    cls: dict[int, list[int]] = {}
+    for x in nodes:
+        cls.setdefault(find(x), []).append(x)
+    out: dict[tuple[int, int], str] = {}
+
+    def emit(x: int, y: int, kind: str) -> None:
+        if x == y:
+            return
+        key = (min(x, y), max(x, y))
+        # exact beats near when both derivations exist (J = 1 certain)
+        if out.get(key) != "exact":
+            out[key] = kind
+    for members in cls.values():
+        for i, x in enumerate(members):
+            for y in members[i + 1:]:
+                emit(x, y, "exact")
+    for a, b, kind in rows:
+        for x in cls[find(a)]:
+            for y in cls[find(b)]:
+                emit(x, y, kind)
+    return [(a, b, k) for (a, b), k in out.items()]
+
+
 def main() -> None:
     tier = sys.argv[1] if len(sys.argv) > 1 else "x250"
     d = tier if os.path.isdir(tier) else os.path.join(REPO, ".scale_twin", tier)
@@ -41,7 +87,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
-    pairs = spark.read.parquet(os.path.join(d, "true_pairs.parquet"))
+    raw_events = [
+        (r["a"], r["b"], r["kind"])
+        for r in spark.read.parquet(os.path.join(d, "true_pairs.parquet")).collect()
+    ]
+    closed = close_over_exact(raw_events)
+    pairs = spark.createDataFrame(closed, "a long, b long, kind string")
 
     # true J for the sidecar pairs only: shingle the involved docs
     # (semi-join), then one (doc, gram) equi-join per side
@@ -104,6 +155,13 @@ def main() -> None:
             {
                 "probe": "miner_recall_vs_ground_truth",
                 "tier": tier,
+                "truth_scope": (
+                    "recorded events closed transitively over exact-dup "
+                    "cliques (advisor r8); chains of near events not "
+                    "derivable from events remain unscored"
+                ),
+                "events_recorded": len(raw_events),
+                "pairs_after_exact_closure": len(closed),
                 "truth_pairs_j_ge_0.6": n_truth,
                 "found": n_hit,
                 "recall": round(n_hit / max(n_truth, 1), 6),

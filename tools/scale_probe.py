@@ -327,22 +327,30 @@ def main() -> None:
                     # finishing). Each run measures from a cold cache.
                     spark.catalog.clearCache()
                 cal_after = _calibration(spark)
+                # acceptance gates on BOTH brackets (advisor r8: a calm
+                # cal_before averaged with a stormy cal_after used to
+                # pass the mean test — exactly the mixed-phase case the
+                # bracket exists to catch); the residual division still
+                # uses the mean of the two calm sides
                 ratio = max(
                     (cal_before + cal_after) / 2 / _CAL_REFERENCE_SEC, 0.1
                 )
-                cand = (statistics.median(walls) / ratio, ratio, walls)
+                worst = (
+                    max(cal_before, cal_after) / _CAL_REFERENCE_SEC
+                )
+                cand = (statistics.median(walls) / ratio, worst, walls)
                 if best is None or cand[1] < best[1]:
                     best = cand
-                if ratio <= 1.25:
+                if worst <= 1.25:
                     break
-            wall, ratio, walls = best
-            flagged = "*" if ratio > 1.25 else ""
+            wall, worst, walls = best
+            flagged = "*" if worst > 1.25 else ""
             n = rows_in(sf, t)
             points.append((n, wall))
             cells.append(f"{n:,} / {wall:.2f}s{flagged}")
             print(
                 f"  {name} @ {os.path.basename(sf)}: raw "
-                f"{statistics.median(walls):.2f}s cal {ratio:.2f} "
+                f"{statistics.median(walls):.2f}s cal(worst) {worst:.2f} "
                 f"-> {wall:.2f}s{flagged}",
                 flush=True,
             )
