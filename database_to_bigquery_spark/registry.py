@@ -114,6 +114,23 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (survival/retention ← q_cohort_retention — retention curves ARE the
 # survival function of churn), llm_chunk_manifest (packing ←
 # text_pack_sequences).
+# r09 rotation (VERDICT r8 task 3): sim_knn_join_ivf_auto in (the new
+# corpus-blind production ANN headline — rows-only, riding beside the
+# oracle-bearing sim_topk_ivfpq/sim_knn_join_exact family mates) plus
+# four first-timer oracles: q_merge_upsert (CDC/merge ←
+# q_merge_with_delete, r08-green), q_lateral_topn (X9 ←
+# q_topk_per_group, r08-green), q_k_anonymity_audit (governance ←
+# q_l_diversity_audit, r08-green), q_from_xml (X11 first-timer; the
+# oracle-bearing VARIANT rep q_variant_json stays). Out — all
+# r08-attested: stream_knn_probe_ivf + sim_knn_join_ivf_whitened
+# (their r08 attestation was the point; X16/X13 stay covered by
+# stream_stateful_user_totals / sim_topk_ivfpq) and the three swaps
+# above. Only five seats could open: every other resident is the sole
+# in-window attestor of some §2 family (gated by
+# tests/test_registry_order.py), so the remaining verdict candidates
+# (q_compaction_binpack, q_basket_affinity_lift, q_feature_woe_iv,
+# q_median_quantiles, mm_audio_frames, q_deterministic_shuffle,
+# q_zorder_layout) defer to r10.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # S-family (reference ETL surface)
     "s1_catalog_allowlist",      # S1
@@ -140,8 +157,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_chi_square_independence",
     "q_ivm_join_maintenance",
     "q_grouping_sets",
-    # CDC/merge family: delete-branch MERGE (r03 flagship)
-    "q_merge_with_delete",
+    # CDC/merge family: upsert MERGE rotates in (r09 first attestation;
+    # delete-branch form r08-green)
+    "q_merge_upsert",
     # X7 approx aggs + sketches; table-integrity family rotates
     # q_table_checksum → the bucketed Merkle diff (first attestation)
     "q_histogram_equi_depth",
@@ -150,25 +168,25 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # X8 windows (rotates to the two-pass scalable global rank — the
     # 100 TB answer to single-partition ORDER BY), X9 top-k
     "q_global_ranks_scalable",
-    "q_topk_per_group",
-    # governance: l-diversity joins the k-anonymity gate (r4 flagship)
-    "q_l_diversity_audit",
+    "q_lateral_topn",
+    # governance: k-anonymity rotates in (r09 first attestation;
+    # l-diversity r08-green)
+    "q_k_anonymity_audit",
     # X10 set ops, X11 scalar function library
     "q_set_ops",
     "text_paragraph_dedup",
     "q_variant_json",
+    "q_from_xml",
     # SCD2 family rotates to the apply-changes MERGE form (as-of
     # snapshot + time-travel diff both r5-attested)
     "q_scd2_apply_changes",
     # X12 dedup: the r7 quality-argmax cluster representative (oracle)
-    # and the incremental-CC flagship; the fenced streaming ANN probe
-    # (rows-only — trained-cell semantics need attestation)
+    # and the incremental-CC flagship
     "dedup_cluster_keep_best",
     "dedup_incremental_clusters",
-    "stream_knn_probe_ivf",
-    # X13 ANN: the r7 whitened IVF kNN join (rows-only, rides beside
-    # sim_topk_ivfpq/sim_knn_join_exact oracles); ts STL anomaly stays
-    "sim_knn_join_ivf_whitened",
+    # X13 ANN: the r9 corpus-blind gated composition (rows-only, rides
+    # beside sim_topk_ivfpq/sim_knn_join_exact oracles); ts STL anomaly
+    "sim_knn_join_ivf_auto",
     "ts_stl_anomaly",
     # ts gapfill first attestation; X14 rep stays
     # text_quality_threshold_sweep; X13+ numerics covariance

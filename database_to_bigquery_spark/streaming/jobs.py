@@ -875,7 +875,11 @@ def run_fuzzy_dedup_stream(
         batch_sh = shingles_of(batch_df)
         if admissions_dir is None:
             matches = cross_minhash_pairs(
-                batch_sh, corpus_sh, corpus_sig=corpus_sig, corpus_bands=corpus_bands
+                batch_sh,
+                corpus_sh,
+                corpus_sig=corpus_sig,
+                corpus_bands=corpus_bands,
+                prune_corpus_to_batch=True,
             )
         else:
             batch_sh = batch_sh.persist()  # probe + admission write reuse
@@ -888,6 +892,7 @@ def run_fuzzy_dedup_stream(
                 corpus_sig=corpus_sig,
                 batch_sig=batch_sig,
                 corpus_bands=corpus_bands,
+                prune_corpus_to_batch=True,
             )
             # base and delta cover disjoint admission-partition ranges
             # (and both are disjoint from the corpus), so probing each
@@ -905,6 +910,7 @@ def run_fuzzy_dedup_stream(
                         corpus_sig=t_sig,
                         batch_sig=batch_sig,
                         corpus_bands=t_bands,
+                        prune_corpus_to_batch=True,
                     )
                 )
             matches = matches.persist()  # probe write + admission anti-join

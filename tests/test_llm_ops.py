@@ -827,6 +827,53 @@ def test_knn_join_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.7, recall
 
 
+def test_knn_join_ivf2_recall_and_purity(spark, sf_dir):
+    """Two-level IVF join (the Θ(n^(4/3)) tier above the flat form's
+    Θ(n^1.5)): on CLUSTERED geometry — the only geometry any sublinear
+    ANN index is built for, and what trained embedding corpora look
+    like — it must match the flat IVF's same-label purity (measured
+    0.9999 vs 0.9998 at 3k vecs) while scoring s·√k of k cells during
+    descent. On the ISOTROPIC fixture (structureless worst case,
+    concentration of measure defeats every index) it scans ~nprobe/k
+    of the corpus, so its recall floor there is documentedly lower
+    than the flat form's 0.7 — the entry is fenced to the ≥10⁵-vector
+    clustered tier in SCALE.md §16."""
+    import numpy as np
+
+    from database_to_bigquery_spark.operators.similarity import (
+        knn_join_ivf2_core,
+        sim_knn_join_exact,
+        sim_knn_join_ivf2,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d, k = 3000, 32, 8
+    dirs = rng.standard_normal((k, d))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    labels = rng.integers(0, k, n)
+    sigma = np.sqrt((1.0 / 0.55 - 1.0) / d)
+    x = dirs[labels] + sigma * rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(int(i), x[i].tolist()) for i in range(n)], "vec_id long, v array<double>"
+    )
+    rows = knn_join_ivf2_core(df).collect()
+    purity = sum(
+        int(labels[r.vec_id] == labels[r.neighbor_id]) for r in rows
+    ) / len(rows)
+    assert purity >= 0.95, purity
+
+    truth = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in sim_knn_join_exact(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in sim_knn_join_ivf2(spark, sf_dir).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.4, recall  # isotropic worst case; see docstring
+
+
 def test_read_webdataset_parses_disk_shards(spark, tmp_path):
     """File-based WebDataset reader: real .tar shards on disk (written
     with the writer's build_tar), scanned via binaryFile + mapInPandas,

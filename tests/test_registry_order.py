@@ -27,7 +27,7 @@ FAMILY_REPRESENTATIVES = {
     "X6": ["q_rollup", "q_cube", "q_grouping_sets"],
     "X7": ["q_percentiles", "q_bitmap_distinct_rollup", "q_histogram_equi_depth"],
     "X8": ["q_window_rank", "q_window_range_frame", "q_global_ranks_scalable"],
-    "X9": ["q_topk_per_group", "q18_large_volume_customers"],
+    "X9": ["q_topk_per_group", "q18_large_volume_customers", "q_lateral_topn"],
     "X10": ["q_set_ops", "q_union_by_name_drift"],
     "X11": ["q_json_extract", "q_variant_json", "q_from_xml"],
     "X12": [
@@ -72,9 +72,11 @@ FAMILY_REPRESENTATIVES = {
         "q_gdpr_erasure_audit",
         "q_freshness_sla_audit",
         "q_l_diversity_audit",
+        # r09: k-anonymity carries governance while l-diversity rotates out
+        "q_k_anonymity_audit",
     ],
     "ops/backfill": ["q_backfill_plan"],
-    "CDC/merge": ["q_snapshot_diff_cdc", "q_merge_with_delete"],
+    "CDC/merge": ["q_snapshot_diff_cdc", "q_merge_with_delete", "q_merge_upsert"],
     # round-4 rotation partners (previously unattested flagships)
     "X13+ kNN join": ["sim_knn_join_exact"],
     "X15+ shard writer": ["mm_webdataset_write", "q_webdataset_shard_plan"],

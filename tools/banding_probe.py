@@ -1,0 +1,214 @@
+"""Measure the (bands, rows) LSH sharpness frontier for the MinHash
+miner (judge r8 task 1): for each banding scheme, at a given twin
+tier, report
+
+  - band-collision mass (bucket-join output rows BEFORE the est
+    filter — the term that made the (16, 4) default transitional-
+    superlinear at x250: e 1.15, ~7.7B est-fold ops),
+  - miner wall (calibration-gated like scale_probe: a point is kept
+    only when the pinned CPU workload brackets it at <= 1.25x idle on
+    BOTH sides, retrying through slow VM phases),
+  - ground-truth recall of true-J >= 0.6 pairs via the generator's
+    true_pairs.parquet sidecar (closed over exact-dup cliques).
+
+One band collides at J^rows, so `rows` is the background-suppression
+exponent (twin background J ~ 0.09 mean / 0.152 p99 — adversarial;
+real web < 0.01) and `bands` buys back recall at the threshold:
+P(caught) = 1 - (1 - J^rows)^bands. The signature costs bands*rows
+min-hashes; collision mass falls GEOMETRICALLY in rows.
+
+Usage: python tools/banding_probe.py [tier] [--configs 16x4 20x5 24x5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import _CAL_REFERENCE_SEC, _calibration  # noqa: E402
+from database_to_bigquery_spark.operators.dedup import (  # noqa: E402
+    _as_gids,
+    drop_hot_buckets,
+    minhash_signatures,
+    minhash_verified_pairs,
+    shingles_of,
+    signature_bands,
+)
+from database_to_bigquery_spark.session import get_spark  # noqa: E402
+from tools.miner_recall_probe import close_over_exact  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed_calm(spark, thunk, reps: int = 3, attempts: int = 5):
+    """Median-of-reps wall accepted only inside a calm calibration
+    bracket (<= 1.25x idle on BOTH sides); residual ratio divided
+    away. Returns (normalized_wall, flagged)."""
+    best = None
+    for attempt in range(attempts):
+        cal_b = _calibration(spark)
+        if cal_b / _CAL_REFERENCE_SEC > 1.25 and attempt < attempts - 1:
+            time.sleep(25)
+            continue
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            thunk()
+            walls.append(time.time() - t0)
+            spark.catalog.clearCache()
+        cal_a = _calibration(spark)
+        ratio = max((cal_b + cal_a) / 2 / _CAL_REFERENCE_SEC, 0.1)
+        worst = max(cal_b, cal_a) / _CAL_REFERENCE_SEC
+        cand = (statistics.median(walls) / ratio, worst)
+        if best is None or cand[1] < best[1]:
+            best = cand
+        if worst <= 1.25:
+            break
+    return best[0], best[1] > 1.25
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("tier", nargs="?", default="x50")
+    ap.add_argument(
+        "--configs", nargs="+", default=["16x4", "20x5", "24x5", "16x6", "12x6"]
+    )
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    configs = [tuple(map(int, c.split("x"))) for c in args.configs]
+
+    d = (
+        args.tier
+        if os.path.isdir(args.tier)
+        else os.path.join(REPO, ".scale_twin", args.tier)
+    )
+    spark = get_spark("banding-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    n_docs = docs.count()
+
+    # ---- ground truth (config-independent): true-J >= 0.6 sidecar
+    # pairs, exact-closure applied, J computed over the involved docs
+    raw_events = [
+        (r["a"], r["b"], r["kind"])
+        for r in spark.read.parquet(os.path.join(d, "true_pairs.parquet")).collect()
+    ]
+    pairs = spark.createDataFrame(
+        close_over_exact(raw_events), "a long, b long, kind string"
+    )
+    involved = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh_t = shingles_of(
+        docs.join(involved, "doc_id", "left_semi").select("doc_id", "text")
+    ).persist()
+    sizes = sh_t.groupBy("doc_id").count().withColumnRenamed("count", "n")
+    inter = (
+        pairs.join(sh_t.select(F.col("doc_id").alias("a"), "g"), "a")
+        .join(sh_t.select(F.col("doc_id").alias("b"), F.col("g").alias("g")), ["b", "g"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn("j", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("j") >= 0.6)
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            "j",
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.count()
+    # truth-J histogram: where the mass sits decides how sharp the
+    # banding can go before the recall floor binds
+    j_hist = {
+        f"{r['lo']:.2f}": r["c"]
+        for r in truth.groupBy(
+            (F.floor(F.col("j") * 20) / 20).alias("lo")
+        ).agg(F.count("*").alias("c")).orderBy("lo").collect()
+    }
+    sh_t.unpersist()
+    spark.catalog.clearCache()
+
+    out = {
+        "probe": "banding_sharpness",
+        "tier": args.tier,
+        "docs": n_docs,
+        "truth_pairs": n_truth,
+        "truth_j_histogram": j_hist,
+        "configs": [],
+    }
+    print(json.dumps({k: v for k, v in out.items() if k != "configs"}))
+
+    sh_raw = shingles_of(docs.select("doc_id", "text"))
+    for bands, rows in configs:
+        k = bands * rows
+        # collision mass: bucket self-join output count before the est
+        # filter (built from scratch so each config is self-contained)
+        sh = _as_gids(sh_raw).persist()
+        sig = minhash_signatures(sh, k).persist()
+        br = drop_hot_buckets(signature_bands(sig, bands=bands, rows=rows))
+        collisions = (
+            br.alias("x")
+            .hint("merge")
+            .join(
+                br.alias("y"),
+                (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .count()
+        )
+        sh.unpersist()
+        sig.unpersist()
+        spark.catalog.clearCache()
+
+        wall, flagged = timed_calm(
+            spark,
+            lambda b=bands, r=rows: force(
+                minhash_verified_pairs(sh_raw, bands=b, rows=r)
+            ),
+            reps=args.reps,
+        )
+
+        found = minhash_verified_pairs(sh_raw, bands=bands, rows=rows).select(
+            "doc_a", "doc_b"
+        )
+        n_hit = truth.join(found, ["doc_a", "doc_b"], "left_semi").count()
+        spark.catalog.clearCache()
+        row = {
+            "bands": bands,
+            "rows": rows,
+            "k": k,
+            "collisions": collisions,
+            "wall_sec": round(wall, 2),
+            "wall_flagged": flagged,
+            "recall": round(n_hit / max(n_truth, 1), 6),
+            "found_of_truth": n_hit,
+        }
+        out["configs"].append(row)
+        print(json.dumps(row), flush=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -109,7 +109,7 @@ def main() -> None:
             i_sig = minhash_signatures(i_sh).persist()
             inc_vs_corpus = cross_minhash_pairs(
                 i_sh, c_sh, corpus_sig=c_sig, batch_sig=i_sig,
-                corpus_bands=c_bands,
+                corpus_bands=c_bands, prune_corpus_to_batch=True,
             )
             inc_internal = cross_minhash_pairs(
                 i_sh, i_sh, corpus_sig=i_sig, batch_sig=i_sig
