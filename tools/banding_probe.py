@@ -25,15 +25,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from bench import _CAL_REFERENCE_SEC, _calibration  # noqa: E402
+from tools.calm import timed_calm  # noqa: E402
 from database_to_bigquery_spark.operators.dedup import (  # noqa: E402
     _as_gids,
     drop_hot_buckets,
@@ -50,33 +48,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
-
-
-def timed_calm(spark, thunk, reps: int = 3, attempts: int = 5):
-    """Median-of-reps wall accepted only inside a calm calibration
-    bracket (<= 1.25x idle on BOTH sides); residual ratio divided
-    away. Returns (normalized_wall, flagged)."""
-    best = None
-    for attempt in range(attempts):
-        cal_b = _calibration(spark)
-        if cal_b / _CAL_REFERENCE_SEC > 1.25 and attempt < attempts - 1:
-            time.sleep(25)
-            continue
-        walls = []
-        for _ in range(reps):
-            t0 = time.time()
-            thunk()
-            walls.append(time.time() - t0)
-            spark.catalog.clearCache()
-        cal_a = _calibration(spark)
-        ratio = max((cal_b + cal_a) / 2 / _CAL_REFERENCE_SEC, 0.1)
-        worst = max(cal_b, cal_a) / _CAL_REFERENCE_SEC
-        cand = (statistics.median(walls) / ratio, worst)
-        if best is None or cand[1] < best[1]:
-            best = cand
-        if worst <= 1.25:
-            break
-    return best[0], best[1] > 1.25
 
 
 def main() -> None:
@@ -158,7 +129,17 @@ def main() -> None:
     }
     print(json.dumps({k: v for k, v in out.items() if k != "configs"}))
 
-    sh_raw = shingles_of(docs.select("doc_id", "text"))
+    # match the real callers' precondition (char_shingles): documents
+    # spread by doc_id BEFORE the 60× shingle expansion, so the miner's
+    # part-sorted cache layout lets the verification SMJs elide the
+    # corpus-side exchange+sort — without this the probe re-measures
+    # the pre-r8 triple-shuffle shape (first attempt: 183 s vs the
+    # ladder's 22 s at x50)
+    sh_raw = shingles_of(
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+            "doc_id", "text"
+        )
+    )
     for bands, rows in configs:
         k = bands * rows
         # collision mass: bucket self-join output count before the est

@@ -76,6 +76,10 @@ def main() -> None:
             .select("doc_id", "text")
             .orderBy("doc_id")
             .limit(args.batch_rows)
+            # limit collapses to one partition; spread the batch before
+            # its 60× shingle expansion (constant-factor fairness — the
+            # exponent is unaffected)
+            .repartition(32, "doc_id")
         )
         n_corpus = corpus_docs.count()
 

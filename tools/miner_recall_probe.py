@@ -134,8 +134,15 @@ def main() -> None:
     sh.unpersist()
     spark.catalog.clearCache()
 
+    # spread by doc_id before the 60× shingle expansion (the
+    # char_shingles rule) — also gives the miner the hash(doc_id)
+    # cache layout its exchange-free verification attaches rely on
     found = minhash_verified_pairs(
-        shingles_of(docs.select("doc_id", "text"))
+        shingles_of(
+            docs.repartition(
+                spark.sparkContext.defaultParallelism, "doc_id"
+            ).select("doc_id", "text")
+        )
     ).select("doc_a", "doc_b")
 
     n_truth = truth.count()

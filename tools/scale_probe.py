@@ -98,6 +98,9 @@ TWIN_PROBES = {
     "sim_power_iteration",
     "sim_knn_join_ivf_whitened",
     "dedup_cluster_keep_best",
+    # round-9: the two-level IVF join (the Theta(n^(4/3)) tier above the
+    # flat form's n^1.5) measured on the same embeddings ladder
+    "sim_knn_join_ivf2",
 }
 
 # scale-critical representatives: scans/joins/aggs (lineitem-bound),
@@ -167,6 +170,8 @@ DEFAULT_PROBES = [
     "sim_power_iteration",
     "sim_knn_join_ivf_whitened",
     "dedup_cluster_keep_best",
+    # round-9: two-level IVF beside the flat form
+    "sim_knn_join_ivf2",
 ]
 
 # the table whose row count drives each probe's input size
@@ -217,6 +222,7 @@ DRIVER_TABLE = {
     "sim_power_iteration": "embeddings",
     "sim_knn_join_ivf_whitened": "embeddings",
     "dedup_cluster_keep_best": "documents",
+    "sim_knn_join_ivf2": "embeddings",
 }
 
 

@@ -25,6 +25,9 @@ from database_to_bigquery_spark.session import get_spark  # noqa: E402
 # (sim_knn_join_lsh, first-exec-JIT-dominated at ~26 s) was FIXED
 # instead — per-bucket numpy top-k scoring took its sf0.1 run to ~4 s
 # and its probe exponent from 1.37 to sublinear.
+# Slowest-N single-shot rows re-measured under the calm gate.
+_CALIBRATE_TOP = 12
+
 JUSTIFIED: dict[str, str] = {
     "dedup_incremental_clusters": (
         "includes the one-time standing-state backfill (corpus miner + "
@@ -93,21 +96,56 @@ def main() -> int:
         spark.catalog.clearCache()  # drop persists so queries don't share state
 
     rows.sort(reverse=True)
+
+    # Calm-gated re-measurement of the slowest rows (judge r8 task 6):
+    # the single-shot pass above carries ±40% VM noise plus first-exec
+    # JIT attribution, exactly where the census's flag threshold needs
+    # numbers it can trust. The top rows are re-timed with the shared
+    # bracket-and-retry helper (median of 3 inside a ≤1.25× calm
+    # calibration window on both sides, residual ratio divided away).
+    from tools.calm import timed_calm
+
+    calibrated: dict[str, tuple[float, bool]] = {}
+    for t, name, err in rows[:_CALIBRATE_TOP]:
+        if err:
+            continue
+        wall, flagged = timed_calm(
+            spark,
+            lambda s=specs[name]: s.fn(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        calibrated[name] = (wall, flagged)
+        print(f"  calibrated {name}: single-shot {t:.2f}s -> {wall:.2f}s")
+    rows = [
+        (calibrated.get(name, (t,))[0], name, err) for t, name, err in rows
+    ]
+    rows.sort(reverse=True)
+
     total = sum(t for t, _, _ in rows)
     with open(out_md, "w") as f:
         f.write(
-            "# TIMINGS — single-shot wall time per query "
+            "# TIMINGS — wall time per query "
             f"(generated by tools/time_census.py)\n\n"
-            f"Input: `{sf_dir}`; {len(rows)} queries, total {total:.1f} s "
-            "(one run each, noop write, shared warm session; expect ±40% "
-            "VM noise — bench.py's medians are the stable numbers for the "
-            "headline set).\n\n| query | sec | note |\n|---|---|---|\n"
+            f"Input: `{sf_dir}`; {len(rows)} queries, total {total:.1f} s. "
+            "Long tail: one run each, noop write, shared warm session "
+            "(±40% VM noise — the flag threshold is a smoke alarm, not a "
+            f"benchmark). The {len(calibrated)} slowest rows are "
+            "CALM-GATED (marked ✓cal): median of 3 runs accepted only "
+            "inside a ≤1.25× pinned-CPU calibration bracket on both "
+            "sides, residual ratio divided away (tools/calm.py — the "
+            "SCALE.md §15 protocol; * = no calm window found).\n\n"
+            "| query | sec | cal | note |\n|---|---|---|---|\n"
         )
         for t, name, err in rows:
             note = err or JUSTIFIED.get(
                 name, "slow — justify or fix" if t > 10 else ""
             )
-            f.write(f"| {name} | {t:.2f} | {note} |\n")
+            cal = ""
+            if name in calibrated:
+                cal = "✓cal" + ("*" if calibrated[name][1] else "")
+            f.write(f"| {name} | {t:.2f} | {cal} | {note} |\n")
     print(f"wrote {out_md}: {len(rows)} queries, total {total:.1f}s")
     errs = [r for r in rows if r[2]]
     if errs:
