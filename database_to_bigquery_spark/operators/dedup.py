@@ -301,8 +301,20 @@ def blocked_jaccard_pairs(
 # with 31-bit a,b and h reduced mod p, a·h+b < 2^62 never overflows
 # a long under ANSI mode).
 _MH_PRIME = (1 << 31) - 1
-_MH_K = 64  # default signature length
-_MH_BANDS = 16  # 16 bands × 4 rows → catches jaccard ≳ 0.5 w.h.p.
+# Default banding scheme: 16 bands × 5 rows (k = 80), flipped from
+# 16 × 4 in r9 on the measured (bands, rows) frontier
+# (tools/banding_probe.py, SCALE.md §16). One band collides at J^rows,
+# so rows=5 suppresses the adversarial twin background (J ≈ 0.09 mean
+# / 0.152 p99) ~11× per band vs rows=4 while 16 bands keep ground-truth
+# recall ≥ 0.99 at every measured tier (0.9963 at 1.25M docs, truth
+# sidecar closed over exact cliques). Measured head-to-head, same calm
+# gate: x50 19.67 s vs 19.19 s (parity — the extra 16 hashes cost what
+# the collision cut saves), x250 121.9 s vs 173.1 s (0.70×, collisions
+# 97.0M → 38.2M) — the superlinear term of the r8 ladder was exactly
+# this collision mass. (20,5)/(24,5) lose the trade (k ≥ 100 signature
+# cost dominates); (16,6)/(12,6) fail the 0.99 recall bar (0.9877).
+_MH_K = 80  # default signature length (= _MH_BANDS × 5 rows)
+_MH_BANDS = 16
 # Permutations are generated once up to the largest signature any
 # banding scheme uses; a k-length signature is always the PREFIX of
 # the max-k one, so signatures of different lengths built from the
@@ -476,10 +488,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline (all DataFrame ops, no UDF):
       1. shingle → 32-bit hash (F.hash) per (doc, gram)
-      2. k=64 minhash values via one groupBy(doc): min((a_i·h+b_i) mod p)
+      2. k=80 minhash values via one groupBy(doc): min((a_i·h+b_i) mod p)
          computed as an array expression — one shuffle over shingles
-      3. split signature into 16 bands of 4; explode → (band_idx,
-         band_hash) buckets; docs sharing a bucket are candidates
+      3. split signature into 16 bands of 5 (the measured r9 default —
+         see the _MH_K note); explode → (band_idx, band_hash) buckets;
+         docs sharing a bucket are candidates
       4. exact Jaccard verification on candidates only (via signature
          agreement estimate AND true shingle intersection)
 
@@ -517,6 +530,16 @@ def _check_sig_encoding(sig: DataFrame, sh: DataFrame, arg: str) -> None:
         _validated_sigs.add(sig)
         return
     doc_id, expect = row[0]["doc_id"], list(row[0]["sig"])
+    if len(expect) != _MH_K:
+        # fixed permutations are prefix-consistent, so a stale shorter
+        # sig would PASS a prefix compare and then band wrongly (the
+        # band explode slices _MH_K/_MH_BANDS rows per band) — length
+        # mismatch must fail as loudly as encoding mismatch
+        raise ValueError(
+            f"{arg}: precomputed signature length {len(expect)} != the "
+            f"engine's current k={_MH_K} — re-materialize with "
+            "minhash_signatures() under the current banding scheme"
+        )
     got = (
         minhash_signatures(
             sh.filter(F.col("doc_id") == F.lit(doc_id)), k=len(expect)
@@ -1617,7 +1640,7 @@ def cross_minhash_pairs(
         .drop("sig_a", "sig_b")
         # same 2.5σ signature pre-filter as the full miner: drop the
         # shared-vocabulary background before the exact (doc, gram) join
-        .filter(F.col("est_jaccard") >= 0.45)
+        .filter(F.col("est_jaccard") >= _est_threshold(_MH_K))
     )
     sizes_b = sig_b.select("doc_id", "n")
     sizes_c = sig_c.select("doc_id", "n")
