@@ -48,6 +48,8 @@ X250_PROBES = {
     "dedup_cluster_keep_best",
     "llm_corpus_prepare_lsh",
     "sim_knn_join_ivf_whitened",
+    # round-9: the two-level IVF join measured at the 500k-vec tier
+    "sim_knn_join_ivf2",
 }
 TWIN_PROBES = {
     "dedup_minhash_lsh",
