@@ -913,6 +913,23 @@ def run_fuzzy_dedup_stream(
                         prune_corpus_to_batch=True,
                     )
                 )
+            # Batch-INTERNAL pairs (round 9): a near-dup whose source
+            # arrives in the SAME micro-batch matches neither the
+            # corpus nor any admission tier — ground-truth recall
+            # measurement (tools/stream_recall_probe.py) caught the
+            # stream admitting both members of ~2.5% of dup pairs at
+            # 2000-doc batches (recall 0.973, every miss an intra-batch
+            # pair; the stream==batch equivalence test could not see
+            # it because the batch twin is DEFINED as batch-vs-corpus).
+            # Probe the batch against itself and flag only the LATER
+            # doc of each pair, so the earlier one is still admitted
+            # and later batches dedup against it. O(batch²) bounded by
+            # the micro-batch size, not the corpus.
+            matches = matches.unionByName(
+                cross_minhash_pairs(
+                    batch_sh, batch_sh, corpus_sig=batch_sig, batch_sig=batch_sig
+                ).filter(F.col("batch_id") > F.col("corpus_id"))
+            )
             matches = matches.persist()  # probe write + admission anti-join
         (
             # micro_batch_id, NOT batch_id: the probe's own batch_id
