@@ -33,13 +33,14 @@ JUSTIFIED: dict[str, str] = {
         "includes the one-time standing-state backfill (corpus miner + "
         "CC) the query must build to demo the incremental step; the "
         "incremental step itself is the O(new-edges) label-graph remap "
-        "(twin exponent 0.61 with the backfill included)"
+        "(twin exponent 0.51 with the backfill included; the isolated "
+        "per-batch step measures e 0.148 — incremental_steady_probe)"
     ),
     "dedup_cluster_keep_best": (
-        "first-exec-JIT dominated: alphabetically FIRST of the cluster family, so it now pays the banded miner's first execution (signature codegen + Python worker start) that dedup_clusters_lsh used to absorb; warm 3-run median is 8.2 s = the miner (bench 4.6 s) + contracted CC + one quality window over clustered docs only — all machinery with measured twin exponents (SCALING.md; third-decade x250 fit 0.89 for this query after the r8 inline-est restructure)"
+        "first-exec-JIT dominated: alphabetically FIRST of the cluster family, so it now pays the banded miner's first execution (signature codegen + Python worker start) that dedup_clusters_lsh used to absorb; warm 3-run median is 8.2 s = the miner (bench 4.6 s) + contracted CC + one quality window over clustered docs only — all machinery with measured twin exponents (SCALING.md; third-decade x250 fit 1.00 under r9's 16x5 banding, walls calm-gated)"
     ),
     "dedup_clusters_lsh": (
-        "runs after dedup_cluster_keep_best has absorbed the miner's first-exec JIT; bench.py's 3-run median is 6.7 s and the contracted CC adds ~1 s warm over the miner; twin exponent 1.08 on the third-decade x250 fit (transitional band-collision growth, analyzed + recall-bounded in SCALE.md §15)"
+        "runs after dedup_cluster_keep_best has absorbed the miner's first-exec JIT; bench.py's 3-run median is 6.7 s and the contracted CC adds ~1 s warm over the miner; twin exponent 1.02 on the third-decade x250 fit under r9's 16x5 banding (transitional band-collision growth, analyzed + recall-bounded in SCALE.md §15-16)"
     ),
     "text_bigram_kn_score": (
         "Θ(tokens) is inherent for an LM scorer and the r7 kn_probe "
