@@ -68,6 +68,28 @@ def test_gid_boundary_is_encoding_invariant(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_stale_signature_length_fails_loudly(spark, sf_dir):
+    """A persisted signature relation built under a DIFFERENT banding
+    scheme (e.g. the pre-r9 k=64 default) must be rejected, not
+    silently mis-banded: the fixed permutations are prefix-consistent,
+    so a shorter sig would PASS an encoding compare while the band
+    explode slices k/bands rows per band from the wrong positions."""
+    import pytest
+
+    from database_to_bigquery_spark.operators.dedup import (
+        _MH_K,
+        cross_minhash_pairs,
+        minhash_signatures,
+        shingles_of,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(50).repartition(4, "doc_id")
+    sh = shingles_of(d)
+    stale = minhash_signatures(sh, k=64 if _MH_K != 64 else 32)
+    with pytest.raises(ValueError, match="signature length"):
+        cross_minhash_pairs(sh, sh, corpus_sig=stale, batch_sig=stale).count()
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     truth = {
         (r["query_id"], r["neighbor_id"])
