@@ -114,104 +114,85 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (survival/retention ← q_cohort_retention — retention curves ARE the
 # survival function of churn), llm_chunk_manifest (packing ←
 # text_pack_sequences).
-# r09 rotation (VERDICT r8 task 3): sim_knn_join_ivf_auto in (the new
-# corpus-blind production ANN headline — rows-only, riding beside the
-# oracle-bearing sim_topk_ivfpq/sim_knn_join_exact family mates) plus
-# four first-timer oracles: q_merge_upsert (CDC/merge ←
-# q_merge_with_delete, r08-green), q_lateral_topn (X9 ←
-# q_topk_per_group, r08-green), q_k_anonymity_audit (governance ←
-# q_l_diversity_audit, r08-green), q_from_xml (X11 first-timer; the
-# oracle-bearing VARIANT rep q_variant_json stays). Out — all
-# r08-attested: stream_knn_probe_ivf + sim_knn_join_ivf_whitened
-# (their r08 attestation was the point; X16/X13 stay covered by
-# stream_stateful_user_totals / sim_topk_ivfpq) and the three swaps
-# above. Only five seats could open: every other resident is the sole
-# in-window attestor of some §2 family (gated by
-# tests/test_registry_order.py), so the remaining verdict candidates
-# (q_compaction_binpack, q_basket_affinity_lift, q_feature_woe_iv,
-# q_median_quantiles, mm_audio_frames, q_deterministic_shuffle,
-# q_zorder_layout) defer to r10.
+# r10 rotation (VERDICT r9 task 3): the per-round attestation
+# bandwidth problem was STRUCTURAL — the family-coverage gate pinned
+# 45/50 seats because coverage was defined as "a family rep sits in
+# the current window". tests/test_registry_order.py now defines
+# coverage as ROLLING: a family counts covered if any representative
+# was attested green within the last ATTESTATION_WINDOW rounds
+# (derived from the committed CORRECTNESS_r*.json history), falling
+# back to the in-window-oracle-rep rule only for families whose
+# attestations have expired. Every family was attested green in r09
+# (the driver samples exactly the 50-entry window), so ALL 50 seats
+# open this round: the window below is 49 never-attested
+# oracle-bearing first-timers + sim_knn_join_ivf2 (rows-only — the
+# r9-built n^(4/3) ANN tier the verdict asked to rotate in),
+# including the seven r9-deferred candidates (q_zorder_layout of
+# that list turned out r02-r04-attested already). Families whose
+# r09 attestation nears expiry must rotate back in by r13 — the
+# test's expiry helper names them each round.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # S-family (reference ETL surface)
-    "s1_catalog_allowlist",      # S1
-    "s2_full_scan",              # S2
-    "s3_incremental_day_slice",  # S3
-    "s4_datetime_format",        # S4
-    "s5_s6_rename_drop",         # S5/S6
-    "s7_bool_cast",              # S7
-    "s9_empty_extract",          # S9
-    "s10_schema_enforce",        # S10
-    "s14_audit_counts",          # S14
-    # X1 projection/filter, X2 equi-joins
-    "q1_pricing_summary",
-    "sim_topk_ivfpq",
-    "q_full_outer_nations",
-    # X3 semi/anti, X4 theta/range/as-of; semantic-dedup tier keeps a
-    # rep via sim_semantic_decontamination (dedup_semdedup r02-green)
-    "q_semi_join",
-    "sim_semantic_decontamination",
-    "sim_knn_join_exact",
-    "q_asof_join",
-    # statistics family rep rotates corr_matrix/ks_test → chi-square
-    # independence (r08 first attestation); IVM flagship; X6 grouping
-    "q_chi_square_independence",
-    "q_ivm_join_maintenance",
-    "q_grouping_sets",
-    # CDC/merge family: upsert MERGE rotates in (r09 first attestation;
-    # delete-branch form r08-green)
-    "q_merge_upsert",
-    # X7 approx aggs + sketches; table-integrity family rotates
-    # q_table_checksum → the bucketed Merkle diff (first attestation)
-    "q_histogram_equi_depth",
-    "q_merkle_bucket_diff",
-    "text_bigram_kn_score",
-    # X8 windows (rotates to the two-pass scalable global rank — the
-    # 100 TB answer to single-partition ORDER BY), X9 top-k
-    "q_global_ranks_scalable",
-    "q_lateral_topn",
-    # governance: k-anonymity rotates in (r09 first attestation;
-    # l-diversity r08-green)
-    "q_k_anonymity_audit",
-    # X10 set ops, X11 scalar function library
-    "q_set_ops",
-    "text_paragraph_dedup",
-    "q_variant_json",
-    "q_from_xml",
-    # SCD2 family rotates to the apply-changes MERGE form (as-of
-    # snapshot + time-travel diff both r5-attested)
-    "q_scd2_apply_changes",
-    # X12 dedup: the r7 quality-argmax cluster representative (oracle)
-    # and the incremental-CC flagship
-    "dedup_cluster_keep_best",
-    "dedup_incremental_clusters",
-    # X13 ANN: the r9 corpus-blind gated composition (rows-only, rides
-    # beside sim_topk_ivfpq/sim_knn_join_exact oracles); ts STL anomaly
-    "sim_knn_join_ivf_auto",
-    "ts_stl_anomaly",
-    # ts gapfill first attestation; X14 rep stays
-    # text_quality_threshold_sweep; X13+ numerics covariance
-    "ts_gapfill_hourly",
-    "q_funnel_time_windowed",
-    "text_quality_threshold_sweep",
-    "sim_covariance_matrix",
-    # behavioral cohort retention + stratified sampling (first
-    # attestations; retention curve = survival function of churn)
-    "q_cohort_retention",
-    "q_stratified_sample",
-    # training-prep curriculum; X16 streaming rep (stateful totals)
-    "llm_curriculum_order",
-    "stream_stateful_user_totals",
-    "q_backfill_plan",
-    # X17 UDF surface
-    "udf_pandas_scalar",
-    "q_recursive_month_spine",
-    # X15 multimodal reps (webdataset writer + perceptual hash);
-    # training-prep packing rotates chunk_manifest → pack_sequences
-    "mm_webdataset_write",
-    "mm_phash_neardup",
-    "text_pack_sequences",
-    # governance DP rotates counts → clipped-contribution sum
-    "q_dp_noisy_sum",
+    # verdict-named deferrals from r9 (first attestations)
+    "q_compaction_binpack",
+    "q_basket_affinity_lift",
+    "q_feature_woe_iv",
+    "q_median_quantiles",
+    "mm_audio_frames",
+    "q_deterministic_shuffle",
+    # the two-level IVF join (rows-only beside r09-green family
+    # oracles sim_topk_ivfpq / sim_knn_join_exact)
+    "sim_knn_join_ivf2",
+    # TPC-H stock forms never driver-attested (X1-X10 composites)
+    "q2_min_acctbal_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_lateness",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_cnt",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    # relational surface first-timers
+    "q_window_range_frame",   # X8 frame semantics
+    "q_bitmap_distinct_rollup",  # X7 bitmap sketch
+    "q_union_by_name_drift",  # X10 schema-drift union
+    "q_pivot",
+    "q_unpivot",
+    "q_map_functions",        # X11 map surface
+    "q_null_semantics",
+    "q_try_arithmetic",
+    "q_fuzzy_levenshtein",
+    "q_approx_topk",          # X7 heavy hitters
+    "q_theta_sketch_setops",  # X7 theta sketch
+    "q_weighted_median",
+    "q_stats_moments",        # statistics moments
+    "q_benford_test",
+    "q_skyline_pareto",
+    # dedup / graph first-timers
+    "dedup_keep_best",
+    "dedup_containment",
+    "graph_item_jaccard",
+    # text-analysis first-timers (X14)
+    "text_lang_id",
+    "text_token_count",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_bm25_scores",
+    # multimodal caption join (X15)
+    "mm_caption_pairs",
+    # similarity first-timers (X13)
+    "sim_topk_ivf",
+    "sim_hybrid_rrf",
+    "sim_mmr_rerank",
+    # timeseries first-timers
+    "ts_point_in_time_join",
+    "ts_ewma",
+    # streaming + UDTF first-timers (X16/X17)
+    "stream_sliding_windows",
+    "udtf_word_chunks",
 )
 
 
