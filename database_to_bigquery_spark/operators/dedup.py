@@ -383,8 +383,28 @@ def signature_bands(
     bucket join can estimate Jaccard inline without a later per-
     candidate attach join — the r8 miner restructure). ``bands`` ×
     ``rows`` must fit inside the signature length (the scheme reads
-    the first bands·rows positions)."""
-    return sig.select(
+    the first bands·rows positions) — enforced at runtime below:
+    F.slice past the array end would silently yield truncated/empty
+    band arrays that md5 happily hashes into WRONG buckets (advisor
+    r9), the same silent-zero failure class _check_sig_encoding
+    guards against."""
+    need = bands * rows
+    guarded = F.when(
+        F.size("sig") < F.lit(need),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"signature_bands: banding scheme {bands}x{rows} reads "
+                    f"{need} signature positions but the signature has only "
+                ),
+                F.size("sig").cast("string"),
+                F.lit(" — re-materialize with minhash_signatures(k>="),
+                F.lit(str(need)),
+                F.lit(")"),
+            )
+        ),
+    ).otherwise(F.col("sig"))
+    return sig.withColumn("sig", guarded).select(
         "doc_id",
         *carry,
         F.posexplode(
@@ -581,6 +601,7 @@ def minhash_verified_pairs(
     raw_shingles: DataFrame,
     bands: int = _MH_BANDS,
     rows: int = _MH_K // _MH_BANDS,
+    cap: int = _LSH_BUCKET_CAP,
 ) -> DataFrame:
     """The banded-MinHash mine-and-verify core over a (doc_id, g)
     shingle relation — shared by the corpus-wide miner
@@ -593,7 +614,10 @@ def minhash_verified_pairs(
     the recall budget at the threshold (P(any band) =
     1 − (1 − J^rows)^bands). The signature length is bands·rows
     (prefix of the fixed permutation set, so different schemes remain
-    comparable on shared prefixes).
+    comparable on shared prefixes). ``cap`` is the hot-bucket
+    population ceiling (see _LSH_BUCKET_CAP) — parameterized so the
+    sharpness probe can price cap rungs the same way it prices
+    banding schemes (judge r9 task 1).
 
     PRECONDITION: `raw_shingles` must be (doc_id, g)-DISTINCT. The
     exact-Jaccard verification takes set sizes n from the signature
@@ -676,7 +700,8 @@ def minhash_verified_pairs(
             carry=("sigp",),
             bands=bands,
             rows=rows,
-        )
+        ),
+        cap=cap,
     )
     # merge (SMJ) hint: the bucket self-join's inputs are CORPUS-
     # derived (docs × 16 band rows) — Catalyst's post-explode size
@@ -1529,6 +1554,7 @@ def cross_minhash_pairs(
     batch_sig: DataFrame | None = None,
     corpus_bands: DataFrame | None = None,
     prune_corpus_to_batch: bool = False,
+    cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Asymmetric banded-MinHash near-dup probe between two (doc_id, g)
     shingle relations: bucket join batch bands against corpus bands,
@@ -1561,14 +1587,25 @@ def cross_minhash_pairs(
     — so the per-batch SMJs merge only the matched buckets/docs instead
     of streaming the whole standing cache through the merge, and
     everything downstream of each filter touches O(batch-matched) rows.
-    The candidate relation is lazily localCheckpoint'ed so its two
-    consumers (the doc-id key broadcast and the verification chain)
-    compute it once. Turn this ON when the batch side is small relative
+    The candidate relation is persisted so its two consumers (the
+    doc-id key broadcast and the verification chain) compute it once.
+    Turn this ON when the batch side is small relative
     to the corpus (streaming micro-batches, incremental maintenance
     steps); leave OFF for corpus×corpus backfills, where "batch keys"
     are corpus-sized and must never broadcast. Semi filters preserve
     the cached layout's partitioning and ordering, so the standing side
     stays exchange- and sort-free either way.
+
+    ``cleanup``: when given, any relation this call PERSISTS (the
+    pruned path's compute-once candidate relation) is appended so the
+    caller can release it once the probe's outputs are materialized —
+    the streaming job passes a per-micro-batch list (advisor r9: the
+    previous lazy localCheckpoint here was reclaimed only by driver
+    GC in a long-running job, and its lineage truncation made the
+    probe non-recomputable on executor loss; persist + explicit
+    unpersist restores both). Without ``cleanup`` the persist still
+    resolves the plan diamond and stays recomputable/evictable — a
+    one-shot query context may omit it.
     Returns (batch_id, corpus_id, est_jaccard, jaccard ≥ 0.6)."""
     # canonical gid encoding on both sides (no-op for shingles_of
     # output — see _as_gids); PRECOMPUTED sigs are sample-verified
@@ -1616,13 +1653,16 @@ def cross_minhash_pairs(
         .distinct()
     )
     if prune_corpus_to_batch:
-        # lazy checkpoint: the candidate relation feeds BOTH the
-        # corpus-doc-id key broadcast below and the verification
-        # chain; without it the diamond recomputes the bucket join
-        # per consumer. Lazy (not eager) keeps the function free of
-        # composition-time side effects — the RDD materializes once
-        # at first action and is persisted for the second consumer.
-        cand = cand.localCheckpoint(eager=False)
+        # persist: the candidate relation feeds BOTH the corpus-doc-id
+        # key broadcast below and the verification chain; without it
+        # the diamond recomputes the bucket join per consumer. Lazy
+        # persist (not an eager checkpoint) keeps the function free of
+        # composition-time side effects; unlike localCheckpoint it
+        # keeps lineage (recomputable on executor loss) and releases
+        # deterministically via the caller's cleanup list (advisor r9).
+        cand = cand.persist()
+        if cleanup is not None:
+            cleanup.append(cand)
         matched_ids = cand.select(F.col("corpus_id").alias("doc_id")).distinct()
         sig_c = sig_c.join(F.broadcast(matched_ids), "doc_id", "left_semi")
         corpus_sh = corpus_sh.join(F.broadcast(matched_ids), "doc_id", "left_semi")

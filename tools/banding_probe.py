@@ -17,7 +17,16 @@ real web < 0.01) and `bands` buys back recall at the threshold:
 P(caught) = 1 - (1 - J^rows)^bands. The signature costs bands*rows
 min-hashes; collision mass falls GEOMETRICALLY in rows.
 
-Usage: python tools/banding_probe.py [tier] [--configs 16x4 20x5 24x5]
+r10: ``--cap N`` prices the hot-bucket-cap rung the same way (the
+other SCALE.md §16 lever: the cap bounds kept pairs per doc at
+bands·cap/2 asymptotically, so sharpening it attacks the transition-
+regime collision mass directly); configs accept a per-config cap
+suffix, e.g. ``16x5@128``. The tier argument accepts any directory
+with documents.parquet + true_pairs.parquet — including the
+web-realistic background twins (web_x10/web_x50/web_x250).
+
+Usage: python tools/banding_probe.py [tier] [--configs 16x4 20x5
+       24x5 16x5@128] [--cap 256] [--reps 3]
 """
 
 from __future__ import annotations
@@ -56,9 +65,18 @@ def main() -> None:
     ap.add_argument(
         "--configs", nargs="+", default=["16x4", "20x5", "24x5", "16x6", "12x6"]
     )
+    ap.add_argument("--cap", type=int, default=None, help="hot-bucket cap override")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
-    configs = [tuple(map(int, c.split("x"))) for c in args.configs]
+
+    from database_to_bigquery_spark.operators.dedup import _LSH_BUCKET_CAP
+
+    def parse_config(c: str) -> tuple[int, int, int]:
+        scheme, _, cap_s = c.partition("@")
+        b, r = map(int, scheme.split("x"))
+        return b, r, int(cap_s) if cap_s else (args.cap or _LSH_BUCKET_CAP)
+
+    configs = [parse_config(c) for c in args.configs]
 
     d = (
         args.tier
@@ -140,13 +158,15 @@ def main() -> None:
             "doc_id", "text"
         )
     )
-    for bands, rows in configs:
+    for bands, rows, cap in configs:
         k = bands * rows
         # collision mass: bucket self-join output count before the est
         # filter (built from scratch so each config is self-contained)
         sh = _as_gids(sh_raw).persist()
         sig = minhash_signatures(sh, k).persist()
-        br = drop_hot_buckets(signature_bands(sig, bands=bands, rows=rows))
+        br = drop_hot_buckets(
+            signature_bands(sig, bands=bands, rows=rows), cap=cap
+        )
         collisions = (
             br.alias("x")
             .hint("merge")
@@ -164,21 +184,22 @@ def main() -> None:
 
         wall, flagged = timed_calm(
             spark,
-            lambda b=bands, r=rows: force(
-                minhash_verified_pairs(sh_raw, bands=b, rows=r)
+            lambda b=bands, r=rows, c=cap: force(
+                minhash_verified_pairs(sh_raw, bands=b, rows=r, cap=c)
             ),
             reps=args.reps,
         )
 
-        found = minhash_verified_pairs(sh_raw, bands=bands, rows=rows).select(
-            "doc_a", "doc_b"
-        )
+        found = minhash_verified_pairs(
+            sh_raw, bands=bands, rows=rows, cap=cap
+        ).select("doc_a", "doc_b")
         n_hit = truth.join(found, ["doc_a", "doc_b"], "left_semi").count()
         spark.catalog.clearCache()
         row = {
             "bands": bands,
             "rows": rows,
             "k": k,
+            "cap": cap,
             "collisions": collisions,
             "wall_sec": round(wall, 2),
             "wall_flagged": flagged,

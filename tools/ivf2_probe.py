@@ -2,9 +2,13 @@
 same-label neighbor purity (the recall proxy the twin's labeled
 clustered geometry supports) plus calm-gated walls for both forms, so
 the Θ(n^(4/3)) claim gets an exponent AND a recall number at the same
-points the flat form's e 1.26 was measured.
+points the flat form's e 1.26 was measured. r10 adds the `auto` form
+(`knn_join_ivf_auto_core` — the production entry) so the tier-select
+claim is measured on the entry a deployment actually calls, not just
+the cores (judge r9 task 2).
 
 Usage: python tools/ivf2_probe.py [x50 x250 ...]   (default x50 x250)
+       [--forms flat ivf2 auto]
 """
 
 from __future__ import annotations
@@ -20,6 +24,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from database_to_bigquery_spark.operators.similarity import (  # noqa: E402
     _as_double,
     knn_join_ivf2_core,
+    knn_join_ivf_auto_core,
     knn_join_ivf_core,
 )
 from database_to_bigquery_spark.session import get_spark  # noqa: E402
@@ -27,13 +32,24 @@ from tools.calm import timed_calm  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+FORMS = {
+    "flat": knn_join_ivf_core,
+    "ivf2": knn_join_ivf2_core,
+    "auto": knn_join_ivf_auto_core,
+}
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
-    scales = sys.argv[1:] or ["x50", "x250"]
+    argv = sys.argv[1:]
+    forms = ["flat", "ivf2"]
+    if "--forms" in argv:
+        i = argv.index("--forms")
+        forms, argv = argv[i + 1 :], argv[:i]
+    scales = argv or ["x50", "x250"]
     spark = get_spark("ivf2-probe")
     spark.sparkContext.setLogLevel("ERROR")
     for scale in scales:
@@ -62,7 +78,7 @@ def main() -> None:
             )
 
         out = {"probe": "ivf2_vs_flat", "tier": scale, "vecs": n}
-        for name, core in (("flat", knn_join_ivf_core), ("ivf2", knn_join_ivf2_core)):
+        for name, core in ((f, FORMS[f]) for f in forms):
             out[f"{name}_purity"] = round(purity(core(vecs)), 4)
             wall, flagged = timed_calm(spark, lambda c=core: force(c(vecs)))
             out[f"{name}_wall_sec"] = round(wall, 2)
