@@ -50,6 +50,9 @@ X250_PROBES = {
     "sim_knn_join_ivf_whitened",
     # round-9: the two-level IVF join measured at the 500k-vec tier
     "sim_knn_join_ivf2",
+    # round-10: the production auto entry — above its 200k-vec tier
+    # boundary it must ride the ivf2 wall (judge r9 task 2)
+    "sim_knn_join_ivf_auto",
 }
 TWIN_PROBES = {
     "dedup_minhash_lsh",
@@ -103,6 +106,8 @@ TWIN_PROBES = {
     # round-9: the two-level IVF join (the Theta(n^(4/3)) tier above the
     # flat form's n^1.5) measured on the same embeddings ladder
     "sim_knn_join_ivf2",
+    # round-10: the tier-selecting production entry on the same ladder
+    "sim_knn_join_ivf_auto",
 }
 
 # scale-critical representatives: scans/joins/aggs (lineitem-bound),
@@ -174,6 +179,8 @@ DEFAULT_PROBES = [
     "dedup_cluster_keep_best",
     # round-9: two-level IVF beside the flat form
     "sim_knn_join_ivf2",
+    # round-10: the tier-selecting production auto entry
+    "sim_knn_join_ivf_auto",
 ]
 
 # the table whose row count drives each probe's input size
@@ -225,6 +232,7 @@ DRIVER_TABLE = {
     "sim_knn_join_ivf_whitened": "embeddings",
     "dedup_cluster_keep_best": "documents",
     "sim_knn_join_ivf2": "embeddings",
+    "sim_knn_join_ivf_auto": "embeddings",
 }
 
 
