@@ -487,7 +487,19 @@ def _sig_agreement_packed(a: str = "sig_a", b: str = "sig_b") -> F.Column:
 # (2671/2672), while the x50 miner wall drops ~8 min → seconds. The
 # sf0.01 oracle fixtures' hottest bucket is 72, so the cap NEVER
 # binds where exactness is asserted.
-_LSH_BUCKET_CAP = 256
+#
+# 128 (was 256, r10): the cap is the transition-regime lever SCALE.md
+# §16 named against the miner's residual x250 superlinearity, and the
+# banding probe priced the flip at both tiers (SCALE.md §17):
+# x50 collision mass 4.66M → 3.04M at recall 0.99629 → 0.99621; x250
+# 38.2M → 22.9M at recall 0.99626 → 0.99604, calm wall 121.9 → 97.6 s
+# — the miner-core x50→x250 exponent bends ≈1.07 → 0.94 (cap-128's
+# own calm pair 21.4 → 97.6 s; the default's pair crosses sessions:
+# r9's calm 121.9 vs this round's x50 21.9). The capped
+# buckets are background pileups (a bucket needs >128 docs sharing a
+# band hash), not true-pair homes: a true near-dup pair still has 16
+# independent quieter bands to collide on.
+_LSH_BUCKET_CAP = 128
 
 
 def drop_hot_buckets(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
