@@ -109,18 +109,66 @@ def shingles_of(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.explode(grams).alias("g"))
 
 
+def spread_partitions(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition-before-expensive-transform, with the partition
+    count sized from the SOURCE's bytes instead of pinned to
+    ``defaultParallelism``: ``max(defaultParallelism,
+    sourceBytes / (maxPartitionBytes / 2))``, capped at 16384.
+
+    Why sizing matters (measured, r10): the shingle expansion behind
+    MinHash is ~60× the document bytes, and everything downstream of
+    the spread — the explode, the (doc_id, g) cache sort, the
+    signature aggregation — stays INSIDE the spread's partitioning
+    (that layout is what lets the verification SMJs skip the corpus
+    exchange+sort). A fixed 32-way spread therefore fixes the sort
+    size per partition at corpusBytes·60/32, and on the 1.25M-doc
+    web-background twin (298 MB source) that crossed the execution-
+    memory budget: 10.7 GB memory-spill + 4.2 GB disk-spill in the
+    shingle-cache stage and a 332 s wall, an artifact that read as a
+    superlinear miner exponent (SCALE.md §17). The same corpus spread
+    128 ways runs the identical plan with ZERO spill at 184 s; 256
+    ways adds nothing (195 s). Halving ``maxPartitionBytes`` as the
+    per-partition source budget keeps the expanded sort ~120 MB/task
+    at the 60× expansion. At fixture scale the floor binds (n =
+    defaultParallelism) so small-corpus plans are byte-identical to
+    the old fixed spread. Catalyst's size estimate costs no job, and
+    AQE cannot do this re-sizing itself: an explicit
+    ``repartition(n, cols)`` is a user-pinned exchange that adaptive
+    coalescing must respect (measured: initialPartitionNum=512
+    changed nothing).
+
+    On a 1000-executor cluster the same arithmetic holds with the
+    cluster's ``maxPartitionBytes`` (128-256 MB): a 10 TB document
+    scan spreads ~80k-ways capped to 16384, each task sorting a few
+    GB of gids — the knob degrades to "one spread task per input
+    split", which is exactly Spark's own scan sizing."""
+    spark = df.sparkSession
+    floor = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # stats unavailable (e.g. foreign plan): keep floor
+        size = 0
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    s = raw.strip().lower().removesuffix("b")
+    mpb = int(s[:-1]) * mult[s[-1]] if s[-1] in mult else int(s)
+    n = min(max(floor, size // max(mpb // 2, 1)), 16384)
+    return df.repartition(n, *cols)
+
+
 def char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`shingles_of` over the fixture documents table.
 
     The repartition is deliberate: the raw documents are KB-to-MB of
     text but shingling expands them ~60× and is CPU-bound, so we pay a
     tiny shuffle of the compressed input to spread the expansion over
-    every core — repartition-before-expensive-transform. (A single
-    parquet file otherwise yields ONE input split and the whole
-    explode runs on one thread.)"""
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    every core — repartition-before-expensive-transform, with the
+    partition count sized from the corpus (`spread_partitions`). (A
+    single parquet file otherwise yields ONE input split and the
+    whole explode runs on one thread.)"""
+    d = spread_partitions(load_table(spark, sf_dir, "documents"), "doc_id")
     return shingles_of(d)
 
 

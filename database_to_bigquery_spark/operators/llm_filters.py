@@ -303,10 +303,12 @@ def text_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition-before-expensive-transform (the char_shingles note):
     # the raw corpus is a couple of sub-split parquet files, but span
     # explosion expands it ~wordcount× and is CPU-bound — spread it
-    # over every core before the interpreted HOF work runs.
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # over every core before the interpreted HOF work runs, sized
+    # from the corpus bytes (spread_partitions: a fixed 32-way spread
+    # spills the expanded sort at the 1.25M-doc tier).
+    from .dedup import spread_partitions
+
+    d = spread_partitions(load_table(spark, sf_dir, "documents"), "doc_id")
     ws = F.split(F.col("text"), " ")
     # spans are ~60-byte strings; the frequency shuffle and the join
     # back only need equality, so ship 8-byte xxhash64 keys instead
@@ -476,13 +478,14 @@ def llm_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.col("text").substr(i, F.lit(5)),
         )
     )
-    sh = kept_q.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+    from .dedup import blocked_jaccard_pairs, spread_partitions
+
+    sh = spread_partitions(kept_q, "doc_id").select(
         "doc_id", F.explode(grams).alias("g")
     )
     # blocked-matmul exact Jaccard (the dedup_ngram_jaccard machinery —
     # the (doc, gram) equi-join it replaces is quadratic in disguise on
     # this dense corpus); ratio re-derived from integer counts in SQL
-    from .dedup import blocked_jaccard_pairs
 
     pairs = blocked_jaccard_pairs(spark, sh, 0.6)
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
@@ -905,11 +908,9 @@ def llm_corpus_prepare_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # same 5-char shingles as the exact funnel, over the survivors
     # (shingles_of — gid-encoded at the source like every MinHash path)
-    from .dedup import shingles_of
+    from .dedup import shingles_of, spread_partitions
 
-    sh = shingles_of(
-        kept_q.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    sh = shingles_of(spread_partitions(kept_q, "doc_id"))
     pairs = minhash_verified_pairs(sh)  # doc_a < doc_b, jaccard >= 0.6
     dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     final = slim.filter(F.col("q") >= 0.6).join(dups, "doc_id", "left_anti")

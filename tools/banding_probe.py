@@ -48,6 +48,7 @@ from database_to_bigquery_spark.operators.dedup import (  # noqa: E402
     minhash_verified_pairs,
     shingles_of,
     signature_bands,
+    spread_partitions,
 )
 from database_to_bigquery_spark.session import get_spark  # noqa: E402
 from tools.miner_recall_probe import close_over_exact  # noqa: E402
@@ -154,9 +155,7 @@ def main() -> None:
     # the pre-r8 triple-shuffle shape (first attempt: 183 s vs the
     # ladder's 22 s at x50)
     sh_raw = shingles_of(
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
-            "doc_id", "text"
-        )
+        spread_partitions(docs.select("doc_id", "text"), "doc_id")
     )
     for bands, rows, cap in configs:
         k = bands * rows
