@@ -407,14 +407,20 @@ def minhash_signatures(shingles: DataFrame, k: int = _MH_K) -> DataFrame:
     sh = shingles.withColumn(
         "h", (F.hash("g").cast("long").bitwiseAND(F.lit((1 << 32) - 1))) % _MH_PRIME
     )
-    perms = F.array(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_PRIME)
-            for a, b in zip(_MH_A[:k], _MH_B[:k])
-        ]
+    # One F.expr over a generated SQL string instead of k composed
+    # Column objects (r10): building 80 min((a·h+b)%p) aggregates via
+    # the Column API costs ~1.7 s of py4j round trips PER CALL (the
+    # single largest driver-side cost of every miner-family query at
+    # bench scale — tools/stage_profile.py gap analysis), while the
+    # JVM parses the equivalent string in milliseconds. The parsed
+    # tree is semantically identical: integer literals promote against
+    # the long `h` exactly as F.lit(int) did.
+    perm_sql = ", ".join(
+        f"min(({a} * h + {b}) % {_MH_PRIME})"
+        for a, b in zip(_MH_A[:k], _MH_B[:k])
     )
     return sh.groupBy("doc_id").agg(
-        perms.alias("sig"), F.count("*").alias("n")
+        F.expr(f"array({perm_sql})").alias("sig"), F.count("*").alias("n")
     )
 
 
@@ -456,21 +462,16 @@ def signature_bands(
             )
         ).cast("boolean")
     )
+    # generated-SQL band array for the same py4j-cost reason as the
+    # minhash_signatures permutation array (r10)
+    band_sql = ", ".join(
+        f"md5(cast(array_join(slice(sig, {i * rows + 1}, {rows}), '-') as binary))"
+        for i in range(bands)
+    )
     return sig.filter(guard).select(
         "doc_id",
         *carry,
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.array_join(
-                            F.slice(F.col("sig"), i * rows + 1, rows), "-"
-                        ).cast("binary")
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.expr(f"array({band_sql})")).alias("band_idx", "band_hash"),
     )
 
 
@@ -494,20 +495,34 @@ def _packed_sig(k: int = _MH_K) -> F.Column:
     zip_with iteration count of the agreement fold. Values are 31-bit
     so hi<<31 | lo stays < 2^62 — positive, ANSI-safe."""
     assert k % 2 == 0, "packing pairs signature positions"
-    return F.array(
-        *[
-            F.shiftleft(F.element_at("sig", 2 * i + 1), 31).bitwiseOR(
-                F.element_at("sig", 2 * i + 2)
-            )
-            for i in range(k // 2)
-        ]
+    # generated-SQL form for the same py4j-cost reason as the
+    # minhash_signatures permutation array (r10)
+    pack_sql = ", ".join(
+        f"shiftleft(element_at(sig, {2 * i + 1}), 31) | element_at(sig, {2 * i + 2})"
+        for i in range(k // 2)
+    )
+    return F.expr(f"array({pack_sql})")
+
+
+def _sig_agreement_packed_sql(a: str, b: str) -> str:
+    """SQL-string twin of `_sig_agreement_packed` for callers that
+    assemble a whole generated expression in one F.expr (the bucket-
+    grouped pair generator) — keep the two formulas in sync."""
+    lo = _SIG_LO_MASK
+    return (
+        f"aggregate(zip_with({a}, {b}, (u, v) -> "
+        f"(case when shiftright(u, 31) = shiftright(v, 31) then 1 else 0 end) + "
+        f"(case when (u & {lo}) = (v & {lo}) then 1 else 0 end)), "
+        f"0, (acc, x) -> acc + x)"
     )
 
 
-def _sig_agreement_packed(a: str = "sig_a", b: str = "sig_b") -> F.Column:
+def _sig_agreement_packed(a="sig_a", b="sig_b") -> F.Column:
     """Position-agreement count over two PACKED signatures — exactly
     `_sig_agreement` on the unpacked arrays (hi and lo halves compared
-    independently), at half the elements per row."""
+    independently), at half the elements per row. ``a``/``b`` may be
+    column names or Column expressions (the bucket-grouped pair
+    generator passes lambda-bound struct fields)."""
     lo = F.lit(_SIG_LO_MASK)
     return F.aggregate(
         F.zip_with(
@@ -691,7 +706,28 @@ def minhash_verified_pairs(
     `char_shingles` emits distinct grams per doc, and the funnel
     explodes `array_distinct` — a new caller must too (minhash itself
     is multiset-insensitive, so a defensive .distinct() here would be
-    a pure extra corpus shuffle for every compliant caller)."""
+    a pure extra corpus shuffle for every compliant caller).
+
+    Candidate generation is BUCKET-GROUPED (r10): the capped band
+    relation is aggregated per (band_idx, band_hash) into a member
+    array and the i<j pairs + signature-agreement estimate are emitted
+    by array expressions inside that one stage — replacing the former
+    band self-join. Measured motivation (plans/r10, stage profile at
+    sf0.1): AQE compiled the self-join's two band_rel sides as
+    separate query stages and submitted them CONCURRENTLY, so exchange
+    reuse never fired and the entire shingle→signature→band subtree
+    (the miner's most expensive compute) ran twice, racing to build
+    the caches ("Asked to cache already cached data"); the self-join
+    also paid two band exchanges + two SMJ sorts. The grouped form
+    computes that subtree once, shuffles the band relation once, and
+    needs no sort beyond the hot-bucket window's own. Memory is
+    bounded by the cap: members ≤ cap × (packed sig + 2 longs) ≈ 43 KB
+    per bucket, and the est filter runs INSIDE the per-bucket
+    expression so only surviving pairs materialize. The per-doc
+    shingle-set size ``n`` rides the band rows too, which deletes the
+    two corpus-sized size-attach SMJs (and the sizes cache + its
+    repartition) that previously sat above the verification join —
+    na/nb are carried with each candidate instead."""
     # One shingle pass, persisted: the (doc, gram) relation feeds the
     # signature agg AND three verification consumers (sizes + both
     # sides of the intersection join); without the persist each
@@ -718,89 +754,88 @@ def minhash_verified_pairs(
     shingles = (
         _as_gids(raw_shingles).sortWithinPartitions("doc_id", "g").persist()
     )
-    # cache: the signature table is tiny (n_docs × 64 longs) but its
-    # lineage re-shingles the whole corpus; it feeds three consumers
-    # (band explode + the packed attach relation below), so without a
-    # persist Spark recomputes the full shingle scan per consumer. At
-    # cluster scale this is the standard "materialize signatures"
-    # stage of every LSH pipeline (MEMORY_AND_DISK spills if huge).
-    sig = minhash_signatures(shingles, k).persist()
-    # Size relation for the exact-Jaccard denominators, persisted
-    # hash-partitioned + sorted on doc_id so the na/nb SMJs at the
-    # bottom probe it exchange- and sort-free through alias-preserving
-    # projects.
-    sizes = (
-        sig.select("doc_id", "n")
-        .repartition("doc_id")
-        .sortWithinPartitions("doc_id")
-        .persist()
-    )
-    # 3: bands → buckets, with the PACKED signature riding each band
-    # row. band_hash = md5 of the 4 joined values. Hot buckets dropped
-    # first: the self-join's Σ n_b² cost is what turns bucket skew into
-    # a quadratic blowup (see _LSH_BUCKET_CAP).
+    # No sig persist (r10): after the bucket-grouped restructure the
+    # signature relation has exactly ONE consumer (the band explode —
+    # sigp and n both ride the band rows), so a cache would only add
+    # build bookkeeping; its lineage re-reads the shingle CACHE, not
+    # the corpus.
+    sig = minhash_signatures(shingles, k)
+    # bands → buckets, with the PACKED signature and the doc's
+    # distinct-shingle count n riding each band row. band_hash = md5
+    # of the rows-joined values. Hot buckets dropped first: pair
+    # generation is Σ n_b² per bucket, so the cap both bounds the
+    # quadratic term (see _LSH_BUCKET_CAP) and bounds the member-array
+    # memory of the grouped aggregation below.
     #
-    # Why the signature rides the band explode (r8): the previous
-    # shape — skinny band join → distinct pairs → per-candidate sig
-    # attach joins — was measured SUPERLINEAR on the third twin decade
-    # (x250 ladder): band-collision background grows ~n^1.3 through
-    # the hot-bucket cap's long transition regime (13.4M candidates at
-    # 250k docs → 111.3M at 1.25M docs, 99.94% of them est-filter
-    # background), and the attach stage shuffled that candidate
-    # relation three times (distinct + two SMJ attaches: 6.7 s →
-    # 97.2 s, the whole regression — tools/miner_decompose.py). Bands
-    # derive FROM the signature relation, so carrying the 32-long
-    # packed sig costs NO extra join — the est_jaccard estimate and
-    # its ≥ 0.45 filter now run PIPELINED inside the bucket join's
-    # output stage, before any exchange: the 111M-row background dies
-    # in place, and only the ~0.06% survivors reach distinct +
+    # Why the signature rides the band explode (r8): bands derive FROM
+    # the signature relation, so carrying the 32-long packed sig costs
+    # NO extra join — the est_jaccard estimate and its ≥ 0.45 filter
+    # run inside the pair-generation stage, before any exchange: the
+    # band-collision background (99.9%+ of candidates at the twins)
+    # dies in place, and only the survivors reach dedup +
+    # verification. Carrying n (r10) likewise deletes the two
+    # corpus-sized size-attach SMJs that previously followed
     # verification. The traded cost is payload width on the one band
-    # shuffle (the hot-bucket window's, which the join reuses) —
-    # linear in docs, spillable, and shared with the probe-layout
-    # streaming path's economics.
+    # shuffle — linear in docs, spillable.
     band_rel = drop_hot_buckets(
         signature_bands(
             sig.withColumn("sigp", _packed_sig(k)),
-            carry=("sigp",),
+            carry=("sigp", "n"),
             bands=bands,
             rows=rows,
         ),
         cap=cap,
     )
-    # merge (SMJ) hint: the bucket self-join's inputs are CORPUS-
-    # derived (docs × 16 band rows) — Catalyst's post-explode size
-    # estimate undershoots badly enough that at 250k docs it tries to
-    # BROADCAST a ~240 MB band relation (driver OOM). Sort-merge, not
-    # shuffle_hash: SHJ's per-partition hash build cannot spill and
-    # dies at 250k docs with 32 concurrent tasks sharing the pool
-    # ("Can't acquire ... to build hash relation"); SMJ sorts spill to
-    # disk, the only join shape that survives corpus×corpus at 100 TB.
-    #
+    # Bucket-grouped candidate generation (r10, replaces the band
+    # self-join): group the capped buckets — the window's exchange on
+    # (band_idx, band_hash) IS this aggregation's clustering, so no
+    # new shuffle — collect the ≤cap members, and emit each bucket's
+    # i<j pairs with the signature-agreement estimate computed and
+    # filtered INSIDE the array expression. sort_array orders members
+    # by doc_id (first struct field, unique per bucket), which makes
+    # the emitted (doc_a < doc_b) orientation deterministic and
+    # identical to the old x.doc_id < y.doc_id join predicate.
+    thr = _est_threshold(k)
+    grouped = (
+        band_rel.groupBy("band_idx", "band_hash")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "sigp", "n"))
+            ).alias("ms")
+        )
+    )
+    # One generated-SQL expression for the whole per-bucket pair
+    # emission (the py4j-cost note on minhash_signatures applies).
+    # CAST(repr(thr) AS DOUBLE) parses to bit-identical IEEE754 as the
+    # F.lit(thr) literal it replaces.
+    agree = _sig_agreement_packed_sql("a.sigp", "b.sigp")
+    pairs_arr = F.expr(
+        "flatten(transform(ms, (a, i) -> "
+        "filter(transform(slice(ms, i + 2, size(ms) - i - 1), b -> "
+        "named_struct("
+        "'doc_a', a.doc_id, "
+        "'doc_b', b.doc_id, "
+        f"'est_jaccard', round(cast({agree} as double) / {k}, 4), "
+        "'na', a.n, "
+        "'nb', b.n)), "
+        f"p -> p.est_jaccard >= cast('{thr!r}' as double))))"
+    )
     # the est pre-filter sits ~2.5σ below the J = 0.6 output threshold
     # (σ = √(0.6·0.4/k), see _est_threshold), so true pairs survive
-    # w.h.p. while the band-collision background is dropped before
-    # anything shuffles. distinct AFTER the filter is the same set as
-    # before (est is a pure function of the two signatures, so
-    # duplicate collisions of a pair filter identically).
+    # w.h.p. while the band-collision background never leaves the
+    # bucket's own stage. Dedup across buckets AFTER the filter is the
+    # same set as before (est/na/nb are pure functions of the pair, so
+    # every duplicate emission is value-identical). The explicit
+    # repartition on doc_a positions ONE exchange that serves both the
+    # dedup (hash on a subset of the dedup keys co-locates every
+    # (doc_a, doc_b) group) and the doc_a verification join below
+    # (exact partition-key match) — distinct + a second join exchange
+    # would cost two.
     sig_est = (
-        band_rel.alias("x")
-        .hint("merge")
-        .join(
-            band_rel.alias("y"),
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.round(
-                _sig_agreement_packed("x.sigp", "y.sigp").cast("double") / k,
-                4,
-            ).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= _est_threshold(k))
-        .distinct()
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select("p.*")
+        .repartition("doc_a")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
     sh_a = shingles
@@ -821,25 +856,12 @@ def minhash_verified_pairs(
             .hint("merge"),
             ["doc_b", "g"],
         )
-        .groupBy("doc_a", "doc_b", "est_jaccard")
+        .groupBy("doc_a", "doc_b", "est_jaccard", "na", "nb")
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    # sizes is O(corpus docs) — a broadcast would be ~16 B/doc, fine at
-    # fixture scale but 160 GB at 10 B docs; SMJ keeps the audit's
-    # no-corpus-broadcast invariant and spills instead of OOMing
     return (
-        pair_grams.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-            .hint("merge"),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-            .hint("merge"),
-            "doc_b",
-        )
-        .filter(jac >= 0.6)
+        pair_grams.filter(jac >= 0.6)
         .select("doc_a", "doc_b", "est_jaccard", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -1453,14 +1475,28 @@ def label_propagation_components(e: DataFrame) -> DataFrame:
     # contract: the label graph's edges are the partial-component
     # links round 1 could not merge. Symmetry of e makes this
     # relation symmetric too, so the loop below needs no re-mirror.
+    # The edge count rides the checkpoint materialization as an
+    # observe() metric (r10): when contraction merged EVERY component
+    # on round 1 — the common case for near-clique dup graphs, and
+    # true at every fixture scale — the label graph is empty, the
+    # fixpoint loop would only spin twice over empty relations to
+    # detect convergence, and the final remap join would coalesce
+    # every null back to l1. Short-circuiting to l1 is exact (no
+    # label-graph nodes ⇒ nothing to remap) and deletes those 2+
+    # driver-sequential jobs; a non-empty label graph takes the
+    # unchanged iterative path.
+    obs_le = Observation()
     le = (
         e.join(l1.select(F.col("node").alias("src"), F.col("label").alias("ls")), "src")
         .join(l1.select(F.col("node").alias("dst"), F.col("label").alias("ld")), "dst")
         .filter(F.col("ls") != F.col("ld"))
         .select(F.col("ls").alias("src"), F.col("ld").alias("dst"))
         .distinct()
+        .observe(obs_le, F.count(F.lit(1)).alias("n_edges"))
         .localCheckpoint(eager=True)
     )
+    if obs_le.get["n_edges"] == 0:
+        return l1
     labels = le.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

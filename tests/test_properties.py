@@ -402,6 +402,31 @@ def test_label_propagation_empty_edge_set_converges(spark):
     assert label_propagation_components(empty).collect() == []
 
 
+def test_label_propagation_shortcircuit_matches_iterative(spark):
+    """r10: an empty contracted label graph short-circuits to the
+    round-1 labels without the fixpoint loop. A clique (label graph
+    empty — shortcut path) and a path graph (label graph non-empty —
+    iterative path) must both produce exact min-label components."""
+    from database_to_bigquery_spark.operators.dedup import (
+        label_propagation_components,
+    )
+
+    def sym(pairs):
+        rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    # triangle 1-2-3 plus disjoint edge 10-11: round 1 merges both
+    clique = sym([(1, 2), (2, 3), (1, 3), (10, 11)])
+    got = {r["node"]: r["label"] for r in label_propagation_components(clique).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    # a 6-node path: round-1 contraction leaves label-graph edges, so
+    # the iterative branch must run and still reach the global min
+    path = sym([(i, i + 1) for i in range(1, 6)])
+    got = {r["node"]: r["label"] for r in label_propagation_components(path).collect()}
+    assert got == {i: 1 for i in range(1, 7)}
+
+
 # --------------------------- tar shard arithmetic (no Spark job) ----
 
 tar_members = st.lists(
