@@ -208,24 +208,41 @@ def _tagged_gid_blocks(spark: SparkSession, sh: DataFrame, n_blocks: int = 8) ->
     same-block pairs are ~half-size); each doc's gid array ships to
     B+1 = 9 groups, so replication — the dominant Arrow-transfer
     cost — stays modest. Larger B shrinks per-task matmuls (already
-    far from the FLOP bound) while inflating transfer linearly."""
+    far from the FLOP bound) while inflating transfer linearly.
+
+    Replication is ONE explode of a generated (bi, bj, side) array per
+    doc (r10) — the previous shape (two broadcast joins against a
+    createDataFrame block-pair relation, unioned) was measured doing
+    everything twice at bench scale: the union's two branches each
+    re-ran the whole shingle→collect_list subtree (AQE compiles them
+    as separate stages; 16.4 s → 8 s task time at sf0.1), and each
+    branch built its own broadcast of a PYTHON-parallelized local
+    relation (32 Python-worker tasks per build, ~13 s task time of
+    pure worker round-trips). The explode emits the identical row
+    multiset with zero joins, zero broadcasts, and a single pass."""
     vecs = (
         _as_gids(sh)
         .groupBy("doc_id")
         .agg(F.collect_list("g").alias("gids"))
         .withColumn("blk", (F.col("doc_id") % n_blocks).cast("int"))
     )
-    block_pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    last = F.lit(n_blocks - 1).cast("int")
+    reps = F.concat(
+        F.transform(
+            F.sequence(F.col("blk"), last),
+            lambda j: F.struct(
+                F.col("blk").alias("bi"), j.alias("bj"), F.lit("a").alias("side")
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0).cast("int"), F.col("blk")),
+            lambda i: F.struct(
+                i.alias("bi"), F.col("blk").alias("bj"), F.lit("b").alias("side")
+            ),
+        ),
     )
-    return (
-        vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("bi"))
-        .select("bi", "bj", "doc_id", "gids", F.lit("a").alias("side"))
-        .unionByName(
-            vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("bj")).select(
-                "bi", "bj", "doc_id", "gids", F.lit("b").alias("side")
-            )
-        )
+    return vecs.select("doc_id", "gids", F.explode(reps).alias("r")).select(
+        "r.bi", "r.bj", "doc_id", "gids", "r.side"
     )
 
 
@@ -1466,11 +1483,16 @@ def label_propagation_components(e: DataFrame) -> DataFrame:
 
     # round 1 over the full edge relation: l1(v) = min(v ∪ N(v)).
     # e is symmetrized, so grouping on dst sees every neighbor of v.
+    # persist, not an eager checkpoint (r10): l1's lineage is one
+    # aggregation over the ALREADY-checkpointed edge list, so the
+    # cache is rebuildable and lineage stays short without paying a
+    # separate driver-sequential materialization job — the le
+    # checkpoint below (l1's first consumer) builds it in passing.
     l1 = (
         e.groupBy(F.col("dst").alias("node"))
         .agg(F.min("src").alias("nmin"))
         .select("node", F.least("node", "nmin").alias("label"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     # contract: the label graph's edges are the partial-component
     # links round 1 could not merge. Symmetry of e makes this

@@ -230,16 +230,38 @@ def graph_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     users (the skew risk) get capped upstream in a real deployment;
     the plan itself is the standard co-occurrence projection
     (q_cooccurrence_pairs is the basket-bounded twin on orders)."""
+    # One groupBy(user) pass instead of distinct + self-join (r10):
+    # the previous shape computed the (user, item) distinct three
+    # times (a/b/sizes consumers — four events scans and four
+    # exchanges in the captured plan) and then re-shuffled both join
+    # sides by user_id (the distinct's (user, item) partitioning can't
+    # serve a user_id-keyed join). Collecting each user's sorted
+    # distinct item set pays ONE exchange on user_id, emits the i<j
+    # pairs in-array (bounded by the per-user item fanout — the same
+    # bound the self-join's C(items-per-user, 2) cost had), and the
+    # sizes aggregate rides the same cached relation.
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    a = ut.select(F.col("user_id"), F.col("event_type").alias("item_a"))
-    b = ut.select(F.col("user_id").alias("uid_b"), F.col("event_type").alias("item_b"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("items"))
+        .persist()
+    )
+    pairs_arr = F.expr(
+        "flatten(transform(items, (a, i) -> "
+        "transform(slice(items, i + 2, size(items) - i - 1), b -> "
+        "named_struct('item_a', a, 'item_b', b))))"
+    )
     inter = (
-        a.join(b, (a.user_id == b.uid_b) & (F.col("item_a") < F.col("item_b")))
+        per_user.select(F.explode(pairs_arr).alias("p"))
+        .select("p.*")
         .groupBy("item_a", "item_b")
         .agg(F.count("*").cast("long").alias("n_both"))
     )
-    sizes = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    sizes = (
+        per_user.select(F.explode("items").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
     sa = sizes.select(F.col("event_type").alias("item_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("event_type").alias("item_b"), F.col("n").alias("n_b"))
     return (

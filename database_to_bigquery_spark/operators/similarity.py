@@ -65,16 +65,28 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
+    # norms factored out of the join (r10): sqrt(q·q) and sqrt(c·c)
+    # were re-folded per candidate PAIR — per-side columns compute each
+    # exactly once (identical doubles, so identical cosines), cutting
+    # the pair stage's expression work ~3× at any scale
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot("v", "v")).alias("_nq"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
-    cos = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.sqrt(_dot("v", "v")).alias("_nc"),
+    )
+    cos = _dot("qv", "cv") / (F.col("_nq") * F.col("_nc"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         F.broadcast(bounded(q, _N_QUERIES))
         .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cos)
+        # project the vectors away before the ranking window's
+        # exchange — only (query_id, neighbor_id, cos) shuffles
+        .select("query_id", "neighbor_id", cos.alias("cos"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .select(
@@ -174,11 +186,20 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # norms factored out of the join (r10, see sim_topk_bruteforce)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot("v", "v")).alias("_nq"),
+        "bucket",
     )
-    cand = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
-    cos = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.sqrt(_dot("v", "v")).alias("_nc"),
+        "bucket",
+    )
+    cos = _dot("qv", "cv") / (F.col("_nq") * F.col("_nc"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         F.broadcast(bounded(q, _N_QUERIES * _LSH_TABLES))
@@ -301,19 +322,24 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s.getField("c")
         ).alias("cv")
     )
+    # query norm factored out (r10, see sim_topk_bruteforce): computed
+    # once per query and carried through the probe instead of re-folded
+    # per centroid and per candidate
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot("v", "v")).alias("_nq"),
     )
-    cent_cos = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+    cent_cos = _dot("qv", "cv") / (F.col("_nq") * F.sqrt(_dot("cv", "cv")))
     pw = W.partitionBy("query_id").orderBy(F.col("cent_cos").desc(), F.col("label"))
     probe = (
         q.crossJoin(F.broadcast(cent))
         .withColumn("cent_cos", cent_cos)
         .withColumn("pr", F.row_number().over(pw))
         .filter(F.col("pr") <= _N_PROBE)
-        .select("query_id", "qv", "label")
+        .select("query_id", "qv", "_nq", "label")
     )
-    cand_cos = _dot("qv", "v") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v")))
+    cand_cos = _dot("qv", "v") / (F.col("_nq") * F.sqrt(_dot("v", "v")))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         F.broadcast(probe)
@@ -388,11 +414,6 @@ def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 127 / F.col("ma") + 0.5).cast("long"),
         ).alias("v"),
     )
-    q = q8.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("vq")
-    )
-    c = q8.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vc"))
-
     def idot(x: str, y: str) -> Column:
         return F.aggregate(
             F.zip_with(x, y, lambda u, w: u * w),
@@ -400,13 +421,26 @@ def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, z: acc + z,
         )
 
-    cos8 = idot("vq", "vc").cast("double") / (
-        F.sqrt(idot("vq", "vq").cast("double")) * F.sqrt(idot("vc", "vc").cast("double"))
+    # norms factored out of the join (r10, see sim_topk_bruteforce):
+    # each side's integer self-dot is computed once per vector instead
+    # of once per pair; identical doubles, identical cosines
+    q = q8.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("vq"),
+        F.sqrt(idot("v", "v").cast("double")).alias("_nq"),
     )
+    c = q8.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vc"),
+        F.sqrt(idot("v", "v").cast("double")).alias("_nc"),
+    )
+    cos8 = idot("vq", "vc").cast("double") / (F.col("_nq") * F.col("_nc"))
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos8", cos8)
+        # project the 64-long vectors away before the ranking window's
+        # exchange — only (query_id, neighbor_id, cos8) shuffles
+        .select("query_id", "neighbor_id", cos8.alias("cos8"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos8").desc(), F.col("neighbor_id"))
     return (
@@ -497,14 +531,24 @@ def sim_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        # argmin as min(struct(d2, cl)) instead of a row_number window
+        # (r10): the window shuffled AND sorted all k×n distance rows;
+        # the struct-min is a partial (map-side) aggregation, so each
+        # task reduces its k candidate rows per vector to one before
+        # the exchange — n rows shuffled, no sort. Struct ordering
+        # compares d2 then cl, exactly the window's (d2, cl) orderBy
+        # (d2 is never NaN/-0.0 here: squared distances from finite
+        # dot products).
         d2 = _dot("v", "v") - 2 * _dot("v", "cv") + _dot("cv", "cv")
-        w = W.partitionBy("vec_id").orderBy("d2", "cl")
         return (
             vecs.join(F.broadcast(bounded(cents, _KMEANS_K)))
-            .withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn", "cv")
+            .select(
+                "vec_id",
+                F.struct(d2.alias("d2"), F.col("cl").alias("cl")).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("dc"))
+            .select("vec_id", F.col("dc.cl").alias("cl"), F.col("dc.d2").alias("d2"))
         )
 
     a1 = assign(e, c0).select("vec_id", "cl")
@@ -2227,7 +2271,9 @@ def _gram_partials(it):
 def corpus_covariance(df: DataFrame):
     """(cov, mu) of any (vec_id, v: array<double>) relation via one
     distributed Gram pass (`_gram_partials`); the collect is d²/2+d+1
-    rows — statistics, never the corpus."""
+    rows — statistics, never the corpus. Also returns the corpus row
+    count n (it rides the same Gram partials), so gating callers can
+    thread it onward instead of paying a separate count pass."""
     import numpy as np
 
     parts = (
@@ -2247,7 +2293,7 @@ def corpus_covariance(df: DataFrame):
             mu[r["i"] - 1] = r["s"] / n
         else:
             G[r["i"] - 1, r["j"] - 1] = G[r["j"] - 1, r["i"] - 1] = r["s"] / n
-    return G - np.outer(mu, mu), mu
+    return G - np.outer(mu, mu), mu, int(n)
 
 
 def _apply_whitener(e: DataFrame, Wm, mu) -> DataFrame:
@@ -2276,7 +2322,7 @@ def whiten_corpus(e: DataFrame) -> DataFrame:
     (vec_id, v: array<double>)."""
     import numpy as np
 
-    cov, mu = corpus_covariance(e)
+    cov, mu, _n = corpus_covariance(e)
     evals, evecs = np.linalg.eigh(cov)
     Wm = (evecs / np.sqrt(np.maximum(evals, 1e-12))).T  # Λ^(-1/2) Qᵀ
     return _apply_whitener(e, Wm, mu)
@@ -2308,10 +2354,15 @@ def whiten_if_anisotropic(
     clustered geometry is not a no-op — it flattens exactly the
     cluster directions ANN relies on — so production corpora must NOT
     be whitened unconditionally; the gate makes the composition safe
-    to apply corpus-blind. Returns (df, cond, applied)."""
+    to apply corpus-blind. Returns (df, cond, applied, n) — n is the
+    corpus row count the covariance pass already measured (whitening
+    is row-preserving, so it holds for the returned df either way;
+    r10: tier-selecting callers previously paid a full extra corpus
+    pass — re-running the whiten map when it applied — just to count
+    rows)."""
     import numpy as np
 
-    cov, mu = corpus_covariance(e)
+    cov, mu, n = corpus_covariance(e)
     evals, evecs = np.linalg.eigh(cov)
     # Relative eigenvalue floor (advisor r8): a rank-deficient
     # covariance — zero-padded or constant embedding dims, or a
@@ -2331,10 +2382,10 @@ def whiten_if_anisotropic(
     # ~0, so the decision about it is moot)
     cond = float(live[-1] / live[0]) if len(live) else 1.0
     if cond <= cond_threshold:
-        return e, cond, False
+        return e, cond, False, n
     lam = np.maximum(evals, max(lam_floor, 1e-300))
     Wm = (evecs / np.sqrt(lam)).T
-    return _apply_whitener(e, Wm, mu), cond, True
+    return _apply_whitener(e, Wm, mu), cond, True, n
 
 
 # The measured-anisotropic variant: whitens UNCONDITIONALLY, so it is
@@ -2399,8 +2450,7 @@ def knn_join_ivf_auto_core(e: DataFrame) -> DataFrame:
     exist). The count and the trained index are computed once and
     threaded through, so tier selection adds zero extra corpus
     scans."""
-    gated, _cond, _applied = whiten_if_anisotropic(e)
-    n = gated.count()
+    gated, _cond, _applied, n = whiten_if_anisotropic(e)
     if n < _IVF2_MIN_N:
         return knn_join_ivf_core(gated, n=n)
     index = train_ivf2_centroids(gated, n)
@@ -2466,7 +2516,7 @@ def sim_whiten_identity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double("embedding").alias("v")
     )
     whitened = whiten_corpus(e)
-    cov_w, _ = corpus_covariance(whitened)
+    cov_w, _, _ = corpus_covariance(whitened)
     iu, ju = np.triu_indices(cov_w.shape[0])
     out = [
         (int(i + 1), int(j + 1), float(round(cov_w[i, j], 4)))

@@ -249,7 +249,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     ).filter(F.length("w") > 0)
-    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # persist TF (r10): it feeds three consumers (DF, the corpus-size
+    # aggregate, and the scored join) — without the cache the word
+    # explode + TF aggregation ran three times (three scans + three
+    # exchanges in the captured plan). The TF table is the standard
+    # materialization point of a TF-IDF pipeline.
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf")).persist()
     df = tf.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
     n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
@@ -489,7 +494,11 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-explodes the corpus into words) — vocabulary-sized, the
     # standard materialization point of a BPE trainer
     s = _word_symbols(load_table(spark, sf_dir, "documents")).persist()
-    p1 = _ranked_pairs(_pair_counts(s))
+    # p1 persists too (r10): it feeds both the round-1 report and the
+    # merge broadcast, and without a cache each consumer re-runs the
+    # pair-count exchange + global ranking window; the relation is
+    # ≤ |symbol-vocab|² rows — metadata-sized at any corpus scale
+    p1 = _ranked_pairs(_pair_counts(s)).persist()
     s1 = _apply_top_merge(s, p1)
     p2 = _ranked_pairs(_pair_counts(s1))
 

@@ -1068,7 +1068,11 @@ def _stl_interior(ev: DataFrame) -> DataFrame:
         F.sum("y").over(w).alias("t_num"),
         F.count("y").over(w).alias("t_cnt"),
     )
-    interior = tr.filter(F.col("t_cnt") == 25)
+    # persist (r10): interior feeds both the seasonal aggregate and
+    # the join back — without the cache the hourly rollup + the
+    # single-partition moving window ran twice (two events scans).
+    # #hours-sized, tiny at any event volume.
+    interior = tr.filter(F.col("t_cnt") == 25).persist()
     seas = interior.groupBy(F.hour("hour").alias("hod")).agg(
         (
             F.sum("y").cast("double") / F.count("*")

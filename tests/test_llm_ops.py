@@ -777,7 +777,7 @@ def test_whitening_gate_decides_per_geometry(spark):
     df_iso = spark.createDataFrame(
         [(int(i), x[i].tolist()) for i in range(n)], "vec_id long, v array<double>"
     )
-    gated, cond, applied = whiten_if_anisotropic(df_iso)
+    gated, cond, applied, _n = whiten_if_anisotropic(df_iso)
     assert not applied and cond < 100, (cond, applied)
     assert gated is df_iso  # gate-off returns the input plan untouched
     assert purity(knn_join_ivf_core(gated)) >= 0.95
@@ -785,7 +785,7 @@ def test_whitening_gate_decides_per_geometry(spark):
     df_aniso = spark.createDataFrame(
         [(int(i), y[i].tolist()) for i in range(n)], "vec_id long, v array<double>"
     )
-    gated, cond, applied = whiten_if_anisotropic(df_aniso)
+    gated, cond, applied, _n = whiten_if_anisotropic(df_aniso)
     assert applied and cond > 100, (cond, applied)
     assert purity(knn_join_ivf_core(gated)) >= 0.9
 
@@ -812,7 +812,7 @@ def test_whitening_gate_ignores_degenerate_dimensions(spark):
     df = spark.createDataFrame(
         [(int(i), x[i].tolist()) for i in range(n)], "vec_id long, v array<double>"
     )
-    gated, cond, applied = whiten_if_anisotropic(df)
+    gated, cond, applied, _n = whiten_if_anisotropic(df)
     assert not applied, (cond, applied)
     assert gated is df
 
