@@ -698,6 +698,7 @@ def minhash_verified_pairs(
     bands: int = _MH_BANDS,
     rows: int = _MH_K // _MH_BANDS,
     cap: int = _LSH_BUCKET_CAP,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """The banded-MinHash mine-and-verify core over a (doc_id, g)
     shingle relation — shared by the corpus-wide miner
@@ -775,8 +776,16 @@ def minhash_verified_pairs(
     # signature relation has exactly ONE consumer (the band explode —
     # sigp and n both ride the band rows), so a cache would only add
     # build bookkeeping; its lineage re-reads the shingle CACHE, not
-    # the corpus.
-    sig = minhash_signatures(shingles, k)
+    # the corpus. ``sig``: a caller that already holds this relation's
+    # signatures (the incremental-clusters backfill persists them for
+    # its probe steps) passes them in and skips the re-aggregation —
+    # sample-verified against the shingle side like every precomputed
+    # sig (advisor r7), since a mismatched encoding/length would band
+    # into silence.
+    if sig is not None:
+        _check_sig_encoding(sig, shingles, "sig")
+    else:
+        sig = minhash_signatures(shingles, k)
     # bands → buckets, with the PACKED signature and the doc's
     # distinct-shingle count n riding each band row. band_hash = md5
     # of the rows-joined values. Hot buckets dropped first: pair
@@ -960,27 +969,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = bands.withColumn("_bn", F.count("*").over(bucket_w)).filter(
         F.col("_bn") <= 64
     ).drop("_bn")
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("ha"),
-            F.col("y.simhash").alias("hb"),
-        )
-        .distinct()
+    # Bucket-grouped pair generation (r10, the minhash_verified_pairs
+    # restructure): the former band self-join compiled its two sides
+    # as separate concurrent AQE stages, computing the fingerprint
+    # subtree twice; grouping the capped buckets (≤64 members — the
+    # window above bounds the array) emits each bucket's i<j pairs
+    # with the hamming filter inline, one pass, one band shuffle
+    # (which the window's exchange already is). The distinct across
+    # bands is unchanged (hamming is a pure function of the pair).
+    grouped = bands.groupBy("band_idx", "band_val").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms")
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    pairs_arr = F.expr(
+        "flatten(transform(ms, (a, i) -> "
+        "filter(transform(slice(ms, i + 2, size(ms) - i - 1), b -> "
+        "named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id, "
+        "'hamming', bit_count(a.simhash ^ b.simhash))), "
+        "p -> p.hamming <= 3)))"
+    )
     return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select("p.*")
+        .distinct()
     )
 
 
@@ -1056,19 +1066,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # theta-join BNLJ = no codegen, 17 s; block equi-join with a
     # 64-term unrolled codegen dot = 11 s of element_at overhead;
     # this = ~2 s.)
+    # replication via one explode of a generated (bi, bj, side) array
+    # (r10, the _tagged_gid_blocks fix): the former two broadcast
+    # joins against a createDataFrame local relation each built a
+    # broadcast of a PYTHON-parallelized RDD (32 Python-worker tasks
+    # per build), and the union's branches read the cache twice
     n_blocks = 8
-    block_pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
-    )
     vecs = e.withColumn("blk", (F.col("vec_id") % n_blocks).cast("int"))
-    tagged = (
-        vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("bi"))
-        .select("bi", "bj", "vec_id", "v", "nrm", F.lit("a").alias("side"))
-        .unionByName(
-            vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("bj")).select(
-                "bi", "bj", "vec_id", "v", "nrm", F.lit("b").alias("side")
-            )
-        )
+    last = F.lit(n_blocks - 1).cast("int")
+    reps = F.concat(
+        F.transform(
+            F.sequence(F.col("blk"), last),
+            lambda j: F.struct(
+                F.col("blk").alias("bi"), j.alias("bj"), F.lit("a").alias("side")
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0).cast("int"), F.col("blk")),
+            lambda i: F.struct(
+                i.alias("bi"), F.col("blk").alias("bj"), F.lit("b").alias("side")
+            ),
+        ),
+    )
+    tagged = vecs.select("vec_id", "v", "nrm", F.explode(reps).alias("r")).select(
+        "r.bi", "r.bj", "vec_id", "v", "nrm", "r.side"
     )
 
     def block_candidates(pdf):
@@ -1356,15 +1377,15 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # STANDING state (in production a maintained table, built once):
     # corpus-internal near-dup pairs and their min-label components.
-    corpus_pairs = cross_minhash_pairs(
-        corpus_sh, corpus_sh, corpus_sig=corpus_sig, batch_sig=corpus_sig
-    ).filter(F.col("batch_id") < F.col("corpus_id"))
+    # The backfill rides the bucket-grouped miner core (r10) with the
+    # already-persisted corpus signatures passed in — the former
+    # corpus×corpus cross_minhash_pairs call was the band SELF-join
+    # shape whose two sides AQE computes twice (see
+    # minhash_verified_pairs), plus a batch_id < corpus_id post-filter
+    # the grouped form emits directly as doc_a < doc_b.
+    corpus_pairs = minhash_verified_pairs(corpus_sh, sig=corpus_sig)
     standing = label_propagation_components(
-        _symmetrized_edges(
-            corpus_pairs.select(
-                F.col("batch_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
-            )
-        )
+        _symmetrized_edges(corpus_pairs)
     )
 
     # INCREMENTAL step — everything below is O(batch × bands +

@@ -853,12 +853,25 @@ def q_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair. Real retail data has pathological baskets; cap them first
     (slice the per-order item array) and this plan's bound holds. The
     global top-10 window runs on the already-aggregated pair relation."""
+    # One groupBy(order) with in-array pair emission (r10, the
+    # graph_item_jaccard restructure): the self-join computed the scan
+    # twice and shuffled both sides by l_orderkey; collecting each
+    # basket's item list pays ONE exchange and emits the same pair
+    # multiset (sorted array, i<j positions, strict part_a < part_b
+    # filter reproduces the join's duplicate-occurrence counting).
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("items")
+    )
+    pairs_arr = F.expr(
+        "flatten(transform(items, (a, i) -> "
+        "filter(transform(slice(items, i + 2, size(items) - i - 1), b -> "
+        "named_struct('part_a', a, 'part_b', b)), "
+        "p -> p.part_a < p.part_b)))"
+    )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.*")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
     )
@@ -1088,21 +1101,30 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast. Top-15 is ordered on ROUNDED lift with pair
     tie-breaks — a cross-engine-stable cut (text_pmi_collocations
     policy)."""
-    # persist: the deduped basket-item relation feeds the basket total,
-    # the supports, and both sides of the pair join (4 consumers)
-    li = (
+    # One groupBy(order) with in-array pair emission (r10, the
+    # graph_item_jaccard restructure): collect_set dedups within the
+    # basket, so the single exchange on l_orderkey replaces BOTH the
+    # (ok, part) distinct and the self-join's two ok-keyed sides. The
+    # persisted per-basket relation feeds the basket total, the
+    # supports, and the pair counts.
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
         .persist()
     )
-    n = li.agg(F.count_distinct("ok").alias("n_baskets"))
-    supp = li.groupBy("part").agg(F.count("*").alias("s"))
-    a = li.select("ok", F.col("part").alias("part_a"))
-    b = li.select("ok", F.col("part").alias("part_b"))
+    n = baskets.agg(F.count("*").alias("n_baskets"))
+    supp = baskets.select(F.explode("items").alias("part")).groupBy("part").agg(
+        F.count("*").alias("s")
+    )
+    pairs_arr = F.expr(
+        "flatten(transform(items, (a, i) -> "
+        "transform(slice(items, i + 2, size(items) - i - 1), b -> "
+        "named_struct('part_a', a, 'part_b', b))))"
+    )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.*")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= 2)

@@ -540,12 +540,16 @@ def q_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_histogram_equi_depth_approx (identical plan, GK-sketch
     thresholds, bounded memory) via production_specs()."""
     o = load_table(spark, sf_dir, "orders")
+    # ONE array-percentile aggregate (r10): nine scalar F.percentile
+    # calls each buffered ALL n values in their own aggregation buffer
+    # (9× the memory and sort work of the single heaviest aggregate in
+    # SCALING.md); the array form computes every threshold from one
+    # shared buffer with identical per-element results.
     th = o.agg(
-        *[
-            F.percentile("o_totalprice", F.lit(q / 10)).alias(f"t{q}")
-            for q in range(1, 10)
-        ]
-    )
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(q / 10) for q in range(1, 10)])
+        ).alias("ts")
+    ).select(*[F.element_at("ts", q).alias(f"t{q}") for q in range(1, 10)])
     bucket = F.lit(9)
     for q in range(9, 0, -1):
         bucket = F.when(
@@ -575,12 +579,16 @@ def q_histogram_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     tests/test_properties.py (every bucket within a few % of n/10 at
     the sketch accuracy)."""
     o = load_table(spark, sf_dir, "orders")
+    # one array-form sketch instead of nine independent GK sketches
+    # (r10, same change as the exact twin — identical per-element
+    # results, one shared sketch buffer)
     th = o.agg(
-        *[
-            F.approx_percentile("o_totalprice", F.lit(q / 10), F.lit(10000)).alias(f"t{q}")
-            for q in range(1, 10)
-        ]
-    )
+        F.approx_percentile(
+            "o_totalprice",
+            F.array(*[F.lit(q / 10) for q in range(1, 10)]),
+            F.lit(10000),
+        ).alias("ts")
+    ).select(*[F.element_at("ts", q).alias(f"t{q}") for q in range(1, 10)])
     bucket = F.lit(9)
     for q in range(9, 0, -1):
         bucket = F.when(

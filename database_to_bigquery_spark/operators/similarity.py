@@ -1355,19 +1355,27 @@ def sim_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e.withColumn("nrm", F.sqrt(_dot("v", "v"))).persist()
 
-    block_pairs = spark.createDataFrame(
-        [(i, j) for i in range(_KNN_BLOCKS) for j in range(i, _KNN_BLOCKS)],
-        "bi int, bj int",
-    )
+    # replication via one explode of a generated (bi, bj, side) array
+    # (r10, the _tagged_gid_blocks fix): no Python-parallelized
+    # broadcast builds, no duplicated union branches
     vecs = e.withColumn("blk", (F.col("vec_id") % _KNN_BLOCKS).cast("int"))
-    tagged = (
-        vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("bi"))
-        .select("bi", "bj", "vec_id", "v", "nrm", F.lit("a").alias("side"))
-        .unionByName(
-            vecs.join(F.broadcast(block_pairs), F.col("blk") == F.col("bj")).select(
-                "bi", "bj", "vec_id", "v", "nrm", F.lit("b").alias("side")
-            )
-        )
+    last = F.lit(_KNN_BLOCKS - 1).cast("int")
+    reps = F.concat(
+        F.transform(
+            F.sequence(F.col("blk"), last),
+            lambda j: F.struct(
+                F.col("blk").alias("bi"), j.alias("bj"), F.lit("a").alias("side")
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0).cast("int"), F.col("blk")),
+            lambda i: F.struct(
+                i.alias("bi"), F.col("blk").alias("bj"), F.lit("b").alias("side")
+            ),
+        ),
+    )
+    tagged = vecs.select("vec_id", "v", "nrm", F.explode(reps).alias("r")).select(
+        "r.bi", "r.bj", "vec_id", "v", "nrm", "r.side"
     )
 
     n_cand = _KNN_K + _KNN_MARGIN
