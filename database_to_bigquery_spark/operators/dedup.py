@@ -834,16 +834,24 @@ def minhash_verified_pairs(
     # emission (the py4j-cost note on minhash_signatures applies).
     # CAST(repr(thr) AS DOUBLE) parses to bit-identical IEEE754 as the
     # F.lit(thr) literal it replaces.
-    agree = _sig_agreement_packed_sql("a.sigp", "b.sigp")
+    #
+    # The inner iteration slices an INDEX array and dereferences with
+    # element_at — NOT slice(ms, …): member structs carry the 32-long
+    # packed signature, so slicing ms copies O(m²·m) struct bytes per
+    # bucket, a constant that measured 2.3× the old self-join's CPU at
+    # the 1.25M-doc twin where buckets run full (the x50 tier, with
+    # sparser buckets, had hidden it). Index slices copy 4-byte ints.
+    agree = _sig_agreement_packed_sql("a.sigp", "element_at(ms, j).sigp")
     pairs_arr = F.expr(
         "flatten(transform(ms, (a, i) -> "
-        "filter(transform(slice(ms, i + 2, size(ms) - i - 1), b -> "
+        "filter(transform("
+        "slice(sequence(1, size(ms)), i + 2, size(ms) - i - 1), j -> "
         "named_struct("
         "'doc_a', a.doc_id, "
-        "'doc_b', b.doc_id, "
+        "'doc_b', element_at(ms, j).doc_id, "
         f"'est_jaccard', round(cast({agree} as double) / {k}, 4), "
         "'na', a.n, "
-        "'nb', b.n)), "
+        "'nb', element_at(ms, j).n)), "
         f"p -> p.est_jaccard >= cast('{thr!r}' as double))))"
     )
     # the est pre-filter sits ~2.5σ below the J = 0.6 output threshold
