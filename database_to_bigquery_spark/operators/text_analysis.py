@@ -249,12 +249,14 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     ).filter(F.length("w") > 0)
-    # persist TF (r10): it feeds three consumers (DF, the corpus-size
-    # aggregate, and the scored join) — without the cache the word
-    # explode + TF aggregation ran three times (three scans + three
-    # exchanges in the captured plan). The TF table is the standard
-    # materialization point of a TF-IDF pipeline.
-    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf")).persist()
+    # No TF persist (r10, measured): TF feeds three consumers, but the
+    # doc_id < 50 slice is pushed to the scan, so each recompute reads
+    # a 50-doc pruned slice — tiny at ANY corpus scale. A persist here
+    # A/B-measured 0.2-0.7 s SLOWER at sf0.1 (cache build + extra AQE
+    # stage boundaries exceed two re-scans of a pruned slice). A
+    # corpus-wide TF-IDF (no slice) is where the standard TF
+    # materialization applies.
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df = tf.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
     n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
     scored = (

@@ -37,10 +37,10 @@ JUSTIFIED: dict[str, str] = {
         "per-batch step measures e 0.148 — incremental_steady_probe)"
     ),
     "dedup_cluster_keep_best": (
-        "first-exec-JIT dominated: alphabetically FIRST of the cluster family, so it now pays the banded miner's first execution (signature codegen + Python worker start) that dedup_clusters_lsh used to absorb; warm 3-run median is 8.2 s = the miner (bench 4.6 s) + contracted CC + one quality window over clustered docs only — all machinery with measured twin exponents (SCALING.md; third-decade x250 fit 1.00 under r9's 16x5 banding, walls calm-gated)"
+        "first-exec-JIT dominated: alphabetically FIRST of the cluster family, so it pays the banded miner's first execution (codegen + Python worker start); the r10 bucket-grouped miner cut the family's warm cost (bench miner median 2.8 s, this row's calm median 4.5 s = miner + contracted CC + one quality window over clustered docs only)"
     ),
     "dedup_clusters_lsh": (
-        "runs after dedup_cluster_keep_best has absorbed the miner's first-exec JIT; bench.py's 3-run median is 6.7 s and the contracted CC adds ~1 s warm over the miner; twin exponent 1.02 on the third-decade x250 fit under r9's 16x5 banding (transitional band-collision growth, analyzed + recall-bounded in SCALE.md §15-16)"
+        "runs after dedup_cluster_keep_best has absorbed the miner's first-exec JIT; bench.py r10 3-run median 4.2 s (was 6.7 pre-restructure) — the bucket-grouped miner + CC empty-label-graph shortcut; twin behavior re-measured r10 (OPTIMIZATION_r10.md: x50 CPU ~0.6x, x250 parity at 0.53x shuffle bytes)"
     ),
     "text_bigram_kn_score": (
         "Θ(tokens) is inherent for an LM scorer and the r7 kn_probe "
