@@ -641,11 +641,14 @@ def _check_sig_encoding(sig: DataFrame, sh: DataFrame, arg: str) -> None:
     two metadata-sized jobs, once per relation object lifetime."""
     if sig in _validated_sigs:
         return
-    row = sig.select("doc_id", "sig").limit(1).collect()
+    has_n = "n" in sig.columns
+    cols = ["doc_id", "sig"] + (["n"] if has_n else [])
+    row = sig.select(*cols).limit(1).collect()
     if not row:
         _validated_sigs.add(sig)
         return
     doc_id, expect = row[0]["doc_id"], list(row[0]["sig"])
+    expect_n = row[0]["n"] if has_n else None
     if len(expect) != _MH_K:
         # fixed permutations are prefix-consistent, so a stale shorter
         # sig would PASS a prefix compare and then band wrongly (the
@@ -660,7 +663,7 @@ def _check_sig_encoding(sig: DataFrame, sh: DataFrame, arg: str) -> None:
         minhash_signatures(
             sh.filter(F.col("doc_id") == F.lit(doc_id)), k=len(expect)
         )
-        .select("sig")
+        .select("sig", "n")
         .collect()
     )
     if not got:
@@ -677,6 +680,19 @@ def _check_sig_encoding(sig: DataFrame, sh: DataFrame, arg: str) -> None:
             "Mixed encodings make every band hash diverge and the probe "
             "silently returns zero pairs; re-materialize the signatures with "
             "the current minhash_signatures()."
+        )
+    # Validate the carried shingle count too (advisor r10): since r10
+    # the sizes relation is GONE — ``n`` riding the sig IS the
+    # exact-Jaccard denominator, so a stale/wrong n would silently skew
+    # every verified jaccard rather than fail loudly like an encoding
+    # mismatch does.
+    if has_n and expect_n is not None and got[0]["n"] != expect_n:
+        raise ValueError(
+            f"{arg}: precomputed signature for doc_id={doc_id} carries "
+            f"n={expect_n} but the shingle side has {got[0]['n']} distinct "
+            "grams — n is the exact-Jaccard denominator, so a stale count "
+            "silently skews every verified pair; re-materialize with "
+            "minhash_signatures()."
         )
     _validated_sigs.add(sig)
 
@@ -1546,6 +1562,16 @@ def label_propagation_components(e: DataFrame) -> DataFrame:
         .observe(obs_le, F.count(F.lit(1)).alias("n_edges"))
         .localCheckpoint(eager=True)
     )
+    # PINNED ASSUMPTION (advisor r10): Observation.get blocks until the
+    # observed plan node reports metrics, and the eager localCheckpoint
+    # above IS the action that reports them — on Spark 4.1.x the
+    # checkpoint executes the full plan including the observe node
+    # (covered by test_label_propagation_shortcircuit_matches_iterative,
+    # which would hang/timeout loudly if a Spark upgrade ever stopped
+    # delivering metrics through checkpoint actions). The coupling-free
+    # fallback if that ever breaks: derive emptiness from the
+    # checkpointed relation itself (le.isEmpty() — a metadata-sized job)
+    # at the cost of one extra driver round trip per call.
     if obs_le.get["n_edges"] == 0:
         return l1
     labels = le.select(F.col("src").alias("node")).distinct().withColumn(

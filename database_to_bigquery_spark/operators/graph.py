@@ -240,7 +240,15 @@ def graph_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs in-array (bounded by the per-user item fanout — the same
     # bound the self-join's C(items-per-user, 2) cost had), and the
     # sizes aggregate rides the same cached relation.
-    ev = load_table(spark, sf_dir, "events")
+    # NULL pin (advisor r10): the old distinct + self-join dropped NULL
+    # user_id rows (equi-join keys) and NULL event_type (the a < b
+    # comparison); groupBy would keep a NULL-user group, silently
+    # diverging on real data. The explicit filter restores the join
+    # semantics AND pushes IsNotNull back down to the scan, which the
+    # join condition used to imply.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     per_user = (
         ev.groupBy("user_id")
         .agg(F.sort_array(F.collect_set("event_type")).alias("items"))

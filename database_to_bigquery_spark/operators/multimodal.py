@@ -392,7 +392,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: hash build is map-only; 8 bands × 16 bits means any pair
     within hamming distance 7 shares at least one identical band
-    (pigeonhole) and is found by the (band_idx, band_val) equi-join —
+    (pigeonhole) and is found within (band_idx, band_val) buckets —
     candidates only form within a bucket, never all-pairs. Exact
     hamming (Σ bit_count(xor) over the 8 band values, unrolled so it
     stays in codegen) then cuts at _PH_HAMMING_MAX = 20 — the old
@@ -400,8 +400,21 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to h ≤ 7; 8–20 relies on edit locality (a band is a contiguous
     slice of the doc's strided pixels, so a localized edit leaves
     clean bands to collide on); the pigeonhole-complete variant in
-    this family is dedup_simhash. Same banded-join shape as
-    dedup_simhash/dedup_minhash_lsh."""
+    this family is dedup_simhash.
+
+    Candidate generation is BUCKET-GROUPED (r11, the
+    minhash_verified_pairs / dedup_simhash restructure): the former
+    band self-join compiled its two sides as separate concurrent AQE
+    query stages, so the ENTIRE subtree below it — including the
+    mapInPandas hash, the operator's most expensive stage — computed
+    twice, and the join paid two band exchanges + two sorts plus a
+    3-column distinct over the array payloads. Grouping the capped
+    buckets (≤64 members — the hot-bucket window above bounds the
+    array, and its exchange on (band_idx, band_val) IS this
+    aggregation's clustering) emits each bucket's i<j pairs with the
+    hamming filter inline: the pandas hash runs once, one band
+    shuffle, and only (doc_a, doc_b, hamming) rows — never the band
+    arrays — cross the final distinct's exchange."""
     d = load_table_spread(spark, sf_dir, "documents", "doc_id").filter(
         F.length("text") >= _PH_PIXELS
     )
@@ -417,34 +430,29 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = bands.withColumn("bsz", F.count("*").over(bucket_w)).filter(
         F.col("bsz") <= 64
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("bands").alias("ba"),
-        "band_idx",
-        "band_val",
+    # sort_array orders members by doc_id (first struct field, unique
+    # per bucket), so the i<j emission reproduces the old join's
+    # doc_a < doc_b orientation exactly; hamming is a pure function of
+    # the pair, so the distinct across buckets keeps the same set the
+    # old (doc_a, doc_b, ba, bb) distinct produced.
+    grouped = bands.groupBy("band_idx", "band_val").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "bands"))).alias("ms")
     )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("bands").alias("bb"),
-        "band_idx",
-        "band_val",
-    )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ba", "bb")
-        .distinct()
-    )
-    hamming = sum(
-        F.bit_count(
-            F.element_at("ba", j).bitwiseXOR(F.element_at("bb", j))
-        )
+    xor_sum = " + ".join(
+        f"bit_count(element_at(a.bands, {j}) ^ element_at(b.bands, {j}))"
         for j in range(1, _PH_BANDS + 1)
-    ).cast("int")
+    )
+    pairs_arr = F.expr(
+        "flatten(transform(ms, (a, i) -> "
+        "filter(transform(slice(ms, i + 2, size(ms) - i - 1), b -> "
+        "named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id, "
+        f"'hamming', cast({xor_sum} as int))), "
+        f"p -> p.hamming <= {_PH_HAMMING_MAX})))"
+    )
     return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= _PH_HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select("p.*")
+        .distinct()
     )
 
 

@@ -859,7 +859,15 @@ def q_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # basket's item list pays ONE exchange and emits the same pair
     # multiset (sorted array, i<j positions, strict part_a < part_b
     # filter reproduces the join's duplicate-occurrence counting).
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # NULL pin (advisor r10): the old self-join's equi-key dropped NULL
+    # l_orderkey rows; groupBy would keep them as a basket. (NULL
+    # l_partkey already drops on both shapes — collect_list skips
+    # nulls, as the old a.part < b.part comparison did.)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull())
+    )
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_partkey")).alias("items")
     )
@@ -1107,8 +1115,13 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ok, part) distinct and the self-join's two ok-keyed sides. The
     # persisted per-basket relation feeds the basket total, the
     # supports, and the pair counts.
+    # NULL l_orderkey filtered for the same reason as
+    # q_cooccurrence_pairs (advisor r10): the old (ok, part) distinct +
+    # self-join dropped NULL ok via the equi-key; a groupBy would keep
+    # it as a basket.
     baskets = (
         load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull())
         .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
         .persist()

@@ -101,8 +101,10 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, COUNT(*) AS n
       FROM events WHERE user_id < 50 GROUP BY 1, 2)
     SELECT user_id,
-           list(event_type ORDER BY event_type)       AS type_keys,
-           list(CAST(n AS BIGINT) ORDER BY event_type) AS type_counts,
+           CAST(to_json(list(event_type ORDER BY event_type)) AS VARCHAR)
+             AS type_keys,
+           CAST(to_json(list(CAST(n AS BIGINT) ORDER BY event_type)) AS VARCHAR)
+             AS type_counts,
            CAST(MAX(CASE WHEN event_type = 'click' THEN n END) AS BIGINT) AS n_click
     FROM cnt GROUP BY user_id
     """,
@@ -113,7 +115,14 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     map is assembled from a deterministically sorted entry array so
     key order (and therefore the exported arrays) is stable across
     partitionings — the rule for ANY map aggregated from distributed
-    rows (map iteration order is otherwise physical-order-dependent)."""
+    rows (map iteration order is otherwise physical-order-dependent).
+
+    The exported key/count arrays are JSON-encoded on BOTH sides: the
+    driver's canonicalizer sorts result columns with pandas, which
+    cannot factorize list cells (the r10 attestation crashed on exactly
+    this — `TypeError: unhashable type: 'list'`), so the portable
+    contract for array-valued result columns is a deterministic string
+    encoding."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
     entries = F.array_sort(F.collect_list(F.struct("event_type", "n")))
@@ -121,8 +130,10 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.map_from_entries("entries")
     return g.select(
         "user_id",
-        F.map_keys(m).alias("type_keys"),
-        F.transform(F.map_keys(m), lambda k: F.element_at(m, k)).alias("type_counts"),
+        F.to_json(F.map_keys(m)).alias("type_keys"),
+        F.to_json(
+            F.transform(F.map_keys(m), lambda k: F.element_at(m, k))
+        ).alias("type_counts"),
         F.element_at(m, "click").alias("n_click"),
     )
 

@@ -55,7 +55,14 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
       SELECT ts, value,
-             to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS b
+             -- DuckDB's to_timestamp returns TIMESTAMP WITH TIME ZONE,
+             -- which diverges from Spark's F.window TIMESTAMP in both
+             -- arrow type and rendered value (the r10 driver attestation
+             -- failed on exactly this: rows matched, schema/hash did
+             -- not). make_timestamp(micros) round-trips epoch() back to
+             -- a plain TIMESTAMP independent of the session time zone.
+             make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
+                            * 1000000) AS b
       FROM events),
     w AS (
       SELECT b                              AS window_start, value FROM g

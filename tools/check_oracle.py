@@ -69,6 +69,8 @@ def spark_type_category(dtype: str) -> str:
     if d == "date":
         return "date"
     if d.startswith("timestamp"):
+        # Spark timestamps collect as naive datetimes; only an explicit
+        # tz-aware dtype would be "tstz" (none of our queries emit one).
         return "ts"
     if d == "binary":
         return "bin"
@@ -93,7 +95,11 @@ def arrow_type_category(t) -> str:
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_timestamp(t):
-        return "ts"
+        # Driver-strict: TIMESTAMP WITH TIME ZONE (e.g. DuckDB's
+        # to_timestamp result) is NOT the same type as plain TIMESTAMP —
+        # the external driver failed stream_sliding_windows' schema on
+        # exactly this in r10 while this gate passed it.
+        return "tstz" if t.tz is not None else "ts"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return "bin"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
@@ -159,6 +165,25 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
         problems = []
+        for c in s_cols:
+            # Driver-strict canonicalization: the external driver sorts
+            # result columns with pandas (Categorical/factorize), which
+            # raises `TypeError: unhashable type: 'list'` on list cells —
+            # q_map_functions crashed its r10 attestation this way. Any
+            # list-typed column in an oracle-bearing result is therefore
+            # a FAILURE here, on either side.
+            if spark_type_category(s_dtypes.get(c, "")) == "list":
+                problems.append(
+                    f"list column {c}: spark {s_dtypes.get(c)} — the "
+                    "driver's pandas canonicalizer cannot sort list "
+                    "cells; emit a deterministic string encoding "
+                    "(to_json) on both sides"
+                )
+        for c, t in o_types.items():
+            if arrow_type_category(t) == "list":
+                problems.append(
+                    f"list column {c}: oracle {t} — driver-uncanonicalizable"
+                )
         for c in s_cols:
             if c in o_types:
                 sc = spark_type_category(s_dtypes.get(c, ""))

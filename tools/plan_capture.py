@@ -1,6 +1,7 @@
 """Dump .explain('formatted') for headline (or named) queries to
-plans/r10/<name>_<tag>.txt — the optimization round's before/after
-plan evidence (judge checks plan claims against these files).
+plans/$PLAN_ROUND/<name>_<tag>.txt (default r11) — the optimization
+round's before/after plan evidence (judge checks plan claims against
+these files).
 
 Usage: python tools/plan_capture.py TAG [--sf-dir DIR] [names...]
 """
@@ -25,7 +26,11 @@ def main() -> None:
         if a == "--sf-dir":
             sf_dir = sys.argv[1:][i + 1]
             names = [n for n in names if n != sf_dir]
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLAN_ROUND", "r11"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan_capture")
     specs = all_specs()

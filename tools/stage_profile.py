@@ -28,6 +28,9 @@ LOG_DIR = "/tmp/spark-events-profile"
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print("usage: python tools/stage_profile.py <query> [sf_dir] [--cold]")
+        return 2
     name = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     cold = "--cold" in sys.argv
@@ -61,6 +64,9 @@ def main() -> int:
     path = os.path.join(LOG_DIR, sc_app)
     if not os.path.exists(path):
         cands = [os.path.join(LOG_DIR, f) for f in os.listdir(LOG_DIR)]
+        if not cands:
+            print(f"no event log found under {LOG_DIR}")
+            return 1
         path = max(cands, key=os.path.getmtime)
     if os.path.isdir(path):  # event log v2: rolling dir of event files
         files = sorted(
@@ -156,7 +162,7 @@ def main() -> int:
         print(f"\njob {jid}  wall={jw:6.2f}s")
         for sid in sorted(set(j["stages"])):
             st = stages.get(sid)
-            if not st or "m" not in st and st.get("sub") is None:
+            if not st or ("m" not in st and st.get("sub") is None):
                 continue  # skipped stage
             m = st.get("m", {})
             sw = (
