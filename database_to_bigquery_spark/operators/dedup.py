@@ -1843,13 +1843,28 @@ def cross_minhash_pairs(
         matched_ids = cand.select(F.col("corpus_id").alias("doc_id")).distinct()
         sig_c = sig_c.join(F.broadcast(matched_ids), "doc_id", "left_semi")
         corpus_sh = corpus_sh.join(F.broadcast(matched_ids), "doc_id", "left_semi")
+    # na/nb RIDE the signature attach (r11 — the r10 miner's "n rides"
+    # fix applied to the asymmetric probe): the sig relations already
+    # carry the distinct-shingle count n, so selecting it here deletes
+    # the two size-attach joins that previously sat ABOVE the
+    # verification aggregate — one of them a corpus-sized sort-merge
+    # join. The counts travel as groupBy keys exactly like est_jaccard
+    # (pure functions of the doc, so the grouping is unchanged).
     sig_est = (
         cand.join(
-            sig_b.select(F.col("doc_id").alias("batch_id"), F.col("sig").alias("sig_a")),
+            sig_b.select(
+                F.col("doc_id").alias("batch_id"),
+                F.col("sig").alias("sig_a"),
+                F.col("n").alias("na"),
+            ),
             "batch_id",
         )
         .join(
-            sig_c.select(F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_b"))
+            sig_c.select(
+                F.col("doc_id").alias("corpus_id"),
+                F.col("sig").alias("sig_b"),
+                F.col("n").alias("nb"),
+            )
             .hint("merge"),  # corpus-sized sig relation — see miner note
             "corpus_id",
         )
@@ -1859,13 +1874,11 @@ def cross_minhash_pairs(
         # shared-vocabulary background before the exact (doc, gram) join
         .filter(F.col("est_jaccard") >= _est_threshold(_MH_K))
     )
-    sizes_b = sig_b.select("doc_id", "n")
-    sizes_c = sig_c.select("doc_id", "n")
-    # corpus-side relations (shingles, sizes) ride merge (SMJ) joins:
-    # they are O(corpus), must never broadcast, and only SMJ spills
-    # when building against them — see the full miner's pair_grams
-    # note (the batch side stays broadcastable when AQE's real stats
-    # say it is small)
+    # corpus-side relations (shingles) ride merge (SMJ) joins: they are
+    # O(corpus), must never broadcast, and only SMJ spills when
+    # building against them — see the full miner's pair_grams note
+    # (the batch side stays broadcastable when AQE's real stats say it
+    # is small)
     pair_grams = (
         sig_est.join(batch_sh.select(F.col("doc_id").alias("batch_id"), "g"), "batch_id")
         .join(
@@ -1873,21 +1886,12 @@ def cross_minhash_pairs(
             .hint("merge"),
             ["corpus_id", "g"],
         )
-        .groupBy("batch_id", "corpus_id", "est_jaccard")
+        .groupBy("batch_id", "corpus_id", "est_jaccard", "na", "nb")
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        pair_grams.join(
-            F.broadcast(sizes_b.select(F.col("doc_id").alias("batch_id"), F.col("n").alias("na"))),
-            "batch_id",
-        )
-        .join(
-            sizes_c.select(F.col("doc_id").alias("corpus_id"), F.col("n").alias("nb"))
-            .hint("merge"),
-            "corpus_id",
-        )
-        .filter(jac >= 0.6)
+        pair_grams.filter(jac >= 0.6)
         .select("batch_id", "corpus_id", "est_jaccard", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -1966,11 +1970,17 @@ def count_triangles(e: DataFrame) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # persist, not an eager checkpoint (r11, the l1 pattern): o's
+    # lineage is one degree agg + two joins over the ALREADY
+    # checkpointed e, so the cache is rebuildable and lineage stays
+    # short without paying a separate driver-sequential
+    # materialization job — the wedge join (o's first consumer)
+    # builds it in passing.
     o = with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).localCheckpoint(eager=True)
+    ).persist()
     # wedge (x→y, x→z) with rank(y) < rank(z); close with oriented y→z
     w1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("dv").alias("dy"))
     w2 = o.select(F.col("u").alias("x"), F.col("v").alias("z"), F.col("dv").alias("dz"))

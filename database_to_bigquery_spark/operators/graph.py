@@ -95,6 +95,16 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-deriving the distinct-edge shuffle in every iteration's plan
     # (at real scale this is a checkpoint; k iterations would otherwise
     # recompute the edge subtree k+1 times and grow the lineage).
+    # r11 measured-and-REVERTED: pre-attaching outdeg to a persisted
+    # `wedges` relation (deleting the per-iteration deg join) was
+    # twin-measured at the 30M-lineitem tier (tools/grouped_pairs_probe
+    # graph_pagerank_2iter old-vs-new): identical shuffle bytes
+    # (285 MB — deg is a V-row relation that BROADCASTS in both
+    # shapes, so the "deleted" join never paid an exchange) and
+    # slightly worse CPU/wall (248 → 291 s task CPU) from the extra
+    # cache build and the wider cached rows. The per-iteration
+    # broadcast join is the right shape until V itself outgrows
+    # broadcast range.
     edges = _edges(spark, sf_dir).persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     n = deg.agg(F.count("*").alias("n"))  # 1-row DF, broadcast — no collect
@@ -164,14 +174,23 @@ def graph_label_propagation_2iter(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: each round is one edges⨝labels join (hash-partitioned on
     the node key, reused across rounds) + a two-level groupBy (label
-    counts, then argmax window over |node, label| pairs). Fixed
+    counts, then argmax window over |node, label| pairs). r11
+    measured-and-REVERTED: replacing the argmax window with a
+    min(struct(-c, label)) partial aggregation (the sim_kmeans_2iter
+    pattern) was twin-measured at the 30M-lineitem tier and LOST —
+    shuffle bytes went UP (348 → 367 MB: the vote rows are already
+    (node, label)-unique out of the count aggregate, so the second
+    "partial" agg had nothing to reduce map-side and the struct
+    payload outweighed the saved sort) with CPU/wall parity-to-worse.
+    The kmeans case won because k candidate rows per vector collapsed
+    to 1 BEFORE the exchange; here the collapse ratio is ~1. Fixed
     unrolled rounds keep it one declarative plan for the oracle; the
     production converge-until-stable loop is the same body driven like
     dedup_clusters' iteration."""
-    e0 = _edges(spark, sf_dir)
-    edges = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    # _edges() is already symmetrized + distinct — the previous
+    # re-union doubled the second distinct's input to produce the
+    # same set (removed r11)
+    edges = _edges(spark, sf_dir).persist()
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

@@ -852,34 +852,33 @@ def q_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one co-partitioned join, one partial-aggregated groupBy on the
     pair. Real retail data has pathological baskets; cap them first
     (slice the per-order item array) and this plan's bound holds. The
-    global top-10 window runs on the already-aggregated pair relation."""
-    # One groupBy(order) with in-array pair emission (r10, the
-    # graph_item_jaccard restructure): the self-join computed the scan
-    # twice and shuffled both sides by l_orderkey; collecting each
-    # basket's item list pays ONE exchange and emits the same pair
-    # multiset (sorted array, i<j positions, strict part_a < part_b
-    # filter reproduces the join's duplicate-occurrence counting).
-    # NULL pin (advisor r10): the old self-join's equi-key dropped NULL
-    # l_orderkey rows; groupBy would keep them as a basket. (NULL
-    # l_partkey already drops on both shapes — collect_list skips
-    # nulls, as the old a.part < b.part comparison did.)
+    global top-10 window runs on the already-aggregated pair relation.
+
+    Shape history (r10→r11): r10 replaced the self-join with a
+    groupBy(order) + in-array pair emission; the r11 twin measurement
+    (tools/grouped_pairs_probe.py, x50/x250 + whale-basket variants)
+    REFUTED that trade for this query and it was reverted: the pair
+    multiset IS the output here — no distinct is subsumed (unlike
+    q_basket_affinity_lift) and no selective filter runs inside the
+    array (unlike the MinHash miner's est gate) — so the grouped
+    shape shuffled the SAME bytes (1058 → 1081 MB at x50) while
+    paying ~4× task CPU (interpreted HOF transform/filter/flatten
+    per pair vs whole-stage-codegen join rows), 5× with a whale
+    basket, where the whole C(f,2) struct array also materializes in
+    one task. The co-partitioned self-join is the right plan."""
+    # NULL pin (advisor r10): the equi-join key drops NULL l_orderkey
+    # rows implicitly; the explicit filter keeps that contract visible
+    # and pushes IsNotNull to the scan.
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .filter(F.col("l_orderkey").isNotNull())
     )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("items")
-    )
-    pairs_arr = F.expr(
-        "flatten(transform(items, (a, i) -> "
-        "filter(transform(slice(items, i + 2, size(items) - i - 1), b -> "
-        "named_struct('part_a', a, 'part_b', b)), "
-        "p -> p.part_a < p.part_b)))"
-    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
     pairs = (
-        baskets.select(F.explode(pairs_arr).alias("p"))
-        .select("p.*")
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
     )

@@ -1147,11 +1147,20 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count("*")).alias("c")
         )
     )
+    # cent and cb are INDEX relations (k×d centroids; M×K codebook
+    # rows — hundreds of rows each), but every un-persisted broadcast
+    # consumer recompiled their FULL corpus-sized subtrees under AQE:
+    # the r11 before-plan shows ~9 embeddings scans and 16
+    # BroadcastExchanges with ZERO reuse — the posexplode centroid
+    # aggregate (a whole corpus pass) ran for the residual side, both
+    # codebook builds, the probe, and the query-residual side
+    # independently. Persisting the two tiny relations makes each a
+    # one-time build (guide §5: reused AND expensive to recompute).
     cent = dims.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s.getField("c")
         ).alias("cv")
-    )
+    ).persist()
     res = (
         e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .join(F.broadcast(cent), "label")
@@ -1167,15 +1176,21 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "s", F.expr(f"slice(r, s * {_PQ_SUB} + 1, {_PQ_SUB})").alias("xs"))
     cb = sub.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("code"), "s", F.col("xs").alias("cs")
-    )
+    ).persist()
     pd2 = _dot("xs", "xs") - 2 * _dot("xs", "cs") + _dot("cs", "cs")
-    ew = W.partitionBy("vec_id", "s").orderBy("pd2", "code")
+    # nearest-codeword argmin as min(struct(pd2, code)) — a partial
+    # aggregation (the sim_kmeans_2iter r10 pattern) instead of a
+    # row_number window: the K candidate rows per (vec, subspace)
+    # reduce map-side before any exchange and no sort runs. Struct
+    # ordering (pd2 asc, code asc) equals the window's ORDER BY;
+    # label is functionally dependent on vec_id, so adding it to the
+    # grouping keys changes nothing.
     enc = (
         sub.join(F.broadcast(bounded(cb, _PQ_K * _PQ_M)), "s")
         .withColumn("pd2", pd2)
-        .withColumn("rn", F.row_number().over(ew))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "s", "code")
+        .groupBy("vec_id", "label", "s")
+        .agg(F.min(F.struct("pd2", "code")).alias("b"))
+        .select("vec_id", "label", "s", F.col("b.code").alias("code"))
     )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -2418,11 +2433,24 @@ def sim_knn_join_ivf_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost: one metadata-sized covariance pass + one Arrow-batched
     linear map over the corpus (O(n·d²) FLOPs, map-only) in front of
     the Θ(n^1.5·d) IVF join — asymptotically free at any corpus size.
-    Approximate (probing) → rows-only driver check."""
+    Approximate (probing) → rows-only driver check.
+
+    The corpus count rides the covariance pass (r11 — the same
+    advisor-r9 fix the auto entry got in r10): `knn_join_ivf_core`
+    with n=None would run `e.count()` on the WHITENED relation, i.e.
+    one full extra corpus pass through the Python whiten map just to
+    count rows the Gram pass already counted. The whitening map is
+    inlined from `whiten_corpus` (same eigendecomposition, same
+    arithmetic) so n can thread through."""
+    import numpy as np
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    return knn_join_ivf_core(whiten_corpus(e))
+    cov, mu, n = corpus_covariance(e)
+    evals, evecs = np.linalg.eigh(cov)
+    Wm = (evecs / np.sqrt(np.maximum(evals, 1e-12))).T  # Λ^(-1/2) Qᵀ
+    return knn_join_ivf_core(_apply_whitener(e, Wm, mu), n=n)
 
 
 # Corpus-size boundary for the auto entry's flat→two-level IVF tier

@@ -91,13 +91,26 @@ def _gen_tier(tier: str) -> None:
     n_li, n_orders, n_parts = cfg["li"]
     orders = rng.integers(0, n_orders, n_li, dtype=np.int64)
     parts = rng.integers(0, n_parts, n_li, dtype=np.int64)
+    # supplier/quantity columns so the lineitem-derived GRAPH operators
+    # (graph_pagerank_2iter et al. via _edges) can run on the twin too
+    supps = rng.integers(0, max(1, n_parts // 10), n_li, dtype=np.int64)
+    qty = rng.integers(1, 51, n_li, dtype=np.int64).astype(np.float64)
     if whale:
         orders = np.concatenate(
             [orders, np.full(WHALE_PARTS, -1, dtype=np.int64)]
         )
         parts = np.concatenate([parts, np.arange(WHALE_PARTS, dtype=np.int64)])
+        supps = np.concatenate([supps, np.zeros(WHALE_PARTS, dtype=np.int64)])
+        qty = np.concatenate([qty, np.full(WHALE_PARTS, 25.0)])
     pq.write_table(
-        pa.table({"l_orderkey": orders, "l_partkey": parts}),
+        pa.table(
+            {
+                "l_orderkey": orders,
+                "l_partkey": parts,
+                "l_suppkey": supps,
+                "l_quantity": qty,
+            }
+        ),
         os.path.join(out, "lineitem.parquet"),
     )
     print(f"wrote {out}: events={len(users):,} lineitem={len(orders):,}")
@@ -217,10 +230,73 @@ def _old_q_basket_affinity_lift(spark, sf_dir):
     return scored.orderBy(F.col("lift").desc(), "part_a", "part_b").limit(15)
 
 
+def _old_graph_pagerank_2iter(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.operators.graph import _DAMP, _edges
+
+    edges = _edges(spark, sf_dir).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    n = deg.agg(F.count("*").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("outdeg")).alias("w"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("w").alias("mass"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(1 - _DAMP) / F.col("n") + F.lit(_DAMP) * F.col("mass")).alias(
+                    "pr"
+                ),
+            )
+        )
+    return ranks.select("node", F.round("pr", 7).alias("pr"))
+
+
+def _old_graph_label_propagation_2iter(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from database_to_bigquery_spark.operators.graph import _edges
+
+    e0 = _edges(spark, sf_dir)
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(2):
+        votes = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
 OLD = {
     "graph_item_jaccard": _old_graph_item_jaccard,
     "q_cooccurrence_pairs": _old_q_cooccurrence_pairs,
     "q_basket_affinity_lift": _old_q_basket_affinity_lift,
+    "graph_pagerank_2iter": _old_graph_pagerank_2iter,
+    "graph_label_propagation_2iter": _old_graph_label_propagation_2iter,
 }
 
 
