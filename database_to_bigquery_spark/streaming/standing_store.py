@@ -106,6 +106,21 @@ class StandingStore:
         # broadcast once per store lifetime; every batch's membership
         # test reuses it map-side
         self._bloom_bc = spark.sparkContext.broadcast(words)
+        # Open each tier's relation ONCE per store lifetime (r11): a
+        # store is immutable for the lifetime of this handle
+        # (compaction builds a new path / new handle), and
+        # spark.read.parquet() builds a fresh InMemoryFileIndex every
+        # call — the x250 probe diagnosis showed ~37 s of EVERY batch
+        # spent in "Listing leaf files for 4265/8790/8790 paths"
+        # driver jobs, an O(bucket-count) per-batch term that defeats
+        # the store's O(batch + collisions) goal. Reusing the
+        # DataFrame reuses its file index; per-probe bucket pruning
+        # still happens at each query's planning against the cached
+        # listing.
+        self._rel = {
+            sub: spark.read.parquet(os.path.join(path, sub))
+            for sub in ("bands", "sigs", "shingles")
+        }
 
     # ------------------------------------------------------------ build
     @staticmethod
@@ -194,7 +209,7 @@ class StandingStore:
 
     # ------------------------------------------------------------ probe
     def _read(self, sub: str, buckets: list[int]) -> DataFrame:
-        df = self.spark.read.parquet(os.path.join(self.path, sub))
+        df = self._rel[sub]  # listed once per store lifetime — see __init__
         return df.filter(F.col("bucket").isin(buckets)).drop("bucket")
 
     def probe(
